@@ -1,0 +1,321 @@
+"""Jitted autoregressive decode engine for the duplex LM.
+
+TPU-native replacement for the llama.cpp runtime the reference drives through
+``LlamaForAlternatingCodeChannels`` (reference utils/llamacpp_utils.py:26-181):
+
+- static-shape KV cache resident in HBM, written in place (buffer donation);
+- bucketed jitted prefill (``eval``) so arbitrary-length teacher forcing hits a
+  small fixed set of compiled programs;
+- fused eval+sample decode step: one device round-trip per generated token,
+  with the llama.cpp sampler chain running on-TPU (ops/sampling.py);
+- explicit ``n_tokens`` get/set for KV rollback — the reference's
+  ``llm.n_tokens -= 1`` + ``kv_cache_seq_rm`` surgery (llamacpp_utils.py:167-170,
+  realtime_agent_v2.py:207-219, 465, 730) becomes a host-side length change;
+  stale cache positions are simply overwritten by the next eval and are never
+  attended (attention masks by position);
+- teacher-forced scoring (``get_logprobs``) as a separate cacheless jitted
+  program — the reference needed a SECOND llama.cpp instance with
+  ``logits_all=True`` for this (realtime_agent_resources.py:26-33); here the
+  same weights serve both roles, halving HBM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Generator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import DuplexLMConfig, forward, logits_from_hidden
+from ..ops.sampling import (
+    PENALTY_WINDOW,
+    SamplerSettings,
+    make_window,
+    sample_token,
+)
+
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+SCORE_CHUNK = 256
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return PREFILL_BUCKETS[-1]
+
+
+class DuplexLMEngine:
+    def __init__(
+        self,
+        params,
+        cfg: DuplexLMConfig,
+        seed: Optional[int] = 42,
+        kv_slack: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_context = cfg.max_context
+        cache_len = cfg.max_context + max(kv_slack, PREFILL_BUCKETS[-1])
+        kv_shape = (cfg.num_layers, 1, cache_len, cfg.num_kv_heads, cfg.head_dim)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self._k = jnp.zeros(kv_shape, dtype)
+        self._v = jnp.zeros(kv_shape, dtype)
+
+        self._input_ids: List[int] = []
+        self._n_tokens = 0
+        self._last_logits = None  # device (V,) f32, logits at the last evaled position
+        self.settings = SamplerSettings(seed=seed)
+        self._base_key = jax.random.PRNGKey(seed if seed is not None else 0)
+        self._step = 0
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+    def _build_jits(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def prefill(params, k, v, tokens, offset, last_idx):
+            hidden, (k, v) = forward(
+                params, tokens, cfg, kv_cache=(k, v), cache_offset=offset
+            )
+            last_h = jax.lax.dynamic_index_in_dim(hidden[0], last_idx, axis=0)
+            logits = logits_from_hidden(params, last_h, cfg)[0]
+            return logits, k, v
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("top_k",))
+        def decode_step(
+            params, k, v, tokens, offset, key, scalars, bias_ids, bias_vals,
+            window_ids, window_mask, top_k,
+        ):
+            hidden, (k, v) = forward(
+                params, tokens, cfg, kv_cache=(k, v), cache_offset=offset
+            )
+            logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
+            token = sample_token(
+                logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask,
+                top_k=top_k,
+            )
+            return token, logits, k, v
+
+        @functools.partial(jax.jit, static_argnames=("top_k",))
+        def resample(logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask, top_k):
+            return sample_token(
+                logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask,
+                top_k=top_k,
+            )
+
+        @jax.jit
+        def score(params, tokens, targets):
+            # tokens/targets: (1, Tb). Per-position logprob of targets under a
+            # full causal forward, head applied in chunks to bound memory.
+            hidden, _ = forward(params, tokens, cfg)
+            h = hidden[0]  # (Tb, H)
+            tb = h.shape[0]
+            n_chunks = tb // SCORE_CHUNK if tb % SCORE_CHUNK == 0 else -(-tb // SCORE_CHUNK)
+            pad = n_chunks * SCORE_CHUNK - tb
+            h_p = jnp.pad(h, ((0, pad), (0, 0)))
+            t_p = jnp.pad(targets[0], (0, pad))
+
+            def body(carry, blk):
+                hb, tgt = blk
+                logits = logits_from_hidden(params, hb, cfg)
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                out = jnp.take_along_axis(lp, tgt[:, None], axis=-1)[:, 0]
+                return carry, out
+
+            _, lps = jax.lax.scan(
+                body,
+                None,
+                (
+                    h_p.reshape(n_chunks, SCORE_CHUNK, -1),
+                    t_p.reshape(n_chunks, SCORE_CHUNK),
+                ),
+            )
+            return lps.reshape(-1)[:tb]
+
+        @jax.jit
+        def probs_of(logits, ids):
+            return jax.nn.softmax(logits)[ids]
+
+        self._prefill_fn = prefill
+        self._decode_fn = decode_step
+        self._resample_fn = resample
+        self._score_fn = score
+        self._probs_fn = probs_of
+
+    # ----------------------------------------------------------- state mgmt
+    @property
+    def n_tokens(self) -> int:
+        return self._n_tokens
+
+    @n_tokens.setter
+    def n_tokens(self, value: int) -> None:
+        """KV rollback: later positions become unreachable (masked by position)
+        and are overwritten by the next eval — no cache mutation needed."""
+        if value < 0 or value > self._n_tokens:
+            raise ValueError(f"n_tokens can only be rolled back (got {value}, have {self._n_tokens})")
+        self._n_tokens = value
+        del self._input_ids[value:]
+
+    def reset(self) -> None:
+        self._n_tokens = 0
+        self._input_ids = []
+        self._last_logits = None
+
+    # ------------------------------------------------------------- sampling
+    def init_sampler_for_generate(
+        self,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        min_p: float = 0.05,
+        temp: float = 0.80,
+        repeat_penalty: float = 1.0,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
+        logit_bias: Optional[dict] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.settings = SamplerSettings(
+            top_k=top_k,
+            top_p=top_p,
+            min_p=min_p,
+            temp=temp,
+            repeat_penalty=repeat_penalty,
+            frequency_penalty=frequency_penalty,
+            presence_penalty=presence_penalty,
+            logit_bias=tuple((int(k), float(v)) for k, v in (logit_bias or {}).items()),
+            seed=seed,
+        )
+        self._base_key = jax.random.PRNGKey(seed if seed is not None else 0)
+        self._step = 0
+
+    def _next_key(self):
+        key = jax.random.fold_in(self._base_key, self._step)
+        self._step += 1
+        return key
+
+    # ----------------------------------------------------------------- eval
+    def eval(self, tokens: Sequence[int]) -> None:
+        """Teacher-forced append of tokens at position n_tokens (bucketed prefill)."""
+        tokens = [int(t) for t in tokens]
+        if not tokens:
+            return
+        if self._n_tokens + len(tokens) > self.max_context:
+            raise RuntimeError(
+                f"context overflow: {self._n_tokens} + {len(tokens)} > {self.max_context}"
+            )
+        pos = 0
+        while pos < len(tokens):
+            chunk = tokens[pos : pos + PREFILL_BUCKETS[-1]]
+            b = _bucket(len(chunk))
+            padded = np.zeros((1, b), dtype=np.int32)
+            padded[0, : len(chunk)] = chunk
+            logits, self._k, self._v = self._prefill_fn(
+                self.params,
+                self._k,
+                self._v,
+                jnp.asarray(padded),
+                jnp.int32(self._n_tokens),
+                jnp.int32(len(chunk) - 1),
+            )
+            self._last_logits = logits
+            self._input_ids.extend(chunk)
+            self._n_tokens += len(chunk)
+            pos += len(chunk)
+
+    def sample(self, idx: Optional[int] = None) -> int:
+        """Sample from the logits at the last evaled position."""
+        if self._last_logits is None:
+            raise RuntimeError("sample() before any eval()")
+        bias_ids, bias_vals = self.settings.bias_arrays()
+        window_ids, window_mask = make_window(self._input_ids, PENALTY_WINDOW)
+        token = self._resample_fn(
+            self._last_logits,
+            self._next_key(),
+            self.settings.scalars(),
+            bias_ids,
+            bias_vals,
+            window_ids,
+            window_mask,
+            top_k=self.settings.top_k,
+        )
+        return int(token)
+
+    def eval_and_sample(self, tokens: Sequence[int]) -> int:
+        """Fused eval+sample: ONE device call for the common decode step."""
+        tokens = [int(t) for t in tokens]
+        if not (1 <= len(tokens) <= 4):
+            # uncommon: long teacher-forced run then sample
+            self.eval(tokens)
+            return self.sample()
+        bias_ids, bias_vals = self.settings.bias_arrays()
+        window_ids, window_mask = make_window(
+            self._input_ids + tokens, PENALTY_WINDOW
+        )
+        arr = jnp.asarray(np.array(tokens, dtype=np.int32)[None, :])
+        token, logits, self._k, self._v = self._decode_fn(
+            self.params,
+            self._k,
+            self._v,
+            arr,
+            jnp.int32(self._n_tokens),
+            self._next_key(),
+            self.settings.scalars(),
+            bias_ids,
+            bias_vals,
+            window_ids,
+            window_mask,
+            self.settings.top_k,
+        )
+        self._last_logits = logits
+        self._input_ids.extend(tokens)
+        self._n_tokens += len(tokens)
+        return int(token)
+
+    def generate(
+        self, tokens: Sequence[int], reset: bool = False
+    ) -> Generator[int, None, None]:
+        """llama.cpp-style incremental generator: eval `tokens`, then yield a
+        sampled token; each further next() evals the previously yielded token
+        first (reference llamacpp_utils.py:97-181 usage pattern)."""
+        if reset:
+            self.reset()
+        tokens = list(tokens)
+        while True:
+            token = self.eval_and_sample(tokens)
+            yield token
+            tokens = [token]
+
+    # --------------------------------------------------------------- scoring
+    def get_logprobs(self, ctx_input_ids: Sequence[int], input_ids: Sequence[int]) -> np.ndarray:
+        """Teacher-forced logprobs of input_ids given ctx (aux-LM equivalent,
+        reference llamacpp_utils.py:30-37). Cacheless full forward."""
+        seq = [int(t) for t in ctx_input_ids] + [int(t) for t in input_ids]
+        b = _bucket(len(seq))
+        if len(seq) > b:
+            b = ((len(seq) + SCORE_CHUNK - 1) // SCORE_CHUNK) * SCORE_CHUNK
+        tokens = np.zeros((1, b), dtype=np.int32)
+        tokens[0, : len(seq)] = seq
+        targets = np.zeros((1, b), dtype=np.int32)
+        targets[0, : len(seq) - 1] = seq[1:]
+        lps = self._score_fn(self.params, jnp.asarray(tokens), jnp.asarray(targets))
+        lps = np.asarray(lps)
+        start = len(ctx_input_ids) - 1
+        return lps[start : start + len(input_ids)]
+
+    # ------------------------------------------------------------ logit taps
+    def last_probs(self, token_ids: Sequence[int]) -> np.ndarray:
+        """Softmax probabilities of selected tokens at the last evaled position
+        (device-side softmax; only the selected scalars transfer to host)."""
+        if self._last_logits is None:
+            raise RuntimeError("no logits available")
+        ids = jnp.asarray(np.array(token_ids, dtype=np.int32))
+        return np.asarray(self._probs_fn(self._last_logits, ids))
+
+    def get_last_logits(self) -> np.ndarray:
+        if self._last_logits is None:
+            raise RuntimeError("no logits available")
+        return np.asarray(self._last_logits)

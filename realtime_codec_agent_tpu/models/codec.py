@@ -1,0 +1,248 @@
+"""MagiCodec-style neural audio codec, TPU-native.
+
+Capability rebuild of the external MagiCodec-50Hz-Base engine the reference
+drives through ``codec_model.pad_audio -> encoder -> quantizer.inference`` and
+``quantizer.codebook_proj -> embedding -> decoder`` (reference
+audio_tokenizer.py:189-201). The reference's engine is PyTorch + flash-attn
+CUDA kernels (magicodec_build.sh:4-16); here the whole codec is a pair of
+jitted JAX programs built from MXU-friendly pieces:
+
+- **Patchify front-end**: audio is right-padded to a multiple of ``hop_length``
+  (320 samples = 20 ms at 16 kHz -> 50 Hz frame rate) and reshaped to frames,
+  then linearly embedded — one big (T/320, 320) @ (320, H) matmul instead of a
+  strided conv stack, which XLA tiles perfectly onto the MXU.
+- **Transformer body** (encoder and decoder): pre-RMSNorm blocks with rotary
+  attention and GELU MLPs (mirroring the rotary/layer_norm/fused_dense CUDA
+  ops MagiCodec builds from flash-attn), full bidirectional attention.
+- **Single-codebook quantizer**: a raw codebook (V, raw_dim) with a projection
+  to ``codebook_dim`` (=16) — matching ``quantizer.codebook_proj(codebook.weight)``
+  semantics — and nearest-neighbor search done by the blocked Pallas kernel in
+  ops/quantize.py.
+
+Weights are a plain pytree; ``init_codec_params`` randomly initializes (for
+tests/benchmarks), and real MagiCodec checkpoints can be converted into this
+layout offline.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn
+from ..ops.quantize import nearest_code
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    sample_rate: int = 16000
+    hop_length: int = 320  # -> 50 Hz frame rate
+    codebook_size: int = 131072
+    codebook_dim: int = 16       # projected dim seen by the LM embedding bridge
+    codebook_raw_dim: int = 16   # raw codebook storage dim (pre codebook_proj)
+    hidden_size: int = 768
+    num_layers: int = 8
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def framerate(self) -> float:
+        return self.sample_rate / self.hop_length
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+
+def tiny_codec_config(**overrides) -> CodecConfig:
+    """Small config for tests: same 16 kHz / 50 Hz geometry, tiny body+codebook."""
+    defaults = dict(
+        codebook_size=1024, hidden_size=64, num_layers=2, num_heads=4,
+        codebook_dim=16, codebook_raw_dim=16,
+    )
+    defaults.update(overrides)
+    return CodecConfig(**defaults)
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def _init_block(key, h: int, mlp: int, dtype) -> Dict:
+    ks = jax.random.split(key, 6)
+    s = 1.0 / math.sqrt(h)
+    sm = 1.0 / math.sqrt(mlp)
+    return {
+        "attn_norm": jnp.ones((h,), dtype),
+        "wq": (jax.random.normal(ks[0], (h, h)) * s).astype(dtype),
+        "wk": (jax.random.normal(ks[1], (h, h)) * s).astype(dtype),
+        "wv": (jax.random.normal(ks[2], (h, h)) * s).astype(dtype),
+        "wo": (jax.random.normal(ks[3], (h, h)) * s).astype(dtype),
+        "mlp_norm": jnp.ones((h,), dtype),
+        "w1": (jax.random.normal(ks[4], (h, mlp)) * s).astype(dtype),
+        "b1": jnp.zeros((mlp,), dtype),
+        "w2": (jax.random.normal(ks[5], (mlp, h)) * sm).astype(dtype),
+        "b2": jnp.zeros((h,), dtype),
+    }
+
+
+def init_codec_params(key, cfg: CodecConfig) -> Dict:
+    dtype = jnp.dtype(cfg.compute_dtype)
+    h, hop, d = cfg.hidden_size, cfg.hop_length, cfg.codebook_dim
+    keys = jax.random.split(key, 8 + 2 * cfg.num_layers)
+    enc_blocks = [
+        _init_block(keys[8 + i], h, cfg.mlp_dim, dtype) for i in range(cfg.num_layers)
+    ]
+    dec_blocks = [
+        _init_block(keys[8 + cfg.num_layers + i], h, cfg.mlp_dim, dtype)
+        for i in range(cfg.num_layers)
+    ]
+    return {
+        "encoder": {
+            "patch_embed": (jax.random.normal(keys[0], (hop, h)) / math.sqrt(hop)).astype(dtype),
+            "patch_bias": jnp.zeros((h,), dtype),
+            "blocks": enc_blocks,
+            "out_norm": jnp.ones((h,), dtype),
+            "out_proj": (jax.random.normal(keys[1], (h, d)) / math.sqrt(h)).astype(dtype),
+        },
+        "quantizer": {
+            # raw codebook + projection, mirroring MagiCodec's
+            # quantizer.codebook.weight / quantizer.codebook_proj
+            "codebook": jax.random.normal(keys[2], (cfg.codebook_size, cfg.codebook_raw_dim)).astype(jnp.float32),
+            "proj_w": (jax.random.normal(keys[3], (cfg.codebook_raw_dim, d)) / math.sqrt(cfg.codebook_raw_dim)).astype(jnp.float32),
+            "proj_b": jnp.zeros((d,), jnp.float32),
+        },
+        "decoder": {
+            "in_proj": (jax.random.normal(keys[4], (d, h)) / math.sqrt(d)).astype(dtype),
+            "in_bias": jnp.zeros((h,), dtype),
+            "blocks": dec_blocks,
+            "out_norm": jnp.ones((h,), dtype),
+            "patch_unembed": (jax.random.normal(keys[5], (h, hop)) / math.sqrt(h)).astype(dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+def pad_audio(audio: np.ndarray, hop_length: int) -> np.ndarray:
+    """Right-pad the last axis to a multiple of hop_length (codec_model.pad_audio)."""
+    t = audio.shape[-1]
+    target = ((t + hop_length - 1) // hop_length) * hop_length
+    if target == t:
+        return audio
+    pad = [(0, 0)] * (audio.ndim - 1) + [(0, target - t)]
+    return np.pad(audio, pad, mode="constant")
+
+
+def _transformer(x: jnp.ndarray, blocks, cfg: CodecConfig) -> jnp.ndarray:
+    b, t, h = x.shape
+    nh, dh = cfg.num_heads, cfg.head_dim
+    positions = jnp.arange(t)
+    cos, sin = nn.rope_cos_sin(positions, dh, cfg.rope_theta)
+    for blk in blocks:
+        res = x
+        y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = jnp.dot(y, blk["wq"], preferred_element_type=jnp.float32).astype(y.dtype).reshape(b, t, nh, dh)
+        k = jnp.dot(y, blk["wk"], preferred_element_type=jnp.float32).astype(y.dtype).reshape(b, t, nh, dh)
+        v = jnp.dot(y, blk["wv"], preferred_element_type=jnp.float32).astype(y.dtype).reshape(b, t, nh, dh)
+        q, k = nn.apply_rope(q, k, cos, sin)
+        attn = nn.attention(q, k, v)  # bidirectional
+        attn = jnp.dot(attn.reshape(b, t, h), blk["wo"], preferred_element_type=jnp.float32).astype(y.dtype)
+        x = res + attn
+        res = x
+        y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
+        y = nn.gelu_mlp(y, blk["w1"], blk["b1"], blk["w2"], blk["b2"])
+        x = res + y
+    return x
+
+
+def projected_codebook(params: Dict) -> jnp.ndarray:
+    """quantizer.codebook_proj(quantizer.codebook.weight) -> (V, codebook_dim) f32.
+
+    This is exactly the table exported by the LM embedding bridge
+    (reference audio_tokenizer.py:151-159, extract_codec_embeddings.py:15-22).
+    """
+    q = params["quantizer"]
+    return jnp.dot(q["codebook"], q["proj_w"], preferred_element_type=jnp.float32) + q["proj_b"]
+
+
+def encode_frames(params: Dict, audio: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+    """audio (B, T) with T % hop == 0 -> codes (B, T/hop) int32."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    b, t = audio.shape
+    frames = audio.reshape(b, t // cfg.hop_length, cfg.hop_length).astype(dtype)
+    enc = params["encoder"]
+    x = jnp.dot(frames, enc["patch_embed"], preferred_element_type=jnp.float32).astype(dtype) + enc["patch_bias"]
+    x = _transformer(x, enc["blocks"], cfg)
+    x = nn.rms_norm(x, enc["out_norm"], cfg.rms_eps)
+    z_e = jnp.dot(x, enc["out_proj"], preferred_element_type=jnp.float32)  # (B, F, d) f32
+    cb = projected_codebook(params)
+    codes = nearest_code(z_e.reshape(-1, z_e.shape[-1]), cb)
+    return codes.reshape(b, -1)
+
+
+def decode_frames(params: Dict, codes: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+    """codes (B, F) int32 -> audio (B, F*hop) float32."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cb = projected_codebook(params)
+    z_q = jnp.take(cb, codes, axis=0)  # (B, F, d) f32
+    dec = params["decoder"]
+    x = jnp.dot(z_q.astype(dtype), dec["in_proj"], preferred_element_type=jnp.float32).astype(dtype) + dec["in_bias"]
+    x = _transformer(x, dec["blocks"], cfg)
+    x = nn.rms_norm(x, dec["out_norm"], cfg.rms_eps)
+    audio = jnp.dot(x, dec["patch_unembed"], preferred_element_type=jnp.float32)  # (B, F, hop) f32
+    b, f, hop = audio.shape
+    return audio.reshape(b, f * hop)
+
+
+class JaxCodecModel:
+    """Stateless wrapper bundling params + config with jitted encode/decode.
+
+    Presents the interface surface the streaming AudioTokenizer needs
+    (pad_audio / encode / decode / projected codebook / sample_rate /
+    codebook_size), i.e. the TPU-native stand-in for the loaded MagiCodec
+    torch module (reference audio_tokenizer.py:26-36, 189-201).
+    """
+
+    def __init__(self, params: Dict, config: CodecConfig):
+        self.params = params
+        self.config = config
+        self.sample_rate = config.sample_rate
+        self.codebook_size = config.codebook_size
+        self._encode = jax.jit(lambda p, a: encode_frames(p, a, config))
+        self._decode = jax.jit(lambda p, c: decode_frames(p, c, config))
+
+    @classmethod
+    def random_init(cls, config: CodecConfig = None, seed: int = 0) -> "JaxCodecModel":
+        config = config or CodecConfig()
+        params = init_codec_params(jax.random.PRNGKey(seed), config)
+        return cls(params, config)
+
+    def pad_audio(self, audio: np.ndarray) -> np.ndarray:
+        return pad_audio(audio, self.config.hop_length)
+
+    def encode(self, audio: np.ndarray) -> np.ndarray:
+        """(B, T) float32 -> (B, F) int32 codes; pads to hop multiple."""
+        audio = self.pad_audio(np.asarray(audio, dtype=np.float32))
+        return np.asarray(self._encode(self.params, jnp.asarray(audio)))
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """(B, F) int codes -> (B, F*hop) float32 audio."""
+        codes = jnp.asarray(np.asarray(codes), dtype=jnp.int32)
+        return np.asarray(self._decode(self.params, codes))
+
+    def get_projected_codebook(self) -> np.ndarray:
+        return np.asarray(projected_codebook(self.params))

@@ -1,0 +1,110 @@
+"""Core functional NN ops shared by the codec and the duplex LM.
+
+Everything here is shape-static, jit-friendly, and keeps the heavy matmuls in
+bfloat16 on the MXU with float32 accumulation (``preferred_element_type``).
+Normalization and softmax statistics are computed in float32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """RMSNorm (Llama-style: normalize in f32, scale in input dtype)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float = 10000.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotary embedding tables for integer positions ``(...,)`` ->
+    cos/sin of shape ``(..., head_dim)`` (HF Llama half-duplicated layout)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., head_dim/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(
+    q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply rotary embedding. q/k: (..., T, H, Dh); cos/sin: (..., T, Dh)."""
+    cos = cos[..., :, None, :].astype(jnp.float32)
+    sin = sin[..., :, None, :].astype(jnp.float32)
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = qf * cos + _rotate_half(qf) * sin
+    k_out = kf * cos + _rotate_half(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(B, S, KH, Dh) -> (B, S, KH*n_rep, Dh) for grouped-query attention."""
+    if n_rep == 1:
+        return x
+    b, s, kh, dh = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, kh, n_rep, dh))
+    return x.reshape(b, s, kh * n_rep, dh)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: (B, Tq, H, Dh); k/v: (B, Tk, H, Dh); mask: broadcastable to (B, H, Tq, Tk)
+    with True = attend. Softmax in f32. XLA fuses this well on TPU; a Pallas
+    flash kernel can be slotted in for long prefill without changing callers.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def causal_mask(tq: int, tk: int, q_offset) -> jnp.ndarray:
+    """(1, 1, tq, tk) boolean mask: query at absolute pos q_offset+i attends keys <= that pos."""
+    q_pos = q_offset + jnp.arange(tq)[:, None]
+    k_pos = jnp.arange(tk)[None, :]
+    return (k_pos <= q_pos)[None, None]
+
+
+def swiglu_mlp(x: jnp.ndarray, w_gate: jnp.ndarray, w_up: jnp.ndarray, w_down: jnp.ndarray) -> jnp.ndarray:
+    """Llama SwiGLU MLP: down( silu(x@gate) * (x@up) )."""
+    g = jnp.dot(x, w_gate, preferred_element_type=jnp.float32)
+    u = jnp.dot(x, w_up, preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    return jnp.dot(h, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def gelu_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """Plain 2-layer GELU MLP (codec transformer blocks, LLaVA-style projector)."""
+    h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    return (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2.astype(jnp.float32)).astype(x.dtype)

@@ -1,0 +1,113 @@
+"""Nearest-codebook-entry quantization as a blocked Pallas TPU kernel.
+
+The codec quantizer must find, for every encoder frame vector, the nearest of
+131,072 projected codebook vectors (reference `quantizer.inference`,
+audio_tokenizer.py:192). Materializing the full (N, 131072) distance matrix in
+HBM costs ~50 MB per 100 frames; this kernel streams codebook blocks through
+VMEM and keeps only a running (max_score, argmax) per frame on-chip.
+
+Distance trick: argmin ||x - c||^2  ==  argmax (x . c - ||c||^2 / 2), so the
+kernel is a (N, D) @ (D, Vb) matmul on the MXU plus a fused reduction.
+
+An XLA fallback (`nearest_code_xla`) is used off-TPU and as the reference in
+parity tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def nearest_code_xla(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """argmin_j ||x_i - codebook_j||^2 via plain XLA. x: (N, D), codebook: (V, D)."""
+    xf = x.astype(jnp.float32)
+    cbf = codebook.astype(jnp.float32)
+    scores = jnp.dot(xf, cbf.T, preferred_element_type=jnp.float32)
+    scores = scores - 0.5 * jnp.sum(cbf * cbf, axis=-1)[None, :]
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
+def _nearest_code_kernel(x_ref, cbt_ref, halfnorm_ref, idx_ref, best_ref, besti_ref):
+    # running (max_score, argmax) lives in scratch; the output block is written
+    # exactly once, on the final grid step (the interpreter also dislikes
+    # read-modify-write of revisited output blocks)
+    j = pl.program_id(0)
+    block_v = cbt_ref.shape[1]
+    scores = jnp.dot(
+        x_ref[:], cbt_ref[:], preferred_element_type=jnp.float32
+    ) - halfnorm_ref[:]  # (N, BV)
+    blk_max = jnp.max(scores, axis=1, keepdims=True)
+    blk_arg = (
+        jnp.argmax(scores, axis=1).astype(jnp.int32).reshape(-1, 1) + j * block_v
+    )
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = blk_max
+        besti_ref[:] = blk_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = blk_max > best_ref[:]
+        besti_ref[:] = jnp.where(better, blk_arg, besti_ref[:])
+        best_ref[:] = jnp.maximum(blk_max, best_ref[:])
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        idx_ref[:] = besti_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_v", "interpret"))
+def nearest_code_pallas(
+    x: jnp.ndarray, codebook: jnp.ndarray, block_v: int = 8192, interpret: bool = False
+) -> jnp.ndarray:
+    """Blocked nearest-neighbor code lookup on TPU. x: (N, D), codebook: (V, D) -> (N,) int32.
+
+    Ties resolve to the lowest index (same as jnp.argmin over distances).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    n, d = x.shape
+    v = codebook.shape[0]
+    n_pad = _round_up(max(n, 8), 8)
+    d_pad = _round_up(d, 128)
+    v_pad = _round_up(v, block_v)
+
+    xf = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(x.astype(jnp.float32))
+    cbf = codebook.astype(jnp.float32)
+    cbt = jnp.zeros((d_pad, v_pad), jnp.float32).at[:d, :v].set(cbf.T)
+    halfnorm = jnp.full((1, v_pad), jnp.inf, jnp.float32)
+    halfnorm = halfnorm.at[0, :v].set(0.5 * jnp.sum(cbf * cbf, axis=-1))
+
+    grid = (v_pad // block_v,)
+    idx = pl.pallas_call(
+        _nearest_code_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_pad, d_pad), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, 1), jnp.float32),
+            pltpu.VMEM((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xf, cbt, halfnorm)
+    return idx[:n, 0]
+
+
+def nearest_code(x: jnp.ndarray, codebook: jnp.ndarray, block_v: int = 8192) -> jnp.ndarray:
+    """Dispatch to the Pallas kernel on TPU, XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return nearest_code_pallas(x, codebook, block_v=block_v)
+    return nearest_code_xla(x, codebook)

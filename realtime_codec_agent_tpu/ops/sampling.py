@@ -1,0 +1,132 @@
+"""Fused on-TPU token sampler with llama.cpp sampler-chain semantics.
+
+Rebuilds the native sampler the reference configures through
+``init_sampler_for_generate`` (reference utils/llamacpp_utils.py:39-77):
+additive logit bias -> repeat/frequency/presence penalties over a trailing
+window -> (temp==0: greedy) else top-k -> top-p -> min-p -> temperature ->
+seeded categorical draw. Everything runs inside the decode jit: only the
+sampled token id crosses back to the host.
+
+All knobs except ``top_k`` (which shapes the lax.top_k) are dynamic scalars,
+so flipping temperature / bias between generate modes (reference
+realtime_agent_v2.py:172-185, 353-357) never recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+# max simultaneous logit-bias entries (the agent uses one: end_audio suppression)
+MAX_BIAS = 4
+# llama.cpp penalty_last_n default
+PENALTY_WINDOW = 64
+
+
+@dataclasses.dataclass
+class SamplerSettings:
+    """Host-side sampler configuration (mirrors init_sampler_for_generate args)."""
+
+    top_k: int = 40
+    top_p: float = 0.95
+    min_p: float = 0.05
+    temp: float = 0.80
+    repeat_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    logit_bias: Tuple[Tuple[int, float], ...] = ()
+    seed: Optional[int] = None
+
+    def scalars(self) -> jnp.ndarray:
+        """Pack dynamic knobs as an f32 vector (keeps the jit signature fixed)."""
+        return jnp.array(
+            [
+                self.top_p,
+                self.min_p,
+                self.temp,
+                self.repeat_penalty,
+                self.frequency_penalty,
+                self.presence_penalty,
+            ],
+            dtype=jnp.float32,
+        )
+
+    def bias_arrays(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ids = jnp.zeros((MAX_BIAS,), jnp.int32)
+        vals = jnp.zeros((MAX_BIAS,), jnp.float32)
+        for i, (tid, b) in enumerate(self.logit_bias[:MAX_BIAS]):
+            ids = ids.at[i].set(tid)
+            vals = vals.at[i].set(b)
+        return ids, vals
+
+
+def apply_penalties(
+    logits: jnp.ndarray,  # (V,) f32
+    window_ids: jnp.ndarray,  # (PENALTY_WINDOW,) i32
+    window_mask: jnp.ndarray,  # (PENALTY_WINDOW,) f32 (1 = valid)
+    repeat_penalty: jnp.ndarray,
+    frequency_penalty: jnp.ndarray,
+    presence_penalty: jnp.ndarray,
+) -> jnp.ndarray:
+    """llama.cpp-style penalties over a trailing token window."""
+    v = logits.shape[0]
+    counts = jnp.zeros((v,), jnp.float32).at[window_ids].add(window_mask)
+    present = counts > 0
+    repeated = jnp.where(
+        logits > 0, logits / repeat_penalty, logits * repeat_penalty
+    )
+    out = jnp.where(present, repeated, logits)
+    out = out - counts * frequency_penalty - jnp.where(present, presence_penalty, 0.0)
+    return out
+
+
+def sample_token(
+    logits: jnp.ndarray,  # (V,) f32
+    key: jax.Array,
+    scalars: jnp.ndarray,  # packed SamplerSettings.scalars()
+    bias_ids: jnp.ndarray,
+    bias_vals: jnp.ndarray,
+    window_ids: jnp.ndarray,
+    window_mask: jnp.ndarray,
+    top_k: int = 100,
+) -> jnp.ndarray:
+    """One sampled token id, full llama.cpp chain. jit-safe; top_k is static."""
+    top_p, min_p, temp, rep, freq, pres = (scalars[i] for i in range(6))
+
+    logits = logits.astype(jnp.float32)
+    # additive logit bias (get_logits_bias_processor, llamacpp_utils.py:8-24)
+    logits = logits.at[bias_ids].add(bias_vals)
+    logits = apply_penalties(logits, window_ids, window_mask, rep, freq, pres)
+
+    k = max(1, min(top_k if top_k > 0 else 1024, logits.shape[0]))
+    top_vals, top_idx = jax.lax.top_k(logits, k)
+
+    def greedy(_):
+        return top_idx[0]
+
+    def sampled(k2):
+        probs = jax.nn.softmax(top_vals)
+        cum = jnp.cumsum(probs)
+        # top-p: keep the smallest prefix with cumulative mass >= top_p
+        keep = (cum - probs) < top_p
+        # min-p: drop tokens below min_p * max_prob
+        keep &= probs >= min_p * probs[0]
+        keep = keep.at[0].set(True)
+        scaled = jnp.where(keep, top_vals / jnp.maximum(temp, 1e-6), NEG_INF)
+        choice = jax.random.categorical(k2, scaled)
+        return top_idx[choice]
+
+    return jax.lax.cond(temp <= 0.0, greedy, sampled, key)
+
+
+def make_window(input_ids, n: int = PENALTY_WINDOW) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the trailing penalty window arrays from a host-side id list."""
+    tail = list(input_ids[-n:])
+    pad = n - len(tail)
+    ids = jnp.array(tail + [0] * pad, dtype=jnp.int32)
+    mask = jnp.array([1.0] * len(tail) + [0.0] * pad, dtype=jnp.float32)
+    return ids, mask

@@ -1,0 +1,235 @@
+"""Tests for the duplex LM graph and the jitted decode engine (tiny config).
+
+Covers the KV-cache disciplines the agent depends on: incremental decode ==
+full forward, rollback via n_tokens, teacher-forced scoring, sampler chain
+semantics (reference llamacpp_utils.py:26-181 behaviors).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+from realtime_codec_agent_tpu.models.llama import (
+    DuplexLMConfig,
+    forward,
+    init_lm_params,
+    logits_from_hidden,
+    persist_codec_embeddings,
+    set_codec_embeddings,
+    tiny_lm_config,
+)
+from realtime_codec_agent_tpu.ops.sampling import (
+    SamplerSettings,
+    apply_penalties,
+    make_window,
+    sample_token,
+)
+
+VOCAB = 300
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_lm_config(vocab_size=VOCAB)
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_lm_params(jax.random.PRNGKey(0), cfg)
+
+
+@pytest.fixture()
+def engine(params, cfg):
+    eng = DuplexLMEngine(params, cfg, seed=42)
+    eng.init_sampler_for_generate(top_k=50, temp=0.0, seed=42)
+    return eng
+
+
+def full_logits(params, cfg, ids):
+    hidden, _ = forward(params, jnp.asarray([ids]), cfg)
+    return np.asarray(logits_from_hidden(params, hidden, cfg))[0]
+
+
+def test_incremental_matches_full_forward(engine, params, cfg):
+    ids = list(np.random.default_rng(0).integers(0, VOCAB, size=23))
+    engine.eval(ids)
+    inc_logits = engine.get_last_logits()
+    ref_logits = full_logits(params, cfg, ids)[-1]
+    np.testing.assert_allclose(inc_logits, ref_logits, rtol=2e-2, atol=2e-2)
+
+
+def test_incremental_chunked_matches_one_shot(engine, params, cfg):
+    rng = np.random.default_rng(1)
+    ids = list(rng.integers(0, VOCAB, size=40))
+    engine.eval(ids[:7])
+    engine.eval(ids[7:25])
+    engine.eval(ids[25:])
+    ref_logits = full_logits(params, cfg, ids)[-1]
+    np.testing.assert_allclose(engine.get_last_logits(), ref_logits, rtol=2e-2, atol=2e-2)
+
+
+def test_greedy_generate_deterministic(engine):
+    ids = [1, 2, 3, 4, 5]
+    engine.eval(ids)
+    t1 = engine.sample()
+    t2 = engine.sample()
+    assert t1 == t2  # greedy: same logits -> same token
+
+
+def test_rollback_reproduces_tokens(engine):
+    ids = [5, 6, 7, 8]
+    engine.eval(ids)
+    n0 = engine.n_tokens
+    a = engine.eval_and_sample([9])
+    assert engine.n_tokens == n0 + 1
+    # roll back and redo: same token (greedy)
+    engine.n_tokens = n0
+    b = engine.eval_and_sample([9])
+    assert a == b
+
+
+def test_generate_generator_protocol(engine):
+    engine.eval([1, 2, 3])
+    gen = engine.generate([4], reset=False)
+    t1 = next(gen)
+    assert engine.n_tokens == 4  # the sampled token itself is not yet evaled
+    t2 = next(gen)
+    assert engine.n_tokens == 5  # advancing the generator evals the yielded token
+    assert isinstance(t1, int) and isinstance(t2, int)
+
+
+def test_get_logprobs_matches_manual(engine, params, cfg):
+    ctx = [1, 2, 3, 4, 5, 6]
+    tgt = [7, 8, 9]
+    lps = engine.get_logprobs(ctx, tgt)
+    logits = full_logits(params, cfg, ctx + tgt)
+    manual = []
+    for i, t in enumerate(tgt):
+        lp = jax.nn.log_softmax(jnp.asarray(logits[len(ctx) - 1 + i]))[t]
+        manual.append(float(lp))
+    np.testing.assert_allclose(lps, manual, rtol=2e-2, atol=2e-2)
+
+
+def test_get_logprobs_does_not_disturb_kv(engine):
+    engine.eval([1, 2, 3])
+    before = engine.get_last_logits()
+    engine.get_logprobs([4, 5], [6, 7])
+    np.testing.assert_array_equal(engine.get_last_logits(), before)
+    assert engine.n_tokens == 3
+
+
+def test_last_probs(engine):
+    engine.eval([1, 2, 3])
+    probs = engine.last_probs([0, 1, 2])
+    assert probs.shape == (3,)
+    assert (probs >= 0).all() and probs.sum() <= 1.0 + 1e-5
+
+
+def test_logit_bias_suppression(engine):
+    engine.eval([1, 2, 3])
+    greedy = engine.sample()
+    engine.init_sampler_for_generate(temp=0.0, logit_bias={greedy: -1e9}, seed=42)
+    suppressed = engine.sample()
+    assert suppressed != greedy
+
+
+def test_seeded_sampling_reproducible(params, cfg):
+    e1 = DuplexLMEngine(params, cfg, seed=7)
+    e2 = DuplexLMEngine(params, cfg, seed=7)
+    for e in (e1, e2):
+        e.init_sampler_for_generate(top_k=50, temp=1.0, seed=7)
+        e.eval([1, 2, 3])
+    toks1 = [e1.eval_and_sample([4]) for _ in range(5)]
+    toks2 = [e2.eval_and_sample([4]) for _ in range(5)]
+    assert toks1 == toks2
+
+
+def test_context_overflow_raises(params):
+    small = tiny_lm_config(vocab_size=VOCAB, max_context=32)
+    p = init_lm_params(jax.random.PRNGKey(0), small)
+    eng = DuplexLMEngine(p, small)
+    with pytest.raises(RuntimeError):
+        eng.eval(list(range(40)))
+
+
+# -- sampler unit tests ------------------------------------------------------
+
+def test_sampler_greedy_picks_argmax():
+    logits = jnp.asarray(np.array([0.0, 5.0, 1.0, -2.0] + [0.0] * 124, np.float32))
+    s = SamplerSettings(temp=0.0)
+    w_ids, w_mask = make_window([])
+    b_ids, b_vals = s.bias_arrays()
+    tok = sample_token(
+        logits, jax.random.PRNGKey(0), s.scalars(), b_ids, b_vals, w_ids, w_mask, top_k=10
+    )
+    assert int(tok) == 1
+
+
+def test_sampler_top_k_restricts():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=128).astype(np.float32))
+    order = np.argsort(np.asarray(logits))[::-1]
+    s = SamplerSettings(temp=1.5, top_k=5, top_p=1.0, min_p=0.0)
+    w_ids, w_mask = make_window([])
+    b_ids, b_vals = s.bias_arrays()
+    for i in range(20):
+        tok = sample_token(
+            logits, jax.random.PRNGKey(i), s.scalars(), b_ids, b_vals, w_ids, w_mask, top_k=5
+        )
+        assert int(tok) in order[:5]
+
+
+def test_penalties_presence_and_frequency():
+    logits = jnp.zeros(16, jnp.float32)
+    w_ids, w_mask = make_window([3, 3, 5])
+    out = apply_penalties(
+        logits, w_ids, w_mask,
+        repeat_penalty=jnp.float32(1.0),
+        frequency_penalty=jnp.float32(0.5),
+        presence_penalty=jnp.float32(1.0),
+    )
+    out = np.asarray(out)
+    assert out[3] == pytest.approx(-2.0)  # 2 occurrences * 0.5 + 1.0
+    assert out[5] == pytest.approx(-1.5)
+    assert out[0] == 0.0
+
+
+def test_repeat_penalty_sign_behavior():
+    logits = jnp.asarray(np.array([2.0, -2.0, 1.0, 0.5], np.float32))
+    w_ids, w_mask = make_window([0, 1])
+    out = apply_penalties(
+        logits, w_ids, w_mask,
+        repeat_penalty=jnp.float32(2.0),
+        frequency_penalty=jnp.float32(0.0),
+        presence_penalty=jnp.float32(0.0),
+    )
+    out = np.asarray(out)
+    assert out[0] == pytest.approx(1.0)   # positive: divided
+    assert out[1] == pytest.approx(-4.0)  # negative: multiplied
+    assert out[2] == 1.0
+
+
+# -- codec embedding bridge --------------------------------------------------
+
+def test_codec_llama_dual_route_and_persist():
+    cfg = tiny_lm_config(vocab_size=VOCAB, codec_vocab_start=100, codebook_size=200)
+    params = init_lm_params(jax.random.PRNGKey(1), cfg, with_codec_embed=True)
+    table = np.random.default_rng(2).normal(size=(200, cfg.codebook_dim)).astype(np.float32)
+    params = set_codec_embeddings(params, table, cfg)
+    np.testing.assert_array_equal(np.asarray(params["codec_embed"]["table"]), table)
+
+    ids = jnp.asarray([[5, 50, 150, 250]])  # mixed text + codec ids
+    hidden_dual, _ = forward(params, ids, cfg)
+
+    vanilla = persist_codec_embeddings(params, cfg, batch_size=64)
+    assert "codec_embed" not in vanilla
+    hidden_vanilla, _ = forward(vanilla, ids, cfg)
+    np.testing.assert_allclose(
+        np.asarray(hidden_dual), np.asarray(hidden_vanilla), rtol=2e-2, atol=2e-2
+    )
+
+    # text-region embeddings untouched by persist
+    np.testing.assert_array_equal(
+        np.asarray(vanilla["embed_tokens"][:100]), np.asarray(params["embed_tokens"][:100])
+    )
