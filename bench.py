@@ -1,0 +1,105 @@
+"""Headline benchmark: full-duplex realtime factor on one TPU chip.
+
+Runs the complete agent pipeline — streaming codec encode, duplex LM frame
+steps (fused eval+sample), event-probability probe, streaming codec decode,
+crossfade — at full model scale (Llama-3.2-1B-geometry LM, full-size codec,
+131k codebook) on synthetic audio, with sampling pinned to the codec region so
+untrained weights still follow the hot pure-audio path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- value = full-duplex RTF = processing_time / audio_time (LOWER is better).
+- vs_baseline = 1.0 / value = speedup vs the reference's must-beat 1.0x
+  realtime threshold (reference realtime_agent_profiler.py:108; the reference
+  publishes no absolute numbers, BASELINE.md).
+
+Extra detail (p50/p99 chunk latency etc.) goes to stderr.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--secs", type=float, default=20.0)
+    parser.add_argument("--warmup_chunks", type=int, default=20)
+    parser.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    from realtime_codec_agent_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
+    from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
+
+    t_setup = time.time()
+    resources = RealtimeAgentResources(tiny=args.tiny, whisper_model=None)
+    config = RealtimeAgentConfig(
+        seed=args.seed,
+        use_whisper=False,
+        force_trans_after_inactivity_secs=0.0,
+        force_response_after_inactivity_secs=0.0,
+        agent_opening_text=None,
+    )
+    agent = RealtimeAgent(resources=resources, config=config)
+    # pin generation to the codec region (pure-audio duplex path)
+    _orig_set_sampler = agent.set_sampler
+
+    def set_sampler(for_trans=False, suppress_end_audio=False):
+        _orig_set_sampler(for_trans=for_trans, suppress_end_audio=suppress_end_audio)
+        resources.llm.settings.min_token_id = resources.tokenizer.codec_vocab_start
+
+    agent.set_sampler = set_sampler
+    agent.set_sampler()
+    print(f"setup: {time.time()-t_setup:.1f}s", file=sys.stderr)
+
+    sr = resources.audio_tokenizer.sampling_rate
+    chunk = agent.chunk_size_samples
+    rng = np.random.default_rng(args.seed)
+    t = np.arange(int(args.secs * sr) + args.warmup_chunks * chunk) / sr
+    audio = (
+        0.2 * np.sin(2 * np.pi * 150 * t) * np.clip(np.sin(2 * np.pi * 0.7 * t), 0, 1)
+        + 0.02 * rng.normal(size=t.shape)
+    ).astype(np.float32)
+
+    n_chunks = len(audio) // chunk
+    latencies = []
+    t_warm = time.time()
+    for i in range(n_chunks):
+        t0 = time.perf_counter()
+        agent.process_audio(audio[i * chunk : (i + 1) * chunk])
+        dt = time.perf_counter() - t0
+        if i == args.warmup_chunks - 1:
+            print(f"warmup ({args.warmup_chunks} chunks): {time.time()-t_warm:.1f}s", file=sys.stderr)
+        if i >= args.warmup_chunks:
+            latencies.append(dt)
+
+    latencies = np.array(latencies)
+    audio_secs = len(latencies) * config.chunk_size_secs
+    rtf = float(latencies.sum() / audio_secs)
+    p50 = float(np.percentile(latencies, 50) * 1000)
+    p99 = float(np.percentile(latencies, 99) * 1000)
+    print(
+        f"chunks={len(latencies)} rtf={rtf:.4f} p50={p50:.1f}ms p99={p99:.1f}ms "
+        f"(chunk budget {config.chunk_size_secs*1000:.0f}ms)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "full_duplex_rtf",
+                "value": round(rtf, 4),
+                "unit": "x_realtime (processing_time/audio_time, lower is better)",
+                "vs_baseline": round(1.0 / rtf, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Realtime duplex agent configuration.
+
+Field-compatible rebuild of the reference config surface
+(reference realtime_codec_agent/realtime_agent_config.py:5-59) so that client
+code and the ~27 UI controls map across unchanged. Validation mirrors
+__post_init__ (:55-59).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..units import special_tokens as st
+
+
+@dataclass
+class RealtimeAgentConfig:
+    # conversation identity / bootstrap
+    agent_opening_text: Optional[str] = "hello?"
+    agent_voice_enrollment: Optional[Tuple[int, np.ndarray]] = None
+    agent_identity: str = "A"
+    user_identity: str = "B"
+    # sampling
+    temperature: float = 1.0
+    trans_temperature: float = 0.0
+    top_k: int = 100
+    top_p: float = 1.0
+    min_p: float = 0.0
+    repeat_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    seed: Optional[int] = 42
+    # chunking / context
+    chunk_size_secs: float = 0.1
+    chunk_fade_secs: float = 0.02
+    max_context_secs: float = 80.0
+    trim_by_secs: float = 20.0
+    target_volume_rms: float = 0.0
+    # turn-taking timers
+    force_trans_after_inactivity_secs: float = 0.5
+    force_response_after_inactivity_secs: float = 3.0
+    finalize_response_after_inactivity_secs: float = 3.0
+    finalize_response_improbable_token_tolerance: int = 3
+    use_whisper: bool = True
+    # framing token strings
+    header_audio_first_token: str = st.HEADER_AUDIO_FIRST
+    header_text_only_token: str = st.HEADER_TEXT_ONLY
+    header_agent_token: str = st.HEADER_AGENT
+    header_agent_voice_token: str = st.HEADER_AGENT_VOICE
+    header_speaker_token: str = st.HEADER_SPEAKER
+    end_header_token: str = st.END_HEADER
+    start_audio_token: str = st.START_AUDIO
+    end_audio_token: str = st.END_AUDIO
+    external_marker_token: str = st.EXTERNAL_MARKER
+    # external LLM (response text)
+    use_external_llm: bool = False
+    external_llm_api_key: Optional[str] = "empty"
+    external_llm_base_url: Optional[str] = "http://localhost:8080/v1"
+    external_llm_model: Optional[str] = None
+    external_llm_top_p: float = 0.95
+    external_llm_instructions: Optional[str] = None
+    # external TTS (agent audio)
+    use_external_tts: bool = False
+    external_tts_server_url: str = "http://localhost:8001"
+    external_tts_prompt_text: Optional[str] = None
+    external_tts_allow_fallback: bool = False
+    # constrained paralinguistic generation
+    constrain_allow_noise: bool = False
+    constrain_allow_breathing: bool = False
+    constrain_allow_laughter: bool = True
+    # profiling
+    run_profilers: bool = True
+    profiler_report_interval_secs: float = 2.0
+
+    def __post_init__(self):
+        if int(self.chunk_size_secs * 100) % 2 != 0:
+            raise ValueError("Chunk size must be a multiple of 0.02 seconds.")
+        if self.chunk_fade_secs > self.chunk_size_secs:
+            raise ValueError("Chunk fade length cannot be longer than the chunk size.")

@@ -1,0 +1,126 @@
+"""Model/tokenizer resource bundle for the realtime agent.
+
+Rebuild of the reference resource loader (realtime_agent_resources.py:9-49),
+with two structural TPU wins:
+
+- **No aux model instance.** The reference loads llama.cpp TWICE (main +
+  ``logits_all=True`` aux for teacher-forced scoring, :19-33). Our engine
+  scores with a separate cacheless jitted program over the SAME weights, so
+  ``aux_llm`` is just an alias — half the HBM.
+- **Self-play shares weights.** ``clone_for_self_play`` (:41-49) creates a new
+  engine (its own KV cache + sampler state) over the same device-resident
+  param pytree; a second agent costs only its KV cache.
+
+Weights come from a checkpoint directory (orbax, written by our trainer) or
+random initialization (benchmarks/tests; performance is weight-independent).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from ..audio_tokenizer import AudioTokenizer
+from ..lm.engine import DuplexLMEngine
+from ..models.codec import CodecConfig, JaxCodecModel, tiny_codec_config
+from ..models.llama import (
+    DuplexLMConfig,
+    init_lm_params,
+    llama32_1b_config,
+    tiny_lm_config,
+)
+from ..tokenization import CodecTextTokenizer
+from .asr import load_asr
+
+
+class RealtimeAgentResources:
+    def __init__(
+        self,
+        llm_model_path: Optional[str] = None,
+        llm_n_ctx: int = 16384,
+        codec_model=None,
+        codec_config: Optional[CodecConfig] = None,
+        lm_config: Optional[DuplexLMConfig] = None,
+        whisper_model: Optional[object] = "small.en",
+        tokenizer: Optional[CodecTextTokenizer] = None,
+        tiny: bool = False,
+        seed: int = 0,
+        _shared_lm_params=None,
+    ):
+        self.llm_model_path = llm_model_path
+        self.llm_model_dir = os.path.dirname(llm_model_path) if llm_model_path else None
+        self.llm_n_ctx = llm_n_ctx
+        self.tiny = tiny
+        self.seed = seed
+
+        # codec + streaming tokenizer
+        if isinstance(codec_model, JaxCodecModel):
+            pass
+        elif codec_model is None:
+            codec_config = codec_config or (tiny_codec_config() if tiny else CodecConfig())
+            codec_model = JaxCodecModel.random_init(codec_config, seed=seed)
+        self.audio_tokenizer = AudioTokenizer(codec_model=codec_model)
+
+        # text+codec tokenizer
+        if tokenizer is not None:
+            self.tokenizer = tokenizer
+        elif self.llm_model_dir and os.path.exists(
+            os.path.join(self.llm_model_dir, "codec_tokenizer.json")
+        ):
+            self.tokenizer = CodecTextTokenizer.load(self.llm_model_dir)
+        else:
+            self.tokenizer = CodecTextTokenizer(
+                codebook_size=self.audio_tokenizer.codebook_size
+            )
+
+        # duplex LM engine
+        self.lm_config = lm_config or self._default_lm_config()
+        if _shared_lm_params is not None:
+            lm_params = _shared_lm_params
+        elif llm_model_path and os.path.exists(llm_model_path):
+            lm_params = self._load_checkpoint(llm_model_path)
+        else:
+            lm_params = init_lm_params(jax.random.PRNGKey(seed), self.lm_config)
+        self.lm_params = lm_params
+        self.llm = DuplexLMEngine(lm_params, self.lm_config)
+        # teacher-forced scoring runs caclelessly on the same engine/weights
+        self.aux_llm = self.llm
+
+        self.whisper_model = load_asr(whisper_model)
+
+    def _default_lm_config(self) -> DuplexLMConfig:
+        vocab = self.tokenizer.vocab_size
+        vocab = ((vocab + 7) // 8) * 8  # resize_token_embeddings pad_to_multiple_of=8
+        if self.tiny:
+            return tiny_lm_config(
+                vocab_size=vocab,
+                codebook_size=self.audio_tokenizer.codebook_size,
+                max_context=self.llm_n_ctx,
+            )
+        return llama32_1b_config(vocab_size=vocab, max_context=self.llm_n_ctx)
+
+    def _load_checkpoint(self, path: str):
+        from ..train.checkpoint import load_params
+
+        return load_params(path, self.lm_config)
+
+    def clone_for_self_play(self) -> "RealtimeAgentResources":
+        """Second agent over the SAME weights: new engine (KV + sampler state),
+        shared codec/tokenizer/params (reference realtime_agent_resources.py:41-49)."""
+        clone = object.__new__(RealtimeAgentResources)
+        clone.llm_model_path = self.llm_model_path
+        clone.llm_model_dir = self.llm_model_dir
+        clone.llm_n_ctx = self.llm_n_ctx
+        clone.tiny = self.tiny
+        clone.seed = self.seed
+        clone.audio_tokenizer = AudioTokenizer(
+            codec_model=self.audio_tokenizer.codec_model
+        )
+        clone.tokenizer = self.tokenizer
+        clone.lm_config = self.lm_config
+        clone.lm_params = self.lm_params
+        clone.llm = DuplexLMEngine(self.lm_params, self.lm_config)
+        clone.aux_llm = clone.llm
+        clone.whisper_model = self.whisper_model
+        return clone

@@ -46,6 +46,7 @@ class AudioTokenizer:
         unicode_offset: int = UNICODE_OFFSET_LARGE,
         codec_config: Optional[CodecConfig] = None,
         fixed_context: bool = True,
+        framerate_probe_secs: Optional[float] = None,
         seed: int = 0,
     ):
         if isinstance(codec_model, JaxCodecModel):
@@ -65,6 +66,13 @@ class AudioTokenizer:
         self.fixed_context = fixed_context
 
         self.sampling_rate = self.codec_model.sample_rate
+        # Probe the frame rate by encoding silence (reference
+        # audio_tokenizer.py:181-187 uses 10 s). Default: probe with exactly the
+        # context window so the probe shares the streaming path's compiled
+        # shape — identical result for any integral samples-per-frame.
+        self.framerate_probe_secs = (
+            framerate_probe_secs if framerate_probe_secs is not None else context_secs
+        )
         self.framerate = self._compute_framerate()
 
         self.context_samples = int(self.context_secs * self.sampling_rate)
@@ -189,7 +197,7 @@ class AudioTokenizer:
         return codes[:, None, :]  # (1, num_codebooks=1, F), reference shape
 
     def _compute_framerate(self) -> float:
-        test_secs = 10.0
+        test_secs = self.framerate_probe_secs
         audio_codes = self._encode_silence(test_secs)
         samples = int(test_secs * self.sampling_rate)
         samples_per_frame = math.ceil(samples / audio_codes.shape[-1])

@@ -177,8 +177,10 @@ class DuplexLMEngine:
         presence_penalty: float = 0.0,
         logit_bias: Optional[dict] = None,
         seed: Optional[int] = None,
+        min_token_id: int = 0,
     ) -> None:
         self.settings = SamplerSettings(
+            min_token_id=min_token_id,
             top_k=top_k,
             top_p=top_p,
             min_p=min_p,

@@ -40,6 +40,9 @@ class SamplerSettings:
     presence_penalty: float = 0.0
     logit_bias: Tuple[Tuple[int, float], ...] = ()
     seed: Optional[int] = None
+    # restrict sampling to ids >= this value (0 = no restriction); used to pin
+    # generation to the codec region (benchmarks, serving guardrails)
+    min_token_id: int = 0
 
     def scalars(self) -> jnp.ndarray:
         """Pack dynamic knobs as an f32 vector (keeps the jit signature fixed)."""
@@ -51,6 +54,7 @@ class SamplerSettings:
                 self.repeat_penalty,
                 self.frequency_penalty,
                 self.presence_penalty,
+                float(self.min_token_id),
             ],
             dtype=jnp.float32,
         )
@@ -95,12 +99,14 @@ def sample_token(
     top_k: int = 100,
 ) -> jnp.ndarray:
     """One sampled token id, full llama.cpp chain. jit-safe; top_k is static."""
-    top_p, min_p, temp, rep, freq, pres = (scalars[i] for i in range(6))
+    top_p, min_p, temp, rep, freq, pres, min_id = (scalars[i] for i in range(7))
 
     logits = logits.astype(jnp.float32)
     # additive logit bias (get_logits_bias_processor, llamacpp_utils.py:8-24)
     logits = logits.at[bias_ids].add(bias_vals)
     logits = apply_penalties(logits, window_ids, window_mask, rep, freq, pres)
+    token_pos = jax.lax.broadcasted_iota(jnp.int32, (logits.shape[0], 1), 0)[:, 0]
+    logits = jnp.where(token_pos.astype(jnp.float32) >= min_id, logits, NEG_INF)
 
     k = max(1, min(top_k if top_k > 0 else 1024, logits.shape[0]))
     top_vals, top_idx = jax.lax.top_k(logits, k)

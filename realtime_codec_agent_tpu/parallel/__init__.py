@@ -1,0 +1,1 @@
+from .mesh import make_mesh, default_mesh_shape, lm_param_specs, batch_spec, shard_params

@@ -1,0 +1,113 @@
+"""Device mesh + sharding rules for the duplex LM.
+
+The reference's only distribution is HF Trainer data-parallelism
+(train_vanilla_latest.py:351-354, 753-755, via torch.distributed/XLA). Here
+parallelism is first-class: a ``(dp, fsdp, tp)`` mesh over ICI with
+NamedSharding rules per parameter tensor. A 1B LM on one v5e chip needs none
+of it — the same code runs with a 1-device mesh — but scaling TP/FSDP out is
+a mesh-shape change, not a code change.
+
+Sharding layout (scaling-book style):
+- batch is sharded over (dp, fsdp);
+- parameters are sharded over fsdp on one axis (ZeRO-3-style gather by XLA)
+  and over tp on the matmul-parallel axis (Megatron-style column/row split:
+  wq/wk/wv/w_gate/w_up column-parallel, wo/w_down row-parallel, vocab
+  dimensions of embed/lm_head tp-sharded).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("dp", "fsdp", "tp")
+
+
+def make_mesh(
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = dp * fsdp * tp
+    if n > len(devices):
+        raise ValueError(f"mesh {dp}x{fsdp}x{tp} needs {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(dp, fsdp, tp)
+    return Mesh(arr, AXES)
+
+
+def default_mesh_shape(n_devices: int) -> Dict[str, int]:
+    """Reasonable default factorization: prefer fsdp x tp for a single replica
+    group, adding dp only beyond 8 devices."""
+    if n_devices == 1:
+        return dict(dp=1, fsdp=1, tp=1)
+    if n_devices == 2:
+        return dict(dp=1, fsdp=2, tp=1)
+    if n_devices == 4:
+        return dict(dp=1, fsdp=2, tp=2)
+    if n_devices == 8:
+        return dict(dp=2, fsdp=2, tp=2)
+    # larger: keep tp within a chip-pair-friendly 4, grow dp
+    tp = 4
+    fsdp = 2
+    dp = n_devices // (tp * fsdp)
+    return dict(dp=dp, fsdp=fsdp, tp=tp)
+
+
+def _layer_specs() -> Dict[str, P]:
+    return {
+        "attn_norm": P(),
+        "wq": P("fsdp", "tp"),
+        "wk": P("fsdp", "tp"),
+        "wv": P("fsdp", "tp"),
+        "wo": P("tp", "fsdp"),
+        "mlp_norm": P(),
+        "w_gate": P("fsdp", "tp"),
+        "w_up": P("fsdp", "tp"),
+        "w_down": P("tp", "fsdp"),
+    }
+
+
+def lm_param_specs(params) -> Dict:
+    """PartitionSpec pytree matching models/llama.py's param layout."""
+    specs = {
+        "embed_tokens": P("tp", "fsdp"),
+        "layers": [_layer_specs() for _ in params["layers"]],
+        "final_norm": P(),
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P("fsdp", "tp")
+    if "codec_embed" in params:
+        specs["codec_embed"] = {
+            "table": P("fsdp", None),
+            "projectors": [
+                {"w1": P(None, "tp"), "b1": P("tp"), "w2": P("fsdp", "tp"), "b2": P("tp")}
+                for _ in params["codec_embed"]["projectors"]
+            ],
+        }
+    return specs
+
+
+def batch_spec() -> P:
+    return P(("dp", "fsdp"), None)
+
+
+def shard_params(params, mesh: Mesh):
+    specs = lm_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)),
+    )
+
+
+def named_shardings(mesh: Mesh, specs):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

@@ -1,0 +1,222 @@
+"""SPMD trainer for the duplex codec LM.
+
+Capability rebuild of the reference training driver (train_vanilla_latest.py,
+a fork of HF run_clm.py) as a jitted pjit program: one compiled train step over
+a (dp, fsdp, tp) mesh — optax AdamW with linear warmup+decay, pad->-100 label
+collation (reference utils/training_utils.py:3-9), token-accuracy + perplexity
+eval (train_vanilla_latest.py:652-736), orbax checkpoints with auto-resume
+(:357-370, 694-700). The dual-route codec-embedding model trains by simply
+using params that carry a ``codec_embed`` branch; the frozen codec table is
+masked out of the optimizer update (reference codec_llama.py:55 freezes it).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.llama import DuplexLMConfig, forward, logits_from_hidden
+from ..parallel import mesh as mesh_lib
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    output_dir: str = "output/run"
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    warmup_steps: int = 100
+    max_steps: int = 1000
+    per_device_batch_size: int = 1
+    max_seq_len: int = 2048
+    grad_clip: float = 1.0
+    eval_every: int = 500
+    save_every: int = 500
+    log_every: int = 10
+    seed: int = 42
+    freeze_codec_table: bool = True
+
+
+def pad_batch(
+    sequences: List[List[int]], max_len: int, pad_id: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Right-pad/truncate to max_len; labels get -100 at pad positions
+    (DataCollatorWithIgnoredPadding semantics, reference training_utils.py:3-9)."""
+    batch = np.full((len(sequences), max_len), pad_id, dtype=np.int32)
+    labels = np.full((len(sequences), max_len), -100, dtype=np.int32)
+    for i, seq in enumerate(sequences):
+        seq = seq[:max_len]
+        batch[i, : len(seq)] = seq
+        labels[i, : len(seq)] = seq
+    return batch, labels
+
+
+def loss_and_metrics(params, batch, labels, cfg: DuplexLMConfig):
+    """Causal LM loss with shifted labels; -100 ignored."""
+    hidden, _ = forward(params, batch, cfg, attn_mask=(labels != -100))
+    logits = logits_from_hidden(params, hidden, cfg)  # (B, T, V) f32
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.maximum(shift_labels, 0)
+    lp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_lp = jnp.take_along_axis(lp, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    loss = -(token_lp * valid).sum() / n_valid
+    preds = jnp.argmax(shift_logits, axis=-1)
+    accuracy = ((preds == shift_labels) & valid).sum() / n_valid
+    return loss, {"accuracy": accuracy, "n_tokens": n_valid}
+
+
+class Trainer:
+    def __init__(
+        self,
+        params,
+        lm_config: DuplexLMConfig,
+        train_config: TrainConfig,
+        mesh=None,
+    ):
+        self.cfg = lm_config
+        self.tc = train_config
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.step = 0
+
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, self.tc.learning_rate, self.tc.warmup_steps),
+                optax.linear_schedule(
+                    self.tc.learning_rate,
+                    0.0,
+                    max(1, self.tc.max_steps - self.tc.warmup_steps),
+                ),
+            ],
+            [self.tc.warmup_steps],
+        )
+        tx = optax.chain(
+            optax.clip_by_global_norm(self.tc.grad_clip),
+            optax.adamw(
+                schedule,
+                b1=self.tc.adam_b1,
+                b2=self.tc.adam_b2,
+                weight_decay=self.tc.weight_decay,
+            ),
+        )
+        if self.tc.freeze_codec_table and "codec_embed" in params:
+            # frozen codec table: zero its updates (reference codec_llama.py:55)
+            def label_fn(p):
+                labels = jax.tree.map(lambda _: "train", p)
+                labels["codec_embed"] = dict(labels["codec_embed"])
+                labels["codec_embed"]["table"] = "freeze"
+                return labels
+
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+            )
+        self.tx = tx
+
+        # shard params + opt state over the mesh
+        self.param_specs = mesh_lib.lm_param_specs(params)
+        self.params = mesh_lib.shard_params(params, self.mesh)
+        self.opt_state = jax.jit(
+            self.tx.init,
+            out_shardings=None,  # let XLA lay out against sharded params
+        )(self.params)
+
+        self._batch_sharding = jax.sharding.NamedSharding(
+            self.mesh, mesh_lib.batch_spec()
+        )
+        self._train_step = self._build_train_step()
+        self._eval_step = jax.jit(
+            functools.partial(loss_and_metrics, cfg=self.cfg)
+        )
+
+    def _build_train_step(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, labels):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_and_metrics(p, batch, labels, cfg), has_aux=True
+            )(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+            return params, opt_state, metrics
+
+        return train_step
+
+    # -- steps ----------------------------------------------------------------
+    def train_batch(self, batch: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+        batch = jax.device_put(batch, self._batch_sharding)
+        labels = jax.device_put(labels, self._batch_sharding)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, batch, labels
+        )
+        self.step += 1
+        return {k: float(v) for k, v in metrics.items()}
+
+    def eval_batches(self, batches) -> Dict[str, float]:
+        total_loss = total_acc = total_n = 0.0
+        for batch, labels in batches:
+            batch = jax.device_put(batch, self._batch_sharding)
+            labels = jax.device_put(labels, self._batch_sharding)
+            loss, metrics = self._eval_step(self.params, batch, labels)
+            n = float(metrics["n_tokens"])
+            total_loss += float(loss) * n
+            total_acc += float(metrics["accuracy"]) * n
+            total_n += n
+        if total_n == 0:
+            return {}
+        eval_loss = total_loss / total_n
+        return {
+            "eval_loss": eval_loss,
+            "eval_accuracy": total_acc / total_n,
+            "perplexity": float(np.exp(min(eval_loss, 50.0))),
+        }
+
+    # -- training loop --------------------------------------------------------
+    def train(
+        self,
+        train_iter: Iterator[Tuple[np.ndarray, np.ndarray]],
+        eval_batches_fn=None,
+        resume: bool = True,
+        log_fn=print,
+    ) -> Dict[str, float]:
+        from . import checkpoint as ckpt
+
+        if resume:
+            restored = ckpt.restore_latest(self.tc.output_dir, self)
+            if restored:
+                log_fn(f"Resumed from checkpoint at step {self.step}")
+
+        last_metrics: Dict[str, float] = {}
+        t0 = time.time()
+        while self.step < self.tc.max_steps:
+            try:
+                batch, labels = next(train_iter)
+            except StopIteration:
+                break
+            metrics = self.train_batch(batch, labels)
+            last_metrics = metrics
+            if self.step % self.tc.log_every == 0:
+                rate = self.step / max(time.time() - t0, 1e-9)
+                log_fn(
+                    f"step {self.step}: loss={metrics['loss']:.4f} "
+                    f"acc={metrics['accuracy']:.4f} ({rate:.2f} it/s)"
+                )
+            if eval_batches_fn and self.step % self.tc.eval_every == 0:
+                log_fn(f"eval @ {self.step}: {self.eval_batches(eval_batches_fn())}")
+            if self.step % self.tc.save_every == 0:
+                ckpt.save(self.tc.output_dir, self)
+        ckpt.save(self.tc.output_dir, self)
+        if eval_batches_fn:
+            last_metrics.update(self.eval_batches(eval_batches_fn()))
+        return last_metrics

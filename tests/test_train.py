@@ -1,0 +1,144 @@
+"""Trainer tests on the 8-device virtual CPU mesh: SPMD train step, collation,
+checkpoint auto-resume, embedding bridge, dataset streaming."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from realtime_codec_agent_tpu.models.llama import init_lm_params, tiny_lm_config
+from realtime_codec_agent_tpu.parallel import default_mesh_shape, make_mesh
+from realtime_codec_agent_tpu.train import TrainConfig, Trainer, pad_batch
+from realtime_codec_agent_tpu.train.dataset import (
+    batches_from_lines,
+    iter_lines,
+    split_streaming,
+)
+
+VOCAB = 304  # multiple of 8 (tp=2 x fsdp sharding needs even splits)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    shape = default_mesh_shape(8)
+    assert shape == dict(dp=2, fsdp=2, tp=2)
+    return make_mesh(**shape)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_lm_config(vocab_size=VOCAB, codec_vocab_start=200, codebook_size=104)
+
+
+def make_trainer(cfg, mesh, tmpdir, with_codec=True, **tc_kwargs):
+    params = init_lm_params(jax.random.PRNGKey(0), cfg, with_codec_embed=with_codec)
+    tc_kwargs.setdefault("max_steps", 5)
+    tc_kwargs.setdefault("warmup_steps", 1)
+    tc_kwargs.setdefault("log_every", 100)
+    tc = TrainConfig(output_dir=str(tmpdir), max_seq_len=64, **tc_kwargs)
+    return Trainer(params, cfg, tc, mesh=mesh)
+
+
+def rand_batch(cfg, bs=8, seq=64, seed=0):
+    rng = np.random.default_rng(seed)
+    seqs = [list(rng.integers(1, cfg.vocab_size, size=seq - 4)) for _ in range(bs)]
+    return pad_batch(seqs, seq, pad_id=0)
+
+
+def test_pad_batch_labels():
+    batch, labels = pad_batch([[1, 2, 3], [4, 5]], 5, pad_id=9)
+    np.testing.assert_array_equal(batch[0], [1, 2, 3, 9, 9])
+    np.testing.assert_array_equal(labels[0], [1, 2, 3, -100, -100])
+    np.testing.assert_array_equal(labels[1], [4, 5, -100, -100, -100])
+
+
+def test_train_step_runs_and_updates(cfg, mesh, tmp_path):
+    tr = make_trainer(cfg, mesh, tmp_path)
+    batch, labels = rand_batch(cfg)
+    before = np.asarray(jax.device_get(tr.params["layers"][0]["wq"]))
+    frozen_before = np.asarray(jax.device_get(tr.params["codec_embed"]["table"]))
+    m1 = tr.train_batch(batch, labels)
+    assert np.isfinite(m1["loss"]) and 0.0 <= m1["accuracy"] <= 1.0
+    # first step's lr is 0 (linear warmup); the second step must move params
+    tr.train_batch(batch, labels)
+    after = np.asarray(jax.device_get(tr.params["layers"][0]["wq"]))
+    assert not np.array_equal(before, after)
+    # frozen codec table untouched
+    frozen_after = np.asarray(jax.device_get(tr.params["codec_embed"]["table"]))
+    np.testing.assert_array_equal(frozen_before, frozen_after)
+
+
+def test_loss_decreases_on_repeated_batch(cfg, mesh, tmp_path):
+    tr = make_trainer(cfg, mesh, tmp_path, max_steps=30, learning_rate=1e-2)
+    batch, labels = rand_batch(cfg, bs=8, seq=32)
+    losses = [tr.train_batch(batch, labels)["loss"] for _ in range(12)]
+    assert losses[-1] < losses[0]
+
+
+def test_eval_metrics(cfg, mesh, tmp_path):
+    tr = make_trainer(cfg, mesh, tmp_path)
+    batches = [rand_batch(cfg, seed=i) for i in range(2)]
+    metrics = tr.eval_batches(iter(batches))
+    assert set(metrics) == {"eval_loss", "eval_accuracy", "perplexity"}
+    assert metrics["perplexity"] == pytest.approx(np.exp(metrics["eval_loss"]), rel=1e-4)
+
+
+def test_checkpoint_save_resume(cfg, mesh, tmp_path):
+    from realtime_codec_agent_tpu.train import checkpoint as ckpt
+
+    tr = make_trainer(cfg, mesh, tmp_path)
+    batch, labels = rand_batch(cfg)
+    tr.train_batch(batch, labels)
+    tr.train_batch(batch, labels)
+    ckpt.save(str(tmp_path), tr)
+    saved_wq = np.asarray(jax.device_get(tr.params["layers"][0]["wq"]))
+
+    tr2 = make_trainer(cfg, mesh, tmp_path)
+    assert ckpt.restore_latest(str(tmp_path), tr2)
+    assert tr2.step == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(tr2.params["layers"][0]["wq"])), saved_wq
+    )
+
+
+def test_save_load_bare_params(cfg, mesh, tmp_path):
+    from realtime_codec_agent_tpu.train import checkpoint as ckpt
+
+    params = init_lm_params(jax.random.PRNGKey(1), cfg)
+    path = ckpt.save_params(str(tmp_path / "deploy"), params)
+    loaded = ckpt.load_params(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["final_norm"]), np.asarray(params["final_norm"])
+    )
+
+
+def test_embedding_bridge_persist_and_verify(cfg):
+    from realtime_codec_agent_tpu.models.llama import set_codec_embeddings
+    from realtime_codec_agent_tpu.train.embedding_bridge import persist_and_verify
+
+    params = init_lm_params(jax.random.PRNGKey(2), cfg, with_codec_embed=True)
+    table = np.random.default_rng(0).normal(size=(104, cfg.codebook_dim)).astype(np.float32)
+    params = set_codec_embeddings(params, table, cfg)
+    vanilla, max_err = persist_and_verify(params, cfg, batch_size=64)
+    assert "codec_embed" not in vanilla
+    assert max_err < 1e-2
+
+
+def test_dataset_streaming(tmp_path):
+    from realtime_codec_agent_tpu.tokenization import CodecTextTokenizer
+
+    path = os.path.join(str(tmp_path), "data.txt")
+    with open(path, "w") as f:
+        for i in range(20):
+            f.write(f"line number {i}\n")
+    tok = CodecTextTokenizer(codebook_size=16)
+    lines = list(iter_lines(path))
+    assert len(lines) == 20
+    evals = list(split_streaming(iter(lines), eval_every_n=5, is_eval=True))
+    trains = list(split_streaming(iter(lines), eval_every_n=5, is_eval=False))
+    assert len(evals) == 4 and len(trains) == 16
+
+    batches = list(batches_from_lines(iter(lines), tok, batch_size=6, max_seq_len=16))
+    assert len(batches) == 4
+    batch, labels = batches[0]
+    assert batch.shape == (6, 16) and labels.shape == (6, 16)
