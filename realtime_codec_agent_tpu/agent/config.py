@@ -73,6 +73,9 @@ class RealtimeAgentConfig:
     # profiling
     run_profilers: bool = True
     profiler_report_interval_secs: float = 2.0
+    # TPU execution: fuse each pure-audio chunk (codec encode + LM frame scan +
+    # event probe + codec decode) into one device call (lm/duplex_session.py)
+    use_fused_step: bool = True
 
     def __post_init__(self):
         if int(self.chunk_size_secs * 100) % 2 != 0:

@@ -98,7 +98,13 @@ class RealtimeAgentResources:
                 codebook_size=self.audio_tokenizer.codebook_size,
                 max_context=self.llm_n_ctx,
             )
-        return llama32_1b_config(vocab_size=vocab, max_context=self.llm_n_ctx)
+        # deployment scale: at least the Llama-3.2 text vocab (128256) +
+        # specials + codec region, so benchmarks with the byte-fallback
+        # tokenizer still exercise full-size embed/lm_head/sampler
+        deployed_vocab = ((128256 + 10 + self.audio_tokenizer.codebook_size + 7) // 8) * 8
+        return llama32_1b_config(
+            vocab_size=max(vocab, deployed_vocab), max_context=self.llm_n_ctx
+        )
 
     def _load_checkpoint(self, path: str):
         from ..train.checkpoint import load_params

@@ -165,6 +165,13 @@ class DuplexLMEngine:
         self._input_ids = []
         self._last_logits = None
 
+    def commit_external_eval(self, tokens: Sequence[int]) -> None:
+        """Record tokens that were already evaled on-device by a fused program
+        (lm/duplex_session.py) so the host mirror and n_tokens stay in sync."""
+        tokens = [int(t) for t in tokens]
+        self._input_ids.extend(tokens)
+        self._n_tokens += len(tokens)
+
     # ------------------------------------------------------------- sampling
     def init_sampler_for_generate(
         self,
