@@ -50,10 +50,14 @@ def default_mesh_shape(n_devices: int) -> Dict[str, int]:
         return dict(dp=1, fsdp=2, tp=2)
     if n_devices == 8:
         return dict(dp=2, fsdp=2, tp=2)
-    # larger: keep tp within a chip-pair-friendly 4, grow dp
-    tp = 4
-    fsdp = 2
-    dp = n_devices // (tp * fsdp)
+    # general: pick the largest tp in {4,2,1} dividing n, then the largest
+    # fsdp in {4,2,1} dividing the remainder, and grow dp with what's left —
+    # every factor divides evenly so dp >= 1 for any device count (incl.
+    # non-powers-of-two like 6 or 12)
+    tp = next(t for t in (4, 2, 1) if n_devices % t == 0)
+    rem = n_devices // tp
+    fsdp = next(f for f in (4, 2, 1) if rem % f == 0)
+    dp = rem // fsdp
     return dict(dp=dp, fsdp=fsdp, tp=tp)
 
 
