@@ -57,6 +57,8 @@ class RealtimeAgentResources:
         # codec + streaming tokenizer
         if isinstance(codec_model, JaxCodecModel):
             pass
+        elif isinstance(codec_model, str):
+            codec_model = JaxCodecModel.load(codec_model, config=codec_config)
         elif codec_model is None:
             codec_config = codec_config or (tiny_codec_config() if tiny else CodecConfig())
             codec_model = JaxCodecModel.random_init(codec_config, seed=seed)
@@ -78,7 +80,9 @@ class RealtimeAgentResources:
         self.lm_config = lm_config or self._default_lm_config()
         if _shared_lm_params is not None:
             lm_params = _shared_lm_params
-        elif llm_model_path and os.path.exists(llm_model_path):
+        elif llm_model_path:
+            if not os.path.exists(llm_model_path):
+                raise FileNotFoundError(f"LM checkpoint not found: {llm_model_path}")
             lm_params = self._load_checkpoint(llm_model_path)
         else:
             lm_params = init_lm_params(jax.random.PRNGKey(seed), self.lm_config)
@@ -107,6 +111,20 @@ class RealtimeAgentResources:
         )
 
     def _load_checkpoint(self, path: str):
+        """Load LM weights from an orbax checkpoint dir (written by our
+        trainer) or an HF Llama checkpoint dir (config.json + safetensors,
+        via models/convert.load_hf_llama — the reference's GGUF deployment
+        input, prep_test_model.sh:19-26)."""
+        if os.path.isdir(path) and os.path.exists(os.path.join(path, "config.json")):
+            from ..models.convert import load_hf_llama
+
+            params, cfg = load_hf_llama(
+                path,
+                max_context=self.llm_n_ctx,
+                codec_vocab_start=self.lm_config.codec_vocab_start,
+            )
+            self.lm_config = cfg
+            return params
         from ..train.checkpoint import load_params
 
         return load_params(path, self.lm_config)

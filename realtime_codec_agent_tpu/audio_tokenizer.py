@@ -51,9 +51,13 @@ class AudioTokenizer:
     ):
         if isinstance(codec_model, JaxCodecModel):
             self.codec_model = codec_model
-        elif codec_model is None or isinstance(codec_model, str):
-            # A string names a checkpoint dir/preset; without one we random-init
-            # the configured architecture (tests / benchmarks).
+        elif isinstance(codec_model, str):
+            # checkpoint path (.npz / dir / torch state_dict); fails loudly on
+            # a missing or malformed checkpoint
+            self.codec_model = JaxCodecModel.load(codec_model, config=codec_config)
+        elif codec_model is None:
+            # explicit random-init of the configured architecture
+            # (tests / weight-independent benchmarks)
             self.codec_model = JaxCodecModel.random_init(codec_config, seed=seed)
         else:
             raise TypeError(f"Unsupported codec_model: {type(codec_model)}")

@@ -195,7 +195,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = tiny_codec_config() if args.tiny else CodecConfig()
-    codec = JaxCodecModel.random_init(cfg)  # TODO: load from --codec_checkpoint
+    if args.codec_checkpoint:
+        codec = JaxCodecModel.load(args.codec_checkpoint, config=cfg)
+    else:
+        codec = JaxCodecModel.random_init(cfg)
     encoder = CorpusEncoder(
         codec,
         chunk_secs=args.chunk_secs,

@@ -12,17 +12,29 @@ pure-audio chunk into ONE jitted XLA program:
       -> lax.scan over frames: eval (agent,user) pair -> sample agent token
          (full on-TPU sampler chain), halting bookkeeping if a non-audio token
          (an end_audio event) appears
-      -> event-probability head: P(end_audio) at the final position plus a
-         speculative <|end_audio|> -> speaker-token probe
+      -> speculative speaker probe: eval <|end_audio|> one step ahead
       -> streaming codec decode of the sampled agent tokens (device-resident
          code ring context) with crossfade preroll
     -> (out_audio, out_tokens, user_tokens, event_frame, probs, new state)
 
+Performance structure (v2):
+- The big KV cache is READ-ONLY inside the scan (models/llama.forward_decode):
+  per-frame K/V accumulate in a small (L,1,2F,KH,Dh) carry buffer and commit
+  to the donated cache with ONE scatter after the scan. Carrying the full
+  cache through the scan copied ~600 MB per frame.
+- GQA attention never materializes head-repeated cache copies (grouped
+  einsum + two-piece softmax).
+- The codec quantizer tables (projected codebook, padded transpose,
+  half-norms) are precomputed per model, not per chunk.
+- PRNG keys derive as fold_in(base_key, step0 + frame) — the SAME schedule
+  the stepwise engine uses, so a seeded run produces identical tokens whether
+  a chunk executes fused or is replayed step-by-step after an event.
+
 Only the scalars/audio the host needs cross the PCIe/tunnel boundary, once per
 chunk. Event chunks (inline text generation) fall back to the engine's
-step-by-step path: the fused call reports the first event frame and leaves the
-KV positions for unaccepted frames in a trash slot, so the host replays the
-chunk exactly.
+step-by-step path: the fused call reports the first event frame and the host
+replays the chunk exactly (accepted frames' KV was committed at identical
+positions; the replay overwrites them with identical values).
 
 The codec contexts live HERE (on device) when fused stepping is active; the
 host-side AudioTokenizer is bypassed for the hot path.
@@ -38,9 +50,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import codec as codec_lib
-from ..models.llama import forward, logits_from_hidden
+from ..models.llama import commit_kv_scatter, forward_decode, logits_from_hidden
 from ..ops.sampling import sample_token
 from .engine import DuplexLMEngine
+
+# sentinel position for rejected (post-event) frame K/V entries: far beyond
+# any real position, so position-based masks never attend them
+REJECTED_POS = jnp.int32(2**30)
 
 
 @dataclass
@@ -110,33 +126,37 @@ class DuplexSession:
         ccfg = self.codec_cfg
         chunk_frames = self.chunk_frames
         chunk_samples = self.chunk_samples
-        hop = self.hop
         cvs = self.codec_vocab_start
         end_header = self.end_header_token_id
         end_audio = self.end_audio_token_id
         agent_sp = self.agent_speaker_token_id
         user_sp = self.user_speaker_token_id
         preroll = self.preroll_samples
-        trash_pos = None  # resolved from cache length inside the call
+        n_small = 2 * chunk_frames  # small KV buffer entries (one pair per frame)
 
-        def encode_codes(codec_params, enc_ctx, audio_chunk):
+        def encode_codes(codec_params, codec_tables, enc_ctx, audio_chunk):
             enc_ctx = jnp.concatenate([enc_ctx[chunk_samples:], audio_chunk])
-            codes = codec_lib.encode_frames(codec_params, enc_ctx[None, :], ccfg)[0]
+            codes = codec_lib.encode_frames(
+                codec_params, enc_ctx[None, :], ccfg, tables=codec_tables
+            )[0]
             return enc_ctx, codes[-chunk_frames:].astype(jnp.int32)
 
-        def decode_tail(codec_params, dec_ctx, codes, commit):
+        def decode_tail(codec_params, codec_tables, dec_ctx, codes, commit):
             new_ctx = jnp.concatenate([dec_ctx[chunk_frames:], codes])
-            audio = codec_lib.decode_frames(codec_params, new_ctx[None, :], ccfg)[0]
+            audio = codec_lib.decode_frames(
+                codec_params, new_ctx[None, :], ccfg, tables=codec_tables
+            )[0]
             tail = audio[-(chunk_samples + preroll):]
             dec_ctx = jnp.where(commit, new_ctx, dec_ctx)
             return dec_ctx, tail
 
         @functools.partial(
-            jax.jit, donate_argnums=(2, 3), static_argnames=("top_k",)
+            jax.jit, donate_argnums=(3, 4), static_argnames=("top_k",)
         )
         def fused_chunk(
             params,
             codec_params,
+            codec_tables,
             k,
             v,
             n_tokens,
@@ -144,7 +164,8 @@ class DuplexSession:
             dec_ctx,
             audio_chunk,
             prev_pair,  # (2,) int32: last (agent, user) ids, already appended but NOT evaled
-            key,
+            base_key,
+            step0,
             scalars,
             bias_ids,
             bias_vals,
@@ -154,21 +175,26 @@ class DuplexSession:
             top_k,
         ):
             cache_len = k.shape[2]
-            trash = cache_len - 4  # rejected frame evals land here, never attended
+            trash = cache_len - 4  # rejected frame K/V land here, never attended
+            kv_shape = (cfg.num_layers, 1, n_small, cfg.num_kv_heads, cfg.head_dim)
+            dtype = jnp.dtype(cfg.compute_dtype)
 
-            enc_ctx, codes = encode_codes(codec_params, enc_ctx, audio_chunk)
+            enc_ctx, codes = encode_codes(codec_params, codec_tables, enc_ctx, audio_chunk)
             user_tokens = codes + cvs  # (chunk_frames,)
 
-            def frame_step(carry, u_token):
-                k, v, n, prev, key, done, event_tok, last_logits = carry
-                offset = jnp.where(done, trash, n)
-                hidden, (k, v) = forward(
-                    params, prev[None, :], cfg, kv_cache=(k, v), cache_offset=offset
+            def frame_step(carry, xs):
+                small_k, small_v, small_pos, n, prev, done, event_tok, last_logits = carry
+                i, u_token = xs
+                positions = n + jnp.arange(2)
+                hidden, nk, nv = forward_decode(
+                    params, prev[None, :], cfg, k, v, positions,
+                    cache_valid=n_tokens,
+                    extra_kv=(small_k, small_v), extra_pos=small_pos,
                 )
                 logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
-                key, sub = jax.random.split(key)
+                key = jax.random.fold_in(base_key, step0 + i)
                 a = sample_token(
-                    logits, sub, scalars, bias_ids, bias_vals, window_ids, window_mask,
+                    logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask,
                     top_k=top_k,
                 )
                 is_audio = a > end_header
@@ -176,24 +202,36 @@ class DuplexSession:
                 event_now = (~done) & (~is_audio)
                 event_tok = jnp.where(event_now, a, event_tok)
                 last_logits = jnp.where(done, last_logits, logits)
+                # stash this pair's K/V in the small buffer; rejected entries
+                # get the sentinel position so no later query attends them
+                small_k = jax.lax.dynamic_update_slice(
+                    small_k, nk, (0, 0, 2 * i, 0, 0)
+                )
+                small_v = jax.lax.dynamic_update_slice(
+                    small_v, nv, (0, 0, 2 * i, 0, 0)
+                )
+                pair_pos = jnp.where(accept, positions, REJECTED_POS)
+                small_pos = jax.lax.dynamic_update_slice(small_pos, pair_pos, (2 * i,))
                 n = jnp.where(accept, n + 2, n)
                 done = done | event_now
                 prev = jnp.where(accept, jnp.stack([a, u_token]), prev)
                 out = jnp.where(accept, a, -1)
-                return (k, v, n, prev, key, done, event_tok, last_logits), out
+                return (small_k, small_v, small_pos, n, prev, done, event_tok, last_logits), out
 
             init = (
-                k,
-                v,
+                jnp.zeros(kv_shape, dtype),
+                jnp.zeros(kv_shape, dtype),
+                jnp.full((n_small,), REJECTED_POS, jnp.int32),
                 n_tokens,
                 prev_pair,
-                key,
                 jnp.bool_(False),
                 jnp.int32(-1),
                 jnp.zeros((cfg.vocab_size,), jnp.float32),
             )
-            (k, v, n_final, prev, key, done, event_tok, last_logits), out_tokens = (
-                jax.lax.scan(frame_step, init, user_tokens)
+            (small_k, small_v, small_pos, n_final, prev, done, event_tok, last_logits), out_tokens = (
+                jax.lax.scan(
+                    frame_step, init, (jnp.arange(chunk_frames), user_tokens)
+                )
             )
             event_frame = jnp.argmax(out_tokens < 0).astype(jnp.int32)
             event_frame = jnp.where(jnp.any(out_tokens < 0), event_frame, chunk_frames)
@@ -202,24 +240,31 @@ class DuplexSession:
             probs = jax.nn.softmax(last_logits)
             p_end_audio = probs[end_audio]
 
-            # speculative speaker probe: eval <|end_audio|> one step ahead
-            # (reference realtime_agent_v2.py:459-466) into the trash slot is
-            # not possible (it must attend real history), so use position
-            # n_final and simply never advance n: the write is overwritten by
-            # the next real eval at n_final.
-            probe_tokens = jnp.array([[end_audio]], jnp.int32)
-            probe_hidden, (k, v) = forward(
-                params, probe_tokens, cfg, kv_cache=(k, v), cache_offset=n_final
+            # speculative speaker probe (reference realtime_agent_v2.py:459-466):
+            # eval <|end_audio|> at position n_final against cache + accepted
+            # in-chunk K/V; its own K/V is neither stored nor committed
+            probe_ids = jnp.array([[end_audio]], jnp.int32)
+            probe_hidden, _, _ = forward_decode(
+                params, probe_ids, cfg, k, v, n_final[None],
+                cache_valid=n_tokens,
+                extra_kv=(small_k, small_v), extra_pos=small_pos,
             )
             probe_logits = logits_from_hidden(params, probe_hidden[:, -1], cfg)[0]
             probe_probs = jax.nn.softmax(probe_logits)
             p_agent = probe_probs[agent_sp]
             p_user = probe_probs[user_sp]
 
+            # ONE in-place commit of the chunk's K/V (donated buffers):
+            # accepted entries scatter to their real positions, rejected to
+            # the trash slot past max_context
+            target_idx = jnp.where(small_pos < REJECTED_POS, small_pos, trash)
+            k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
+
             # streaming decode of the agent tokens (fast path only)
             out_codes = jnp.clip(out_tokens - cvs, 0, ccfg.codebook_size - 1)
             dec_ctx, audio_tail = decode_tail(
-                codec_params, dec_ctx, out_codes, commit_decode & (event_frame == chunk_frames)
+                codec_params, codec_tables, dec_ctx, out_codes,
+                commit_decode & (event_frame == chunk_frames),
             )
 
             # pack every host-bound value into two arrays: each device->host
@@ -241,12 +286,12 @@ class DuplexSession:
             return k, v, enc_ctx, dec_ctx, packed_i32, packed_f32
 
         @jax.jit
-        def encode_only(codec_params, enc_ctx, audio_chunk):
-            return encode_codes(codec_params, enc_ctx, audio_chunk)
+        def encode_only(codec_params, codec_tables, enc_ctx, audio_chunk):
+            return encode_codes(codec_params, codec_tables, enc_ctx, audio_chunk)
 
         @functools.partial(jax.jit, static_argnames=("commit",))
-        def decode_only(codec_params, dec_ctx, codes, commit):
-            return decode_tail(codec_params, dec_ctx, codes, commit)
+        def decode_only(codec_params, codec_tables, dec_ctx, codes, commit):
+            return decode_tail(codec_params, codec_tables, dec_ctx, codes, commit)
 
         self._fused_chunk = fused_chunk
         self._encode_only = encode_only
@@ -257,7 +302,8 @@ class DuplexSession:
         """Streaming encode of one chunk -> user token ids (advances enc ring)."""
         assert audio_chunk.shape[-1] == self.chunk_samples
         self.enc_ctx, codes = self._encode_only(
-            self.codec.params, self.enc_ctx, jnp.asarray(audio_chunk, jnp.float32)
+            self.codec.params, self.codec.tables, self.enc_ctx,
+            jnp.asarray(audio_chunk, jnp.float32),
         )
         return [int(c) + self.codec_vocab_start for c in np.asarray(codes)]
 
@@ -268,7 +314,9 @@ class DuplexSession:
             np.clip(np.array(token_ids) - self.codec_vocab_start, 0, self.codec.codebook_size - 1),
             jnp.int32,
         )
-        self.dec_ctx, tail = self._decode_only(self.codec.params, self.dec_ctx, codes, commit)
+        self.dec_ctx, tail = self._decode_only(
+            self.codec.params, self.codec.tables, self.dec_ctx, codes, commit
+        )
         return np.asarray(tail)
 
     def process_chunk(self, audio_chunk: np.ndarray, commit_decode: bool = True) -> FusedChunkResult:
@@ -281,13 +329,18 @@ class DuplexSession:
         from ..ops.sampling import PENALTY_WINDOW, make_window
 
         window_ids, window_mask = make_window(self._mirror_ids(), PENALTY_WINDOW)
-        key = eng._next_key()
+        # fold_in(base_key, step0 + frame): the stepwise engine's schedule, so
+        # an event replay resamples identical tokens. The engine's step counter
+        # is NOT advanced here; the caller advances it by the number of frames
+        # actually consumed (commit_sampler_steps).
+        step0 = eng._step
 
         (
             eng._k, eng._v, self.enc_ctx, self.dec_ctx, packed_i32, packed_f32,
         ) = self._fused_chunk(
             eng.params,
             self.codec.params,
+            self.codec.tables,
             eng._k,
             eng._v,
             jnp.int32(eng.n_tokens),
@@ -295,7 +348,8 @@ class DuplexSession:
             self.dec_ctx,
             jnp.asarray(audio_chunk, jnp.float32),
             jnp.asarray(prev_pair),
-            key,
+            eng._base_key,
+            jnp.int32(step0),
             eng.settings.scalars(),
             bias_ids,
             bias_vals,
@@ -308,6 +362,11 @@ class DuplexSession:
         ints, floats = jax.device_get((packed_i32, packed_f32))
         cf = self.chunk_frames
         event_frame = int(ints[2 * cf])
+        if event_frame == cf:
+            # fast path consumed one sampler step per frame
+            eng._step = step0 + cf
+        # event path: leave _step at step0 — the stepwise replay re-derives the
+        # exact same keys (fold_in(base_key, step0 + i)) frame by frame
         out = FusedChunkResult(
             out_tokens=[int(t) for t in ints[:cf]],
             user_tokens=[int(t) for t in ints[cf : 2 * cf]],

@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.llama import DuplexLMConfig, forward, logits_from_hidden
+from ..models.llama import (
+    DuplexLMConfig,
+    commit_kv,
+    forward,
+    forward_decode,
+    logits_from_hidden,
+)
 from ..ops.sampling import (
     PENALTY_WINDOW,
     SamplerSettings,
@@ -78,9 +84,12 @@ class DuplexLMEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def prefill(params, k, v, tokens, offset, last_idx):
-            hidden, (k, v) = forward(
-                params, tokens, cfg, kv_cache=(k, v), cache_offset=offset
-            )
+            # read-only-cache forward + ONE in-place commit: XLA aliases the
+            # donated cache buffers (the old per-layer update+stack pattern
+            # copied the whole ~600 MB cache per call)
+            positions = offset + jnp.arange(tokens.shape[1])
+            hidden, nk, nv = forward_decode(params, tokens, cfg, k, v, positions)
+            k, v = commit_kv(k, v, nk, nv, offset)
             last_h = jax.lax.dynamic_index_in_dim(hidden[0], last_idx, axis=0)
             logits = logits_from_hidden(params, last_h, cfg)[0]
             return logits, k, v
@@ -90,9 +99,9 @@ class DuplexLMEngine:
             params, k, v, tokens, offset, key, scalars, bias_ids, bias_vals,
             window_ids, window_mask, top_k,
         ):
-            hidden, (k, v) = forward(
-                params, tokens, cfg, kv_cache=(k, v), cache_offset=offset
-            )
+            positions = offset + jnp.arange(tokens.shape[1])
+            hidden, nk, nv = forward_decode(params, tokens, cfg, k, v, positions)
+            k, v = commit_kv(k, v, nk, nv, offset)
             logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
             token = sample_token(
                 logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask,

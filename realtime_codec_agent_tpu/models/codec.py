@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -179,7 +179,22 @@ def projected_codebook(params: Dict) -> jnp.ndarray:
     return jnp.dot(q["codebook"], q["proj_w"], preferred_element_type=jnp.float32) + q["proj_b"]
 
 
-def encode_frames(params: Dict, audio: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+def quantizer_tables(params: Dict, cfg: CodecConfig) -> Dict:
+    """Precompute the quantizer lookup tables once per model: the projected
+    codebook (decode embedding) and the padded/transposed codebook +
+    half-norms (encode nearest-neighbor kernel). Rebuilding these per encode
+    call costs ~75 MB of HBM traffic each — a large share of the streaming
+    chunk budget."""
+    from ..ops.quantize import prepare_codebook
+
+    cb = projected_codebook(params)
+    cbt, halfnorm = prepare_codebook(cb)
+    return {"cb_proj": cb, "cbt": cbt, "halfnorm": halfnorm}
+
+
+def encode_frames(
+    params: Dict, audio: jnp.ndarray, cfg: CodecConfig, tables: Optional[Dict] = None
+) -> jnp.ndarray:
     """audio (B, T) with T % hop == 0 -> codes (B, T/hop) int32."""
     dtype = jnp.dtype(cfg.compute_dtype)
     b, t = audio.shape
@@ -189,15 +204,21 @@ def encode_frames(params: Dict, audio: jnp.ndarray, cfg: CodecConfig) -> jnp.nda
     x = _transformer(x, enc["blocks"], cfg)
     x = nn.rms_norm(x, enc["out_norm"], cfg.rms_eps)
     z_e = jnp.dot(x, enc["out_proj"], preferred_element_type=jnp.float32)  # (B, F, d) f32
-    cb = projected_codebook(params)
-    codes = nearest_code(z_e.reshape(-1, z_e.shape[-1]), cb)
+    if tables is not None:
+        prepared = (tables["cbt"], tables["halfnorm"], cfg.codebook_size)
+        codes = nearest_code(z_e.reshape(-1, z_e.shape[-1]), prepared=prepared)
+    else:
+        cb = projected_codebook(params)
+        codes = nearest_code(z_e.reshape(-1, z_e.shape[-1]), cb)
     return codes.reshape(b, -1)
 
 
-def decode_frames(params: Dict, codes: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+def decode_frames(
+    params: Dict, codes: jnp.ndarray, cfg: CodecConfig, tables: Optional[Dict] = None
+) -> jnp.ndarray:
     """codes (B, F) int32 -> audio (B, F*hop) float32."""
     dtype = jnp.dtype(cfg.compute_dtype)
-    cb = projected_codebook(params)
+    cb = tables["cb_proj"] if tables is not None else projected_codebook(params)
     z_q = jnp.take(cb, codes, axis=0)  # (B, F, d) f32
     dec = params["decoder"]
     x = jnp.dot(z_q.astype(dtype), dec["in_proj"], preferred_element_type=jnp.float32).astype(dtype) + dec["in_bias"]
@@ -222,8 +243,11 @@ class JaxCodecModel:
         self.config = config
         self.sample_rate = config.sample_rate
         self.codebook_size = config.codebook_size
-        self._encode = jax.jit(lambda p, a: encode_frames(p, a, config))
-        self._decode = jax.jit(lambda p, c: decode_frames(p, c, config))
+        # quantizer lookup tables precomputed once (projected codebook +
+        # padded transpose + half-norms) — NOT per encode/decode call
+        self.tables = jax.jit(lambda p: quantizer_tables(p, config))(params)
+        self._encode = jax.jit(lambda p, t, a: encode_frames(p, a, config, tables=t))
+        self._decode = jax.jit(lambda p, t, c: decode_frames(p, c, config, tables=t))
 
     @classmethod
     def random_init(cls, config: CodecConfig = None, seed: int = 0) -> "JaxCodecModel":
@@ -231,18 +255,50 @@ class JaxCodecModel:
         params = init_codec_params(jax.random.PRNGKey(seed), config)
         return cls(params, config)
 
+    @classmethod
+    def load(cls, path: str, config: CodecConfig = None) -> "JaxCodecModel":
+        """Load a codec checkpoint: a framework-native ``.npz`` (written by
+        models/convert.save_codec_checkpoint), a directory containing
+        ``codec.npz``, or a torch ``.pt``/``.bin`` MagiCodec state_dict
+        (converted through models/convert.codec_params_from_torch; requires
+        ``config``). Raises FileNotFoundError/KeyError instead of silently
+        random-initializing."""
+        import os
+
+        from . import convert
+
+        if os.path.isdir(path):
+            npz = os.path.join(path, "codec.npz")
+            if not os.path.exists(npz):
+                raise FileNotFoundError(f"no codec.npz in checkpoint dir {path}")
+            path = npz
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"codec checkpoint not found: {path}")
+        if path.endswith(".npz"):
+            params, cfg = convert.load_codec_checkpoint(path)
+            return cls(params, cfg)
+        if path.endswith((".pt", ".bin", ".pth")):
+            import torch
+
+            state_dict = torch.load(path, map_location="cpu", weights_only=True)
+            if isinstance(state_dict, dict) and "state_dict" in state_dict:
+                state_dict = state_dict["state_dict"]
+            cfg = config or CodecConfig()
+            return cls(convert.codec_params_from_torch(state_dict, cfg), cfg)
+        raise ValueError(f"unrecognized codec checkpoint format: {path}")
+
     def pad_audio(self, audio: np.ndarray) -> np.ndarray:
         return pad_audio(audio, self.config.hop_length)
 
     def encode(self, audio: np.ndarray) -> np.ndarray:
         """(B, T) float32 -> (B, F) int32 codes; pads to hop multiple."""
         audio = self.pad_audio(np.asarray(audio, dtype=np.float32))
-        return np.asarray(self._encode(self.params, jnp.asarray(audio)))
+        return np.asarray(self._encode(self.params, self.tables, jnp.asarray(audio)))
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """(B, F) int codes -> (B, F*hop) float32 audio."""
         codes = jnp.asarray(np.asarray(codes), dtype=jnp.int32)
-        return np.asarray(self._decode(self.params, codes))
+        return np.asarray(self._decode(self.params, self.tables, codes))
 
     def get_projected_codebook(self) -> np.ndarray:
         return np.asarray(projected_codebook(self.params))

@@ -1,0 +1,370 @@
+"""Real-weight interop: HF Llama / MagiCodec torch checkpoints -> param pytrees.
+
+The reference deploys two trained checkpoints this framework must be able to
+ingest:
+
+- the duplex LM, an HF Llama-3.2-1B derivative with codec embeddings baked in
+  (reference prep_test_model.sh:19-34 converts it to GGUF for llama.cpp; here
+  the HF safetensors checkpoint converts to the models/llama.py pytree and
+  runs as-is on TPU, no quantize/format step);
+- MagiCodec-50Hz-Base, a torch module exposing encoder / quantizer.codebook /
+  quantizer.codebook_proj / decoder (reference audio_tokenizer.py:189-201).
+
+Conversions are pure tensor-layout maps (transpose torch's (out,in) Linear
+weights into (in,out) for right-multiplication). Numeric parity of the Llama
+map is asserted against transformers' own LlamaForCausalLM in
+tests/test_convert.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .llama import DuplexLMConfig
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / np array -> float32 numpy (bf16-safe)."""
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (incl. bfloat16, which numpy can't represent directly)
+    return t.detach().to("cpu").float().numpy()
+
+
+# ---------------------------------------------------------------------------
+# HF Llama -> models/llama.py pytree
+# ---------------------------------------------------------------------------
+
+def hf_config_to_lm_config(hf_cfg: Dict, **overrides) -> DuplexLMConfig:
+    """HF LlamaConfig dict (config.json) -> DuplexLMConfig."""
+    rope_scaling = hf_cfg.get("rope_scaling") or {}
+    rope_type = rope_scaling.get("rope_type", rope_scaling.get("type"))
+    fields = dict(
+        vocab_size=hf_cfg["vocab_size"],
+        hidden_size=hf_cfg["hidden_size"],
+        intermediate_size=hf_cfg["intermediate_size"],
+        num_layers=hf_cfg["num_hidden_layers"],
+        num_heads=hf_cfg["num_attention_heads"],
+        num_kv_heads=hf_cfg.get("num_key_value_heads", hf_cfg["num_attention_heads"]),
+        head_dim=hf_cfg.get(
+            "head_dim", hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"]
+        ),
+        rope_theta=hf_cfg.get("rope_theta", 10000.0),
+        rms_eps=hf_cfg.get("rms_norm_eps", 1e-5),
+        tie_embeddings=hf_cfg.get("tie_word_embeddings", False),
+    )
+    if rope_type == "llama3":
+        fields.update(
+            rope_scaling_factor=rope_scaling.get("factor", 32.0),
+            rope_scaling_low_freq=rope_scaling.get("low_freq_factor", 1.0),
+            rope_scaling_high_freq=rope_scaling.get("high_freq_factor", 4.0),
+            rope_scaling_original_max_position=rope_scaling.get(
+                "original_max_position_embeddings", 8192
+            ),
+        )
+    fields.update(overrides)
+    return DuplexLMConfig(**fields)
+
+
+def lm_params_from_hf(state_dict: Dict, cfg: DuplexLMConfig, dtype=None) -> Dict:
+    """HF LlamaForCausalLM state_dict -> models/llama.py param pytree.
+
+    Accepts torch tensors or numpy arrays. Linear weights are stored (out,in)
+    by torch and transposed here to (in,out). Keys may carry the ``model.``
+    prefix (LlamaForCausalLM) or not (LlamaModel).
+    """
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(dtype or cfg.compute_dtype)
+
+    def get(key: str) -> np.ndarray:
+        for k in (key, f"model.{key}"):
+            if k in state_dict:
+                return _np(state_dict[k])
+        raise KeyError(f"missing checkpoint tensor: {key}")
+
+    def lin(key: str) -> "jnp.ndarray":
+        return jnp.asarray(get(key).T, dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        layers.append(
+            {
+                "attn_norm": jnp.asarray(get(p + "input_layernorm.weight"), dtype),
+                "wq": lin(p + "self_attn.q_proj.weight"),
+                "wk": lin(p + "self_attn.k_proj.weight"),
+                "wv": lin(p + "self_attn.v_proj.weight"),
+                "wo": lin(p + "self_attn.o_proj.weight"),
+                "mlp_norm": jnp.asarray(get(p + "post_attention_layernorm.weight"), dtype),
+                "w_gate": lin(p + "mlp.gate_proj.weight"),
+                "w_up": lin(p + "mlp.up_proj.weight"),
+                "w_down": lin(p + "mlp.down_proj.weight"),
+            }
+        )
+    params = {
+        "embed_tokens": jnp.asarray(get("embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+    }
+    has_head = "lm_head.weight" in state_dict
+    if has_head and not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(_np(state_dict["lm_head.weight"]).T, dtype)
+    elif not cfg.tie_embeddings:
+        # tied checkpoint loaded into an untied config: materialize the head
+        params["lm_head"] = jnp.asarray(params["embed_tokens"].T)
+    return params
+
+
+def load_hf_llama(
+    model_dir: str,
+    dtype=None,
+    max_context: int = 16384,
+    **config_overrides,
+):
+    """Load an HF Llama checkpoint directory (config.json + *.safetensors or
+    pytorch_model.bin) into (params, DuplexLMConfig).
+
+    This is the TPU-side replacement for the reference's GGUF deployment chain
+    (prep_test_model.sh:27-34): the trained HF checkpoint loads directly.
+    """
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = hf_config_to_lm_config(hf_cfg, max_context=max_context, **config_overrides)
+
+    state_dict: Dict[str, np.ndarray] = {}
+    st_files = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if st_files:
+        from safetensors import safe_open
+
+        for fname in st_files:
+            with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+                for key in f.keys():
+                    state_dict[key] = f.get_tensor(key)
+    else:
+        import torch
+
+        bin_path = os.path.join(model_dir, "pytorch_model.bin")
+        state_dict = torch.load(bin_path, map_location="cpu", weights_only=True)
+    return lm_params_from_hf(state_dict, cfg, dtype=dtype), cfg
+
+
+def resize_embeddings(params: Dict, cfg: DuplexLMConfig, new_vocab: int, seed: int = 0):
+    """Grow embed_tokens/lm_head to new_vocab rows (mean-init like HF
+    resize_token_embeddings; reference train_vanilla_latest.py:585-589).
+    Returns (params, cfg) with vocab_size updated."""
+    import jax
+    import jax.numpy as jnp
+
+    old = params["embed_tokens"]
+    if new_vocab < old.shape[0]:
+        raise ValueError(f"cannot shrink vocab {old.shape[0]} -> {new_vocab}")
+    out = dict(params)
+    if new_vocab > old.shape[0]:
+        extra = new_vocab - old.shape[0]
+        key = jax.random.PRNGKey(seed)
+        mean = old.astype(jnp.float32).mean(axis=0)
+        noise = jax.random.normal(key, (extra, old.shape[1])) * 0.02
+        out["embed_tokens"] = jnp.concatenate(
+            [old, (mean + noise).astype(old.dtype)], axis=0
+        )
+        if "lm_head" in params:
+            head = params["lm_head"]
+            hmean = head.astype(jnp.float32).mean(axis=1, keepdims=True)
+            hnoise = jax.random.normal(jax.random.fold_in(key, 1), (head.shape[0], extra)) * 0.02
+            out["lm_head"] = jnp.concatenate(
+                [head, (hmean + hnoise).astype(head.dtype)], axis=1
+            )
+    return out, dataclasses.replace(cfg, vocab_size=new_vocab)
+
+
+# ---------------------------------------------------------------------------
+# MagiCodec torch checkpoint -> models/codec.py pytree
+# ---------------------------------------------------------------------------
+
+# Torch module-path prefixes the converter understands, in the layout the
+# reference drives (audio_tokenizer.py:189-201): encoder / quantizer / decoder
+# with transformer bodies built from flash-attn style blocks (rotary +
+# norm + fused dense, magicodec_build.sh:4-16).
+_CODEC_KEY_ALIASES = {
+    # canonical -> accepted torch names (first match wins)
+    "encoder.patch_embed": ("encoder.patch_embed.weight", "encoder.in_proj.weight"),
+    "encoder.patch_bias": ("encoder.patch_embed.bias", "encoder.in_proj.bias"),
+    "quantizer.codebook": ("quantizer.codebook.weight",),
+    "quantizer.proj_w": ("quantizer.codebook_proj.weight",),
+    "quantizer.proj_b": ("quantizer.codebook_proj.bias",),
+    "decoder.in_proj": ("decoder.in_proj.weight", "decoder.patch_embed.weight"),
+    "decoder.in_bias": ("decoder.in_proj.bias", "decoder.patch_embed.bias"),
+    "encoder.out_proj": ("encoder.out_proj.weight",),
+    "decoder.patch_unembed": ("decoder.out_proj.weight", "decoder.patch_unembed.weight"),
+}
+
+
+def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
+    """MagiCodec-layout torch state_dict -> models/codec.py param pytree.
+
+    The mapping covers the module surface the reference exercises
+    (encoder / quantizer.codebook / quantizer.codebook_proj / decoder). Blocks
+    are read as ``{encoder,decoder}.blocks.{i}.{attn_norm,wq,wk,wv,wo,
+    mlp_norm,w1,b1,w2,b2}`` with torch Linear (out,in) transposition;
+    ``*.norm.weight``/``*.mixer.Wqkv``-style fused layouts are split.
+    Raises KeyError naming the first missing tensor so a mismatched
+    checkpoint fails loudly instead of silently random-initializing.
+    """
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    sd = {k: v for k, v in state_dict.items()}
+
+    def pick(*names, required=True):
+        for n in names:
+            if n in sd:
+                return _np(sd[n])
+        if required:
+            raise KeyError(f"missing codec checkpoint tensor: one of {names}")
+        return None
+
+    def alias(canon):
+        return pick(*_CODEC_KEY_ALIASES[canon])
+
+    def blocks(prefix: str):
+        out = []
+        i = 0
+        while f"{prefix}.blocks.{i}.attn_norm.weight" in sd or f"{prefix}.blocks.{i}.norm1.weight" in sd:
+            b = f"{prefix}.blocks.{i}"
+            qkv = pick(f"{b}.mixer.Wqkv.weight", required=False)
+            if qkv is not None:
+                h = qkv.shape[1]
+                wq, wk, wv = qkv[:h], qkv[h : 2 * h], qkv[2 * h :]
+            else:
+                wq = pick(f"{b}.wq.weight", f"{b}.attn.q_proj.weight")
+                wk = pick(f"{b}.wk.weight", f"{b}.attn.k_proj.weight")
+                wv = pick(f"{b}.wv.weight", f"{b}.attn.v_proj.weight")
+            out.append(
+                {
+                    "attn_norm": jnp.asarray(
+                        pick(f"{b}.attn_norm.weight", f"{b}.norm1.weight"), dtype
+                    ),
+                    "wq": jnp.asarray(wq.T, dtype),
+                    "wk": jnp.asarray(wk.T, dtype),
+                    "wv": jnp.asarray(wv.T, dtype),
+                    "wo": jnp.asarray(
+                        pick(f"{b}.wo.weight", f"{b}.attn.o_proj.weight", f"{b}.mixer.out_proj.weight").T,
+                        dtype,
+                    ),
+                    "mlp_norm": jnp.asarray(
+                        pick(f"{b}.mlp_norm.weight", f"{b}.norm2.weight"), dtype
+                    ),
+                    "w1": jnp.asarray(pick(f"{b}.w1.weight", f"{b}.mlp.fc1.weight").T, dtype),
+                    "b1": jnp.asarray(pick(f"{b}.b1", f"{b}.mlp.fc1.bias"), dtype),
+                    "w2": jnp.asarray(pick(f"{b}.w2.weight", f"{b}.mlp.fc2.weight").T, dtype),
+                    "b2": jnp.asarray(pick(f"{b}.b2", f"{b}.mlp.fc2.bias"), dtype),
+                }
+            )
+            i += 1
+        if not out:
+            raise KeyError(f"no transformer blocks found under {prefix}.blocks")
+        return out
+
+    return {
+        "encoder": {
+            "patch_embed": jnp.asarray(alias("encoder.patch_embed").T, dtype),
+            "patch_bias": jnp.asarray(alias("encoder.patch_bias"), dtype),
+            "blocks": blocks("encoder"),
+            "out_norm": jnp.asarray(
+                pick("encoder.out_norm.weight", "encoder.norm_f.weight"), dtype
+            ),
+            "out_proj": jnp.asarray(alias("encoder.out_proj").T, dtype),
+        },
+        "quantizer": {
+            "codebook": jnp.asarray(alias("quantizer.codebook"), jnp.float32),
+            "proj_w": jnp.asarray(alias("quantizer.proj_w").T, jnp.float32),
+            "proj_b": jnp.asarray(alias("quantizer.proj_b"), jnp.float32),
+        },
+        "decoder": {
+            "in_proj": jnp.asarray(alias("decoder.in_proj").T, dtype),
+            "in_bias": jnp.asarray(alias("decoder.in_bias"), dtype),
+            "blocks": blocks("decoder"),
+            "out_norm": jnp.asarray(
+                pick("decoder.out_norm.weight", "decoder.norm_f.weight"), dtype
+            ),
+            "patch_unembed": jnp.asarray(alias("decoder.patch_unembed").T, dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Codec checkpoint save/load (framework-native .npz)
+# ---------------------------------------------------------------------------
+
+def save_codec_checkpoint(path: str, params: Dict, cfg) -> None:
+    """Save codec params + config as a single .npz (portable, no orbax dir)."""
+    import jax
+
+    flat = {}
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}{k}.")
+        elif isinstance(tree, list):
+            for i, v in enumerate(tree):
+                walk(v, f"{prefix}{i}.")
+        else:
+            arr = np.asarray(jax.device_get(tree))
+            if arr.dtype not in (np.float32, np.int32, np.int64):
+                arr = arr.astype(np.float32)  # npz can't hold bfloat16
+            flat[prefix[:-1]] = arr
+
+    walk(params, "")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, __config__=json.dumps(dataclasses.asdict(cfg)), **flat)
+
+
+def load_codec_checkpoint(path: str):
+    """Load a codec .npz checkpoint -> (params pytree, CodecConfig)."""
+    import jax.numpy as jnp
+
+    from .codec import CodecConfig
+
+    data = np.load(path, allow_pickle=False)
+    cfg = CodecConfig(**json.loads(str(data["__config__"])))
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    params: Dict = {}
+    for key in data.files:
+        if key == "__config__":
+            continue
+        parts = key.split(".")
+        node = params
+        for i, p in enumerate(parts[:-1]):
+            nxt = parts[i + 1]
+            if p.isdigit():
+                p = int(p)
+            default = [] if nxt.isdigit() else {}
+            if isinstance(node, list):
+                while len(node) <= p:
+                    node.append([] if nxt.isdigit() else {})
+                node = node[p]
+            else:
+                node = node.setdefault(p, default)
+        leaf = parts[-1]
+        arr = data[key]
+        # quantizer tensors stay f32 (argmax-critical); the transformer bodies
+        # take the config compute dtype
+        want = jnp.float32 if key.startswith("quantizer") else dtype
+        val = jnp.asarray(arr, jnp.int32 if arr.dtype in (np.int32, np.int64) else want)
+        if isinstance(node, list):
+            idx = int(leaf)
+            while len(node) <= idx:
+                node.append(None)
+            node[idx] = val
+        else:
+            node[leaf] = val
+    return params, cfg

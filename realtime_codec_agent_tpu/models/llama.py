@@ -37,6 +37,13 @@ class DuplexLMConfig:
     num_kv_heads: int = 8
     head_dim: int = 64
     rope_theta: float = 500000.0
+    # llama3-style rope scaling (factor 0 = disabled). Real Llama-3.2
+    # checkpoints ship rope_scaling{rope_type=llama3, factor=32} — required
+    # for numeric parity when importing HF weights (models/convert.py).
+    rope_scaling_factor: float = 0.0
+    rope_scaling_low_freq: float = 1.0
+    rope_scaling_high_freq: float = 4.0
+    rope_scaling_original_max_position: int = 8192
     rms_eps: float = 1e-5
     max_context: int = 16384
     tie_embeddings: bool = False
@@ -46,6 +53,17 @@ class DuplexLMConfig:
     codebook_size: int = 131072
     codebook_dim: int = 16
     compute_dtype: str = "bfloat16"
+
+    @property
+    def rope_scaling(self):
+        if self.rope_scaling_factor <= 0:
+            return None
+        return (
+            self.rope_scaling_factor,
+            self.rope_scaling_low_freq,
+            self.rope_scaling_high_freq,
+            self.rope_scaling_original_max_position,
+        )
 
     @property
     def n_rep(self) -> int:
@@ -72,6 +90,8 @@ def llama32_1b_config(vocab_size: int, codec_vocab_start: int = 0, **overrides) 
         num_kv_heads=8,
         head_dim=64,
         rope_theta=500000.0,
+        # real Llama-3.2-1B ships rope_scaling{rope_type=llama3, factor=32}
+        rope_scaling_factor=32.0,
         codec_vocab_start=codec_vocab_start,
         **overrides,
     )
@@ -224,7 +244,9 @@ def forward(
             positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
 
     x = embed_ids(params, ids, cfg)
-    cos, sin = nn.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = nn.rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, rope_scaling=cfg.rope_scaling
+    )
 
     use_cache = kv_cache is not None
     if use_cache:
@@ -286,6 +308,150 @@ def forward(
 def logits_from_hidden(params: Dict, hidden: jnp.ndarray, cfg: DuplexLMConfig) -> jnp.ndarray:
     head = params["embed_tokens"].T if cfg.tie_embeddings else params["lm_head"]
     return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Decode-path forward: read-only cache + small new-KV, in-place commit
+# ---------------------------------------------------------------------------
+#
+# The KV-cached mode of ``forward`` rebuilds the full stacked cache through
+# per-layer dynamic_update_slice + jnp.stack, which XLA cannot alias onto the
+# donated input (the unstack->update->restack defeats buffer reuse), so every
+# decode step copied the whole ~600 MB cache — and inside a lax.scan carry it
+# was copied per frame. ``forward_decode`` never writes the big cache: it
+# attends the cache READ-ONLY (two-piece attention: cache scores + new-token
+# scores concatenated before one softmax) and returns the new per-layer K/V
+# as a small (L,B,T,KH,Dh) tensor. The caller commits once per jit with
+# ``commit_kv`` (contiguous) or ``commit_kv_scatter`` (frame-accept masks),
+# both of which XLA aliases in place on donated buffers.
+
+def _gqa_two_piece_attention(
+    q: jnp.ndarray,        # (B, T, H, Dh) rotated queries
+    k_big: jnp.ndarray,    # (B, S, KH, Dh) read-only cache keys
+    v_big: jnp.ndarray,    # (B, S, KH, Dh)
+    k_new: jnp.ndarray,    # (B, W, KH, Dh) rotated new keys (extra + self)
+    v_new: jnp.ndarray,    # (B, W, KH, Dh)
+    q_pos: jnp.ndarray,    # (T,) absolute positions of queries
+    new_pos: jnp.ndarray,  # (W,) absolute positions of new keys
+    cache_valid: jnp.ndarray,  # scalar: cache indices >= this are stale
+) -> jnp.ndarray:
+    """Joint softmax over cache + new keys without materializing either a
+    concatenated key tensor or head-repeated (GQA) copies of the cache."""
+    b, t, h, dh = q.shape
+    kh = k_big.shape[2]
+    g = h // kh
+    scale = dh ** -0.5
+    qg = q.reshape(b, t, kh, g, dh)
+
+    s_big = jnp.einsum(
+        "btkgd,bskd->bkgts", qg, k_big, preferred_element_type=jnp.float32
+    ) * scale  # (B,KH,G,T,S)
+    s_new = jnp.einsum(
+        "btkgd,bwkd->bkgtw", qg, k_new, preferred_element_type=jnp.float32
+    ) * scale  # (B,KH,G,T,W)
+
+    big_pos = jnp.arange(k_big.shape[1])
+    # cache key at index s holds position s; indices >= cache_valid are stale
+    # (rolled back / not yet committed) and must never be attended
+    m_big = (big_pos[None, :] <= q_pos[:, None]) & (big_pos[None, :] < cache_valid)
+    m_new = new_pos[None, :] <= q_pos[:, None]       # (T,W)
+    neg = jnp.float32(-1e30)
+    s_big = jnp.where(m_big[None, None, None], s_big, neg)
+    s_new = jnp.where(m_new[None, None, None], s_new, neg)
+
+    s_all = jnp.concatenate([s_big, s_new], axis=-1)
+    probs = jax.nn.softmax(s_all, axis=-1)
+    p_big = probs[..., : k_big.shape[1]].astype(v_big.dtype)
+    p_new = probs[..., k_big.shape[1] :].astype(v_new.dtype)
+    out = jnp.einsum(
+        "bkgts,bskd->btkgd", p_big, v_big, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bkgtw,bwkd->btkgd", p_new, v_new, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, t, h, dh).astype(q.dtype)
+
+
+def forward_decode(
+    params: Dict,
+    ids: jnp.ndarray,        # (B, T)
+    cfg: DuplexLMConfig,
+    k_cache: jnp.ndarray,    # (L, B, S, KH, Dh) read-only
+    v_cache: jnp.ndarray,
+    positions: jnp.ndarray,  # (T,) absolute positions of the new tokens
+    cache_valid: Optional[jnp.ndarray] = None,  # scalar: valid cache length
+    extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (L,B,We,KH,Dh) x2
+    extra_pos: Optional[jnp.ndarray] = None,  # (We,)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Incremental forward over a READ-ONLY cache.
+
+    Attention per layer = cache keys at indices < ``cache_valid`` (defaults to
+    ``positions[0]``: everything before the first new token) + ``extra_kv``
+    (uncommitted keys from earlier steps of the same fused program, masked by
+    ``extra_pos``) + the T new tokens themselves (causal among ``positions``).
+    Returns (hidden (B,T,H), new_k (L,B,T,KH,Dh), new_v) — new K/V are NOT
+    written into the cache; commit with commit_kv / commit_kv_scatter.
+    """
+    b, t = ids.shape
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if cache_valid is None:
+        cache_valid = positions[0]
+    x = embed_ids(params, ids, cfg)
+    cos, sin = nn.rope_cos_sin(
+        positions[None, :], cfg.head_dim, cfg.rope_theta, rope_scaling=cfg.rope_scaling
+    )
+
+    new_ks, new_vs = [], []
+    for li, blk in enumerate(params["layers"]):
+        res = x
+        y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = jnp.dot(y, blk["wq"], preferred_element_type=jnp.float32).astype(dtype)
+        k = jnp.dot(y, blk["wk"], preferred_element_type=jnp.float32).astype(dtype)
+        v = jnp.dot(y, blk["wv"], preferred_element_type=jnp.float32).astype(dtype)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q, k = nn.apply_rope(q, k, cos, sin)
+        new_ks.append(k)
+        new_vs.append(v)
+
+        if extra_kv is not None:
+            k_small = jnp.concatenate([extra_kv[0][li], k], axis=1)
+            v_small = jnp.concatenate([extra_kv[1][li], v], axis=1)
+            small_pos = jnp.concatenate([extra_pos, positions])
+        else:
+            k_small, v_small, small_pos = k, v, positions
+
+        attn = _gqa_two_piece_attention(
+            q, k_cache[li], v_cache[li], k_small, v_small, positions, small_pos,
+            cache_valid,
+        )
+        attn = jnp.dot(
+            attn.reshape(b, t, cfg.q_dim), blk["wo"], preferred_element_type=jnp.float32
+        ).astype(dtype)
+        x = res + attn
+
+        res = x
+        y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
+        x = res + nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
+
+    x = nn.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x, jnp.stack(new_ks), jnp.stack(new_vs)
+
+
+def commit_kv(k_cache, v_cache, new_k, new_v, offset):
+    """Write (L,B,T,KH,Dh) new K/V at contiguous cache positions
+    [offset, offset+T). In-place when k_cache/v_cache are donated."""
+    k_cache = jax.lax.dynamic_update_slice(k_cache, new_k, (0, 0, offset, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, new_v, (0, 0, offset, 0, 0))
+    return k_cache, v_cache
+
+
+def commit_kv_scatter(k_cache, v_cache, new_k, new_v, target_idx):
+    """Scatter (L,B,W,KH,Dh) new K/V to per-entry cache indices ``target_idx``
+    (W,). Rejected entries should point at a trash index past max_context."""
+    k_cache = k_cache.at[:, :, target_idx].set(new_k)
+    v_cache = v_cache.at[:, :, target_idx].set(new_v)
+    return k_cache, v_cache
 
 
 # ---------------------------------------------------------------------------

@@ -21,14 +21,42 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
     return (xf * weight.astype(jnp.float32)).astype(dtype)
 
 
+def llama3_scaled_inv_freq(
+    inv_freq: jnp.ndarray,
+    factor: float,
+    low_freq_factor: float = 1.0,
+    high_freq_factor: float = 4.0,
+    original_max_position: int = 8192,
+) -> jnp.ndarray:
+    """Llama-3.x rope scaling (HF ``rope_type="llama3"``): long-wavelength
+    frequencies divided by ``factor``, short ones untouched, smooth ramp
+    between. Required for numeric parity with real Llama-3.2 checkpoints."""
+    low_freq_wavelen = original_max_position / low_freq_factor
+    high_freq_wavelen = original_max_position / high_freq_factor
+    wavelen = 2.0 * jnp.pi / inv_freq
+    smooth = (original_max_position / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    interp = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = jnp.where(wavelen > low_freq_wavelen, inv_freq / factor, interp)
+    return jnp.where(wavelen < high_freq_wavelen, inv_freq, out)
+
+
 def rope_cos_sin(
-    positions: jnp.ndarray, head_dim: int, theta: float = 10000.0
+    positions: jnp.ndarray,
+    head_dim: int,
+    theta: float = 10000.0,
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rotary embedding tables for integer positions ``(...,)`` ->
-    cos/sin of shape ``(..., head_dim)`` (HF Llama half-duplicated layout)."""
+    cos/sin of shape ``(..., head_dim)`` (HF Llama half-duplicated layout).
+    ``rope_scaling`` = (factor, low_freq_factor, high_freq_factor,
+    original_max_position) enables llama3-style frequency scaling."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if rope_scaling is not None and rope_scaling[0] > 0:
+        inv_freq = llama3_scaled_inv_freq(inv_freq, *rope_scaling)
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., head_dim/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)

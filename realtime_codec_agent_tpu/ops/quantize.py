@@ -65,26 +65,33 @@ def _nearest_code_kernel(x_ref, cbt_ref, halfnorm_ref, idx_ref, best_ref, besti_
         idx_ref[:] = besti_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_v", "interpret"))
-def nearest_code_pallas(
-    x: jnp.ndarray, codebook: jnp.ndarray, block_v: int = 8192, interpret: bool = False
-) -> jnp.ndarray:
-    """Blocked nearest-neighbor code lookup on TPU. x: (N, D), codebook: (V, D) -> (N,) int32.
-
-    Ties resolve to the lowest index (same as jnp.argmin over distances).
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
-    """
-    n, d = x.shape
-    v = codebook.shape[0]
-    n_pad = _round_up(max(n, 8), 8)
+def prepare_codebook(codebook: jnp.ndarray, block_v: int = 8192):
+    """Precompute the padded transposed codebook + half-norms the Pallas
+    kernel consumes. The transpose/pad of the 131k x 16 table costs ~67 MB of
+    HBM traffic — do it ONCE per model, not once per encode call."""
+    v, d = codebook.shape
     d_pad = _round_up(d, 128)
     v_pad = _round_up(v, block_v)
-
-    xf = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(x.astype(jnp.float32))
     cbf = codebook.astype(jnp.float32)
     cbt = jnp.zeros((d_pad, v_pad), jnp.float32).at[:d, :v].set(cbf.T)
     halfnorm = jnp.full((1, v_pad), jnp.inf, jnp.float32)
     halfnorm = halfnorm.at[0, :v].set(0.5 * jnp.sum(cbf * cbf, axis=-1))
+    return cbt, halfnorm
+
+
+def nearest_code_prepared(
+    x: jnp.ndarray,
+    cbt: jnp.ndarray,       # (d_pad, v_pad) from prepare_codebook
+    halfnorm: jnp.ndarray,  # (1, v_pad)
+    v: int,
+    block_v: int = 8192,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Kernel body over a prepared codebook. x: (N, D) -> (N,) int32."""
+    n, d = x.shape
+    n_pad = _round_up(max(n, 8), 8)
+    d_pad, v_pad = cbt.shape
+    xf = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(x.astype(jnp.float32))
 
     grid = (v_pad // block_v,)
     idx = pl.pallas_call(
@@ -106,8 +113,38 @@ def nearest_code_pallas(
     return idx[:n, 0]
 
 
-def nearest_code(x: jnp.ndarray, codebook: jnp.ndarray, block_v: int = 8192) -> jnp.ndarray:
-    """Dispatch to the Pallas kernel on TPU, XLA elsewhere."""
+@functools.partial(jax.jit, static_argnames=("block_v", "interpret"))
+def nearest_code_pallas(
+    x: jnp.ndarray, codebook: jnp.ndarray, block_v: int = 8192, interpret: bool = False
+) -> jnp.ndarray:
+    """Blocked nearest-neighbor code lookup on TPU. x: (N, D), codebook: (V, D) -> (N,) int32.
+
+    Ties resolve to the lowest index (same as jnp.argmin over distances).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    Prefer prepare_codebook + nearest_code_prepared in hot loops.
+    """
+    cbt, halfnorm = prepare_codebook(codebook, block_v=block_v)
+    return nearest_code_prepared(
+        x, cbt, halfnorm, codebook.shape[0], block_v=block_v, interpret=interpret
+    )
+
+
+def nearest_code(
+    x: jnp.ndarray,
+    codebook: jnp.ndarray = None,
+    block_v: int = 8192,
+    prepared=None,
+) -> jnp.ndarray:
+    """Dispatch to the Pallas kernel on TPU, XLA elsewhere. ``prepared`` =
+    (cbt, halfnorm, v) from prepare_codebook skips the per-call pad/transpose."""
     if jax.default_backend() == "tpu":
+        if prepared is not None:
+            cbt, halfnorm, v = prepared
+            return nearest_code_prepared(x, cbt, halfnorm, v, block_v=block_v)
         return nearest_code_pallas(x, codebook, block_v=block_v)
+    if prepared is not None and codebook is None:
+        cbt, halfnorm, v = prepared
+        # reconstruct scores from the prepared transpose (CPU/test path)
+        scores = jnp.dot(x.astype(jnp.float32), cbt[: x.shape[1], :v]) - halfnorm[0, :v]
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
     return nearest_code_xla(x, codebook)
