@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--secs", type=float, default=20.0)
     parser.add_argument("--warmup_chunks", type=int, default=20)
     parser.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
+    parser.add_argument(
+        "--no-pipeline", action="store_true",
+        help="synchronous per-chunk processing (adds the tunnel fetch fee to every chunk)",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -45,6 +49,11 @@ def main():
         force_trans_after_inactivity_secs=0.0,
         force_response_after_inactivity_secs=0.0,
         agent_opening_text=None,
+        # realtime deployment mode: chunk t's fused program is dispatched and
+        # chunk t-1's audio returned, so the device tunnel's fixed per-fetch
+        # latency overlaps compute (one chunk of added response latency;
+        # identical token streams — see tests/test_pipeline.py)
+        pipeline_chunks=not args.no_pipeline,
     )
     agent = RealtimeAgent(resources=resources, config=config)
     # pin generation to the codec region (pure-audio duplex path)

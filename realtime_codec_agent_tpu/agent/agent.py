@@ -39,6 +39,14 @@ from .profiler import RealtimeAgentProfilerCollection
 from .resources import RealtimeAgentResources
 from .stats import RealtimeAgentStatsCollection
 
+
+def _device_get(handles):
+    """Blocking fetch of fused-chunk result handles (runs on the fetcher
+    thread so the tunnel's completion-wait overlaps device compute)."""
+    import jax
+
+    return jax.device_get(handles)
+
 # Generation of anything outside paralinguistic forms (or the allowed wordlist)
 # stops constrained text generation (reference realtime_agent_v2.py:30-37).
 CONSTRAINED_STOP_REGEX = re.compile(r"\A(?:[^ ]| [^&[]| &[^=]| &=.* | \[.*\] )")
@@ -144,6 +152,18 @@ class RealtimeAgent:
         self.profilers = RealtimeAgentProfilerCollection(config)
         self._session = self._make_session() if config.use_fused_step else None
         self._fused_probs = None  # (p_end_audio, p_agent, p_user) from the last fused chunk
+        # pipelined-mode state: one in-flight fused dispatch + one buffered
+        # synchronous output (mutually exclusive), and a single fetcher thread
+        # that absorbs the device tunnel's completion-wait latency
+        self._pending = None
+        self._out_buffer = None
+        self._chain_dirty = True  # device chain needs a host resync before dispatch
+        if config.pipeline_chunks and getattr(self, "_fetcher", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="kv-fetch")
+        elif not hasattr(self, "_fetcher"):
+            self._fetcher = None
 
     def _make_session(self):
         """Fused device-resident chunk stepping, when the resources carry the
@@ -193,6 +213,9 @@ class RealtimeAgent:
         if self._session is not None:
             self._session.reset()
         self._fused_probs = None
+        self._pending = None
+        self._out_buffer = None
+        self._chain_dirty = True
         self.set_sampler()
         self.resources.llm.reset()
         if c.use_external_llm:
@@ -664,7 +687,13 @@ class RealtimeAgent:
     def process_audio(
         self, audio_chunk: np.ndarray, audio_chunk_input_ids: Optional[List[int]] = None
     ):
-        """The 100 ms duplex step (reference realtime_agent_v2.py:504-554)."""
+        """The 100 ms duplex step (reference realtime_agent_v2.py:504-554).
+
+        With config.pipeline_chunks, the fused program for THIS chunk is
+        dispatched and the audio of the PREVIOUS chunk is returned (one chunk
+        of added latency; the device tunnel's fixed fetch fee overlaps the
+        next chunk's compute). Token streams are identical either way.
+        """
         with self.profilers.total_profiler:
             assert audio_chunk.shape[-1] == self.chunk_size_samples, (
                 f"audio_chunk must have length {self.chunk_size_samples}, "
@@ -677,19 +706,31 @@ class RealtimeAgent:
                 f"audio_chunk_input_ids must have length {self.chunk_size_frames_per_channel}, "
                 f"got {len(audio_chunk_input_ids)}"
             )
-            tts_chunk_input_ids = None
 
-            # ---- fused fast path: whole pure-audio chunk in ONE device call
             force_trans = self.should_force_transcription()
             force_response = self.should_force_response()
-            if (
+            can_fuse = (
                 self._session is not None
                 and audio_chunk_input_ids is None
                 and not self.config.use_external_tts
                 and not (force_trans or force_response)
                 and len(self.input_ids) - self.resources.llm.n_tokens == 2
                 and all(t > self.end_header_token_id for t in self.input_ids[-2:])
+            )
+
+            if (
+                self.config.pipeline_chunks
+                and self._session is not None
+                and not self.config.use_external_tts
+                and not self.self_play_mode
+                and audio_chunk_input_ids is None
             ):
+                return self._process_audio_pipelined(
+                    audio_chunk, force_trans, force_response, can_fuse
+                )
+
+            # ---- fused fast path: whole pure-audio chunk in ONE device call
+            if can_fuse:
                 fused_out = self._process_audio_fused(audio_chunk)
                 if fused_out is not None:
                     return fused_out
@@ -697,6 +738,26 @@ class RealtimeAgent:
                 # the already-encoded user tokens
                 audio_chunk_input_ids = self._fused_user_tokens
 
+            out_chunk, out_chunk_input_ids = self._process_chunk_sync(
+                audio_chunk, audio_chunk_input_ids, force_trans, force_response
+            )
+            if self.self_play_mode:
+                return out_chunk, out_chunk_input_ids
+            return out_chunk
+
+    def _process_chunk_sync(
+        self,
+        audio_chunk: np.ndarray,
+        audio_chunk_input_ids: Optional[List[int]],
+        force_trans: bool,
+        force_response: bool,
+    ) -> Tuple[np.ndarray, List[int]]:
+        """Synchronous chunk processing: encode (if needed) -> per-frame LM
+        loop -> TTS substitution -> decode -> stats/timers. This is the event
+        path, the forced-event path, the external-TTS path, and the replay
+        path for pipelined chunks."""
+        if True:
+            tts_chunk_input_ids = None
             with self.profilers.audio_tokenize_profiler:
                 if audio_chunk_input_ids is None:
                     if self._session is not None:
@@ -741,9 +802,7 @@ class RealtimeAgent:
                 f"out_chunk must have length {self.chunk_size_samples}, got {out_chunk.shape[-1]}"
             )
             assert len(out_chunk_input_ids) == self.chunk_size_frames_per_channel
-            if self.self_play_mode:
-                return out_chunk, out_chunk_input_ids
-            return out_chunk
+            return out_chunk, out_chunk_input_ids
 
     def _process_audio_fused(self, audio_chunk: np.ndarray):
         """One device call for the whole chunk (lm/duplex_session.py). Returns
@@ -755,12 +814,19 @@ class RealtimeAgent:
         with self.profilers.lm_profiler:
             res, n_final = session.process_chunk(audio_chunk)
         self._fused_user_tokens = res.user_tokens
-        frames = self.chunk_size_frames_per_channel
-        if res.event_frame < frames:
+        if res.event_frame < self.chunk_size_frames_per_channel:
             return None
+        out_chunk = self._commit_fused(res, audio_chunk)
+        if self.self_play_mode:
+            return out_chunk, res.out_tokens
+        return out_chunk
 
-        # commit host mirrors: the fused scan evaled the pending pair plus the
-        # first frames-1 sampled pairs; the final pair stays pending
+    def _commit_fused(self, res, audio_chunk: np.ndarray) -> np.ndarray:
+        """Commit a clean (event-free) fused chunk result to the host mirrors
+        and produce its output audio."""
+        frames = self.chunk_size_frames_per_channel
+        # the fused scan evaled the pending pair plus the first frames-1
+        # sampled pairs; the final pair stays pending
         llm = self.resources.llm
         evaled = list(self.input_ids[-2:])
         for f in range(frames - 1):
@@ -770,7 +836,7 @@ class RealtimeAgent:
             self.input_ids.append(res.out_tokens[f])
             self.input_ids.append(res.user_tokens[f])
             self.audio_tokens_idx.extend([len(self.input_ids) - 2, len(self.input_ids) - 1])
-        assert llm.n_tokens == n_final, (llm.n_tokens, n_final)
+        assert llm.n_tokens == res.n_final, (llm.n_tokens, res.n_final)
 
         out_chunk = self._join_output_chunk(res.audio, self.crossfade_ramps[0])
         self.audio_history_ch2.append(audio_chunk)
@@ -778,9 +844,116 @@ class RealtimeAgent:
         self.measure_event_prob()
         self.update_inactivity_timers()
         assert out_chunk.shape[-1] == self.chunk_size_samples
-        if self.self_play_mode:
-            return out_chunk, res.out_tokens
         return out_chunk
+
+    # --------------------------------------------------------- pipelined mode
+    def _process_audio_pipelined(
+        self,
+        audio_chunk: np.ndarray,
+        force_trans: bool,
+        force_response: bool,
+        can_fuse: bool,
+    ) -> np.ndarray:
+        """Depth-1 pipelining, dispatch-FIRST: this chunk's fused program is
+        enqueued against the device-resident chain state before the previous
+        chunk's results are consumed, so the tunnel's fixed per-fetch fee
+        overlaps this chunk's device compute. Emits the PREVIOUS chunk's
+        audio. If the previous chunk turns out to have hit an event, this
+        chunk's speculative program was a harmless no-op (the chain's halted
+        flag propagated on device): the host replays the event, fetches the
+        no-op's already-encoded user tokens, resyncs the chain, and
+        re-dispatches this chunk with those tokens."""
+        session = self._session
+        # host-state mutations (trim / forced events / non-audio mode) cannot
+        # run under an in-flight speculative chunk: drain first, then take the
+        # synchronous path for this chunk (rare: ~1 trim per 200 chunks)
+        trim_due = self.total_secs - self.trim_to_secs >= self.config.max_context_secs
+        if not can_fuse or trim_due:
+            emit = self._resolve_pending()
+            if emit is None and self._out_buffer is not None:
+                emit, self._out_buffer = self._out_buffer, None
+            out_chunk, _ = self._process_chunk_sync(
+                audio_chunk, None, force_trans, force_response
+            )
+            self._chain_dirty = True
+            self._out_buffer = out_chunk
+            if emit is None:
+                emit = np.zeros(self.chunk_size_samples, dtype=np.float32)
+            return emit
+
+        # ---- speculative dispatch of THIS chunk ----
+        if self._chain_dirty or session.chain is None:
+            session.bind_sequence(self.input_ids)
+            session.sync_chain()
+            self._chain_dirty = False
+        with self.profilers.lm_profiler:
+            handles = session.dispatch_chunk(audio_chunk)
+        prev_pending = self._pending
+        self._pending = {
+            "audio": audio_chunk,
+            # fetch on a background thread: the completion-wait fee ticks
+            # concurrently with the device computing this chunk
+            "future": self._fetcher.submit(_device_get, handles),
+        }
+
+        # ---- resolve the PREVIOUS chunk ----
+        if prev_pending is None:
+            if self._out_buffer is not None:
+                emit, self._out_buffer = self._out_buffer, None
+                return emit
+            return np.zeros(self.chunk_size_samples, dtype=np.float32)
+        emit = self._resolve_one(prev_pending)
+        return emit
+
+    def _resolve_one(self, pending) -> np.ndarray:
+        """Fetch + commit one dispatched fused chunk. Returns its output
+        audio, replaying the chunk stepwise if an event fired in it."""
+        res, _ = self._session.resolve(pending["future"].result())
+        self._fused_user_tokens = res.user_tokens
+        if res.event_frame >= self.chunk_size_frames_per_channel and not res.halted_input:
+            return self._commit_fused(res, pending["audio"])
+
+        # event inside this chunk: replay it stepwise with the already-encoded
+        # user tokens (identical PRNG schedule -> identical accepted frames)
+        out_chunk, _ = self._process_chunk_sync(
+            pending["audio"], res.user_tokens, False, False
+        )
+        # the speculatively dispatched successor (if any) ran halted: fetch
+        # its user tokens, resync the chain, and re-dispatch it for real
+        if self._pending is not None:
+            succ, self._pending = self._pending, None
+            succ_res, _ = self._session.resolve(succ["future"].result())
+            assert succ_res.halted_input
+            session = self._session
+            session.bind_sequence(self.input_ids)
+            session.sync_chain()
+            self._chain_dirty = False
+            handles = session.dispatch_chunk(
+                succ["audio"], user_tokens=succ_res.user_tokens
+            )
+            self._pending = {
+                "audio": succ["audio"],
+                "future": self._fetcher.submit(_device_get, handles),
+            }
+        return out_chunk
+
+    def _resolve_pending(self) -> Optional[np.ndarray]:
+        """Drain the in-flight chunk, if any, and return its audio."""
+        if self._pending is None:
+            return None
+        pending, self._pending = self._pending, None
+        out = self._resolve_one(pending)
+        self._chain_dirty = True
+        return out
+
+    def drain_pipeline(self) -> Optional[np.ndarray]:
+        """Flush any in-flight chunk (pipelined mode): returns its audio, or
+        the buffered output of a synchronous detour, if any. Call before
+        inspecting transcripts/state at end of session."""
+        out = self._resolve_pending()
+        if out is None and self._out_buffer is not None:
+            out, self._out_buffer = self._out_buffer, None
+        return out
 
     def detokenize_output_chunk(self, out_chunk_input_ids: List[int]) -> np.ndarray:
         """Decode agent tokens -> audio with preroll-aware crossfade joining

@@ -76,6 +76,13 @@ class RealtimeAgentConfig:
     # TPU execution: fuse each pure-audio chunk (codec encode + LM frame scan +
     # event probe + codec decode) into one device call (lm/duplex_session.py)
     use_fused_step: bool = True
+    # Pipeline fused chunks one deep: process_audio(chunk t) dispatches the
+    # fused program for chunk t and returns the audio of chunk t-1, so the
+    # device tunnel's fixed per-fetch latency overlaps the next chunk's
+    # compute. Costs one chunk (chunk_size_secs) of added response latency;
+    # token streams are identical to the synchronous path. Off by default to
+    # preserve the reference's synchronous process_audio semantics.
+    pipeline_chunks: bool = False
 
     def __post_init__(self):
         if int(self.chunk_size_secs * 100) % 2 != 0:

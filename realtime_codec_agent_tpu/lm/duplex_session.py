@@ -17,7 +17,7 @@ pure-audio chunk into ONE jitted XLA program:
          code ring context) with crossfade preroll
     -> (out_audio, out_tokens, user_tokens, event_frame, probs, new state)
 
-Performance structure (v2):
+Performance structure (v3):
 - The big KV cache is READ-ONLY inside the scan (models/llama.forward_decode):
   per-frame K/V accumulate in a small (L,1,2F,KH,Dh) carry buffer and commit
   to the donated cache with ONE scatter after the scan. Carrying the full
@@ -28,22 +28,28 @@ Performance structure (v2):
   half-norms) are precomputed per model, not per chunk.
 - PRNG keys derive as fold_in(base_key, step0 + frame) — the SAME schedule
   the stepwise engine uses, so a seeded run produces identical tokens whether
-  a chunk executes fused or is replayed step-by-step after an event.
+  a chunk executes fused or is replayed step-by-step after an event. The
+  penalty window likewise advances per accepted frame on device, matching
+  the stepwise window exactly.
+- **Chained dispatch**: everything the next chunk needs from this one
+  (pending pair, n_tokens, sampler step, penalty window, halted flag) lives
+  in a device-resident CHAIN STATE, so back-to-back chunks dispatch without
+  waiting for the previous chunk's results. The device tunnel charges ~30 ms
+  to fetch any execution output; the pipelined agent overlaps that fetch
+  with the next chunk's compute (agent/agent.py pipeline mode). If a chunk
+  hits an event, its successor (dispatched speculatively with
+  halted=True propagated on device) samples nothing and only encodes its
+  audio — the host replays both chunks stepwise and resyncs the chain.
 
 Only the scalars/audio the host needs cross the PCIe/tunnel boundary, once per
-chunk. Event chunks (inline text generation) fall back to the engine's
-step-by-step path: the fused call reports the first event frame and the host
-replays the chunk exactly (accepted frames' KV was committed at identical
-positions; the replay overwrites them with identical values).
-
-The codec contexts live HERE (on device) when fused stepping is active; the
-host-side AudioTokenizer is bypassed for the hot path.
+chunk. The codec contexts live HERE (on device) when fused stepping is active;
+the host-side AudioTokenizer is bypassed for the hot path.
 """
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +57,7 @@ import numpy as np
 
 from ..models import codec as codec_lib
 from ..models.llama import commit_kv_scatter, forward_decode, logits_from_hidden
-from ..ops.sampling import sample_token
+from ..ops.sampling import PENALTY_WINDOW, sample_token
 from .engine import DuplexLMEngine
 
 # sentinel position for rejected (post-event) frame K/V entries: far beyond
@@ -65,6 +71,8 @@ class FusedChunkResult:
     user_tokens: List[int]         # encoded user tokens per frame (always valid)
     event_frame: int               # first frame whose sample was non-audio (== n_frames if none)
     event_token: int               # the non-audio token sampled at event_frame (undefined if none)
+    n_final: int                   # device n_tokens after the chunk
+    halted_input: bool             # chunk ran as a no-op because the chain was halted
     p_end_audio: float             # P(<|end_audio|>) at the final evaled position
     p_event_agent: float           # speculative speaker probe: P(agent | end_audio)
     p_event_user: float            # speculative speaker probe: P(user | end_audio)
@@ -72,10 +80,13 @@ class FusedChunkResult:
 
 
 class DuplexSession:
-    """Owns the fused chunk program + device-resident codec streaming state.
+    """Owns the fused chunk program + device-resident codec streaming state +
+    the chain state for pipelined dispatch.
 
     Shares the KV cache and sampler state with a DuplexLMEngine; the engine
-    remains the source of truth for n_tokens and the host token mirror.
+    remains the source of truth for n_tokens and the host token mirror, and
+    ``sync_chain()`` pushes that host truth into the device chain whenever the
+    host mutated it (events, trims, resets).
     """
 
     def __init__(
@@ -107,6 +118,7 @@ class DuplexSession:
         self.context_frames = self.context_samples // self.hop
         self.preroll_samples = preroll_samples
         self._agent_input_ids: List[int] = []
+        self.chain: Optional[Dict] = None
 
         self._build_jits()
         self.reset()
@@ -119,6 +131,29 @@ class DuplexSession:
         silence_codes = self.codec.encode(np.zeros((1, self.context_samples), np.float32))[0]
         self.dec_ctx = jnp.asarray(silence_codes, jnp.int32)
         self._silence_codes = np.asarray(silence_codes)
+        self.chain = None
+
+    def sync_chain(self) -> None:
+        """Rebuild the device chain state from the engine's host mirror: the
+        pending (appended, unevaled) pair, n_tokens, sampler step, and the
+        trailing penalty window (stepwise semantics: the window at the next
+        sample covers all mirrored ids including the pending pair)."""
+        eng = self.engine
+        ids = self._agent_input_ids
+        assert len(ids) >= 2, "chain needs a pending (agent,user) pair"
+        tail = ids[-PENALTY_WINDOW:]
+        count = len(tail)
+        window = np.zeros((PENALTY_WINDOW,), np.int32)
+        if count:
+            window[-count:] = tail  # right-aligned rolling buffer
+        self.chain = {
+            "prev_pair": jnp.asarray(ids[-2:], jnp.int32),
+            "n": jnp.int32(eng.n_tokens),
+            "step": jnp.int32(eng._step),
+            "window_ids": jnp.asarray(window),
+            "window_count": jnp.int32(count),
+            "halted": jnp.bool_(False),
+        }
 
     # ------------------------------------------------------------------- jits
     def _build_jits(self):
@@ -151,7 +186,9 @@ class DuplexSession:
             return dec_ctx, tail
 
         @functools.partial(
-            jax.jit, donate_argnums=(3, 4), static_argnames=("top_k",)
+            jax.jit,
+            donate_argnums=(3, 4),
+            static_argnames=("top_k", "use_precomputed_tokens"),
         )
         def fused_chunk(
             params,
@@ -159,42 +196,54 @@ class DuplexSession:
             codec_tables,
             k,
             v,
-            n_tokens,
+            chain,          # device chain state dict
             enc_ctx,
             dec_ctx,
             audio_chunk,
-            prev_pair,  # (2,) int32: last (agent, user) ids, already appended but NOT evaled
+            user_tokens_in,  # (chunk_frames,) i32, used iff use_precomputed_tokens
             base_key,
-            step0,
             scalars,
             bias_ids,
             bias_vals,
-            window_ids,
-            window_mask,
             commit_decode,
             top_k,
+            use_precomputed_tokens,
         ):
             cache_len = k.shape[2]
             trash = cache_len - 4  # rejected frame K/V land here, never attended
             kv_shape = (cfg.num_layers, 1, n_small, cfg.num_kv_heads, cfg.head_dim)
             dtype = jnp.dtype(cfg.compute_dtype)
+            n0 = chain["n"]
+            step0 = chain["step"]
+            halted_in = chain["halted"]
 
-            enc_ctx, codes = encode_codes(codec_params, codec_tables, enc_ctx, audio_chunk)
-            user_tokens = codes + cvs  # (chunk_frames,)
+            if use_precomputed_tokens:
+                # replay-after-event redispatch: the halted no-op predecessor
+                # already advanced the encode ring with this chunk's audio
+                user_tokens = user_tokens_in
+            else:
+                enc_ctx, codes = encode_codes(
+                    codec_params, codec_tables, enc_ctx, audio_chunk
+                )
+                user_tokens = codes + cvs  # (chunk_frames,)
 
             def frame_step(carry, xs):
-                small_k, small_v, small_pos, n, prev, done, event_tok, last_logits = carry
+                (small_k, small_v, small_pos, n, prev, wids, wcount,
+                 done, event_tok, last_logits) = carry
                 i, u_token = xs
                 positions = n + jnp.arange(2)
+                wmask = (
+                    jnp.arange(PENALTY_WINDOW) >= PENALTY_WINDOW - wcount
+                ).astype(jnp.float32)
                 hidden, nk, nv = forward_decode(
                     params, prev[None, :], cfg, k, v, positions,
-                    cache_valid=n_tokens,
+                    cache_valid=n0,
                     extra_kv=(small_k, small_v), extra_pos=small_pos,
                 )
                 logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
                 key = jax.random.fold_in(base_key, step0 + i)
                 a = sample_token(
-                    logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask,
+                    logits, key, scalars, bias_ids, bias_vals, wids, wmask,
                     top_k=top_k,
                 )
                 is_audio = a > end_header
@@ -204,37 +253,47 @@ class DuplexSession:
                 last_logits = jnp.where(done, last_logits, logits)
                 # stash this pair's K/V in the small buffer; rejected entries
                 # get the sentinel position so no later query attends them
-                small_k = jax.lax.dynamic_update_slice(
-                    small_k, nk, (0, 0, 2 * i, 0, 0)
-                )
-                small_v = jax.lax.dynamic_update_slice(
-                    small_v, nv, (0, 0, 2 * i, 0, 0)
-                )
+                small_k = jax.lax.dynamic_update_slice(small_k, nk, (0, 0, 2 * i, 0, 0))
+                small_v = jax.lax.dynamic_update_slice(small_v, nv, (0, 0, 2 * i, 0, 0))
                 pair_pos = jnp.where(accept, positions, REJECTED_POS)
                 small_pos = jax.lax.dynamic_update_slice(small_pos, pair_pos, (2 * i,))
+                # penalty window: roll in the (sampled agent, incoming user)
+                # pair on accept — identical to the stepwise engine's
+                # make_window over the growing mirror
+                rolled = jnp.concatenate([wids[2:], jnp.stack([a, u_token])])
+                wids = jnp.where(accept, rolled, wids)
+                wcount = jnp.where(
+                    accept, jnp.minimum(wcount + 2, PENALTY_WINDOW), wcount
+                )
                 n = jnp.where(accept, n + 2, n)
                 done = done | event_now
                 prev = jnp.where(accept, jnp.stack([a, u_token]), prev)
                 out = jnp.where(accept, a, -1)
-                return (small_k, small_v, small_pos, n, prev, done, event_tok, last_logits), out
+                return (
+                    small_k, small_v, small_pos, n, prev, wids, wcount,
+                    done, event_tok, last_logits,
+                ), out
 
             init = (
                 jnp.zeros(kv_shape, dtype),
                 jnp.zeros(kv_shape, dtype),
                 jnp.full((n_small,), REJECTED_POS, jnp.int32),
-                n_tokens,
-                prev_pair,
-                jnp.bool_(False),
+                n0,
+                chain["prev_pair"],
+                chain["window_ids"],
+                chain["window_count"],
+                halted_in,
                 jnp.int32(-1),
                 jnp.zeros((cfg.vocab_size,), jnp.float32),
             )
-            (small_k, small_v, small_pos, n_final, prev, done, event_tok, last_logits), out_tokens = (
-                jax.lax.scan(
-                    frame_step, init, (jnp.arange(chunk_frames), user_tokens)
-                )
-            )
+            (
+                (small_k, small_v, small_pos, n_final, prev, wids, wcount,
+                 done, event_tok, last_logits),
+                out_tokens,
+            ) = jax.lax.scan(frame_step, init, (jnp.arange(chunk_frames), user_tokens))
             event_frame = jnp.argmax(out_tokens < 0).astype(jnp.int32)
             event_frame = jnp.where(jnp.any(out_tokens < 0), event_frame, chunk_frames)
+            had_event = (~halted_in) & (event_frame < chunk_frames)
 
             # event-probability head at the final evaled position
             probs = jax.nn.softmax(last_logits)
@@ -246,7 +305,7 @@ class DuplexSession:
             probe_ids = jnp.array([[end_audio]], jnp.int32)
             probe_hidden, _, _ = forward_decode(
                 params, probe_ids, cfg, k, v, n_final[None],
-                cache_valid=n_tokens,
+                cache_valid=n0,
                 extra_kv=(small_k, small_v), extra_pos=small_pos,
             )
             probe_logits = logits_from_hidden(params, probe_hidden[:, -1], cfg)[0]
@@ -264,8 +323,25 @@ class DuplexSession:
             out_codes = jnp.clip(out_tokens - cvs, 0, ccfg.codebook_size - 1)
             dec_ctx, audio_tail = decode_tail(
                 codec_params, codec_tables, dec_ctx, out_codes,
-                commit_decode & (event_frame == chunk_frames),
+                commit_decode & (~halted_in) & (event_frame == chunk_frames),
             )
+
+            new_chain = {
+                "prev_pair": prev,
+                "n": n_final,
+                # steps consumed: one per frame up to and including the event
+                # frame; frozen while halted (the host replays stepwise and
+                # resyncs). Unused on event paths — resync overwrites it.
+                "step": step0
+                + jnp.where(
+                    halted_in,
+                    0,
+                    jnp.where(had_event, event_frame + 1, chunk_frames),
+                ),
+                "window_ids": wids,
+                "window_count": wcount,
+                "halted": halted_in | had_event,
+            }
 
             # pack every host-bound value into two arrays: each device->host
             # fetch pays a full round trip (PCIe, or worse, a network tunnel),
@@ -274,7 +350,9 @@ class DuplexSession:
                 [
                     out_tokens.astype(jnp.int32),
                     user_tokens.astype(jnp.int32),
-                    jnp.stack([event_frame, event_tok, n_final]).astype(jnp.int32),
+                    jnp.stack(
+                        [event_frame, event_tok, n_final, halted_in.astype(jnp.int32)]
+                    ).astype(jnp.int32),
                 ]
             )
             packed_f32 = jnp.concatenate(
@@ -283,7 +361,7 @@ class DuplexSession:
                     jnp.stack([p_end_audio, p_agent, p_user]).astype(jnp.float32),
                 ]
             )
-            return k, v, enc_ctx, dec_ctx, packed_i32, packed_f32
+            return k, v, enc_ctx, dec_ctx, new_chain, packed_i32, packed_f32
 
         @jax.jit
         def encode_only(codec_params, codec_tables, enc_ctx, audio_chunk):
@@ -319,65 +397,86 @@ class DuplexSession:
         )
         return np.asarray(tail)
 
-    def process_chunk(self, audio_chunk: np.ndarray, commit_decode: bool = True) -> FusedChunkResult:
-        """One fused device call for the whole chunk. The engine's prev pair =
-        its last two mirrored ids (appended, not yet evaled)."""
+    # --------------------------------------------------------------- dispatch
+    def dispatch_chunk(
+        self,
+        audio_chunk: np.ndarray,
+        commit_decode: bool = True,
+        user_tokens: Optional[List[int]] = None,
+    ):
+        """Enqueue ONE fused device program for the whole chunk against the
+        device chain state and return the packed result handles WITHOUT
+        fetching them. The pipelined agent resolves them one chunk later;
+        the synchronous path resolves immediately (process_chunk)."""
         eng = self.engine
-        assert len(eng._input_ids) >= eng.n_tokens  # mirror sanity
-        prev_pair = np.asarray(self._pending_pair(), dtype=np.int32)
+        if self.chain is None:
+            self.sync_chain()
         bias_ids, bias_vals = eng.settings.bias_arrays()
-        from ..ops.sampling import PENALTY_WINDOW, make_window
-
-        window_ids, window_mask = make_window(self._mirror_ids(), PENALTY_WINDOW)
-        # fold_in(base_key, step0 + frame): the stepwise engine's schedule, so
-        # an event replay resamples identical tokens. The engine's step counter
-        # is NOT advanced here; the caller advances it by the number of frames
-        # actually consumed (commit_sampler_steps).
-        step0 = eng._step
-
+        use_pre = user_tokens is not None
+        ut = jnp.asarray(
+            np.asarray(user_tokens if use_pre else [0] * self.chunk_frames, np.int32)
+        )
         (
-            eng._k, eng._v, self.enc_ctx, self.dec_ctx, packed_i32, packed_f32,
+            eng._k, eng._v, self.enc_ctx, self.dec_ctx, self.chain,
+            packed_i32, packed_f32,
         ) = self._fused_chunk(
             eng.params,
             self.codec.params,
             self.codec.tables,
             eng._k,
             eng._v,
-            jnp.int32(eng.n_tokens),
+            self.chain,
             self.enc_ctx,
             self.dec_ctx,
             jnp.asarray(audio_chunk, jnp.float32),
-            jnp.asarray(prev_pair),
+            ut,
             eng._base_key,
-            jnp.int32(step0),
             eng.settings.scalars(),
             bias_ids,
             bias_vals,
-            window_ids,
-            window_mask,
             jnp.bool_(commit_decode),
             eng.settings.top_k,
+            use_pre,
         )
-        # ONE batched host fetch for the whole chunk result
-        ints, floats = jax.device_get((packed_i32, packed_f32))
+        return packed_i32, packed_f32
+
+    def resolve(self, handles) -> Tuple[FusedChunkResult, int]:
+        """Fetch a dispatched chunk's packed results (ONE batched host
+        transfer) and advance the engine's sampler-step counter for the
+        frames the fused program consumed."""
+        ints, floats = jax.device_get(handles)
         cf = self.chunk_frames
         event_frame = int(ints[2 * cf])
-        if event_frame == cf:
-            # fast path consumed one sampler step per frame
-            eng._step = step0 + cf
-        # event path: leave _step at step0 — the stepwise replay re-derives the
-        # exact same keys (fold_in(base_key, step0 + i)) frame by frame
+        halted_input = bool(ints[2 * cf + 3])
+        eng = self.engine
+        if not halted_input:
+            if event_frame == cf:
+                eng._step += cf
+            # event path: _step untouched — the stepwise replay re-derives the
+            # exact same keys (fold_in(base_key, step + i)) frame by frame
         out = FusedChunkResult(
             out_tokens=[int(t) for t in ints[:cf]],
             user_tokens=[int(t) for t in ints[cf : 2 * cf]],
             event_frame=event_frame,
             event_token=int(ints[2 * cf + 1]),
+            n_final=int(ints[2 * cf + 2]),
+            halted_input=halted_input,
             p_end_audio=float(floats[-3]),
             p_event_agent=float(floats[-2]),
             p_event_user=float(floats[-1]),
-            audio=floats[:-3] if event_frame == cf else None,
+            audio=floats[:-3] if (event_frame == cf and not halted_input) else None,
         )
-        return out, int(ints[2 * cf + 2])
+        return out, out.n_final
+
+    def process_chunk(
+        self, audio_chunk: np.ndarray, commit_decode: bool = True
+    ) -> Tuple[FusedChunkResult, int]:
+        """Synchronous fused chunk: dispatch + immediate resolve. The chain is
+        resynced from the host mirror first (the host may have mutated state
+        since the last fused chunk)."""
+        self.sync_chain()
+        handles = self.dispatch_chunk(audio_chunk, commit_decode=commit_decode)
+        return self.resolve(handles)
 
     def _pending_pair(self) -> List[int]:
         """The agent sequence's last two appended-but-unevaled ids."""
