@@ -317,6 +317,23 @@ class RealtimeAgent:
         frames = int(secs * self.resources.audio_tokenizer.framerate * 2)
         return frames - (frames % 2)  # snap to an audio token pair boundary
 
+    def cache_pos(self, seq_pos: int) -> int:
+        """Map an agent-sequence position to its KV-cache position. After a
+        trim the cache holds header + post-trim suffix, so cache positions
+        shift by (trim point - header length) (reference
+        realtime_agent_v2.py:730)."""
+        trim_to_frames = self.frames_from_secs(self.trim_to_secs)
+        if trim_to_frames == 0:
+            return seq_pos
+        trim_to_pos = self.audio_tokens_idx[trim_to_frames]
+        return seq_pos - trim_to_pos + self.context_start_pos
+
+    def _fused_ready(self) -> bool:
+        """The fused chunk path needs exactly the pending (agent, user) pair
+        unevaled — in CACHE coordinates, which differ from sequence length
+        once trimming is active."""
+        return self.resources.llm.n_tokens == self.cache_pos(len(self.input_ids) - 2)
+
     def recompute_kv_cache(self, edit_start_pos: int, edit_end_pos: Optional[int] = None) -> None:
         """Re-evaluate the sequence suffix after an in-place edit or trim.
 
@@ -347,7 +364,34 @@ class RealtimeAgent:
         llm = self.resources.llm
         text_start_pos = len(self.input_ids)
         text_start_n_tokens = llm.n_tokens
+
+        if not constrained and hasattr(llm, "generate_until"):
+            # unconstrained: jitted multi-token generation — one device call
+            # per 32 tokens instead of one per token (token-exact equivalent)
+            while True:
+                remaining = self.config.max_inline_text_tokens - (
+                    len(self.input_ids) - text_start_pos
+                )
+                if remaining <= 0:
+                    llm.eval(self.input_ids[-1:])
+                    self.input_ids.append(self.start_audio_token_id)
+                    break
+                toks, hit_stop = llm.generate_until(
+                    self.input_ids[-1], self.start_audio_token_id, max_n=32
+                )
+                self.input_ids.extend(toks)
+                if hit_stop:
+                    break
+            return len(self.input_ids) - text_start_pos
+
         while True:
+            if len(self.input_ids) - text_start_pos >= self.config.max_inline_text_tokens:
+                # runaway generation: force the return to audio mode. Eval the
+                # trailing sampled token first so the state shape matches a
+                # sampled <|audio|> break (exactly one appended-not-evaled id)
+                llm.eval(self.input_ids[-1:])
+                self.input_ids.append(self.start_audio_token_id)
+                break
             next_token = llm.eval_and_sample(self.input_ids[-1:])
             self.input_ids.append(next_token)
             if next_token == self.start_audio_token_id:
@@ -714,7 +758,7 @@ class RealtimeAgent:
                 and audio_chunk_input_ids is None
                 and not self.config.use_external_tts
                 and not (force_trans or force_response)
-                and len(self.input_ids) - self.resources.llm.n_tokens == 2
+                and self._fused_ready()
                 and all(t > self.end_header_token_id for t in self.input_ids[-2:])
             )
 
@@ -866,8 +910,13 @@ class RealtimeAgent:
         session = self._session
         # host-state mutations (trim / forced events / non-audio mode) cannot
         # run under an in-flight speculative chunk: drain first, then take the
-        # synchronous path for this chunk (rare: ~1 trim per 200 chunks)
-        trim_due = self.total_secs - self.trim_to_secs >= self.config.max_context_secs
+        # synchronous path for this chunk (rare: ~1 trim per 200 chunks).
+        # total_secs lags by the in-flight chunk — count it, so the trim fires
+        # at the same chunk index as the synchronous agent (token parity).
+        effective_secs = self.total_secs + (
+            self.config.chunk_size_secs if self._pending is not None else 0.0
+        )
+        trim_due = effective_secs - self.trim_to_secs >= self.config.max_context_secs
         if not can_fuse or trim_due:
             emit = self._resolve_pending()
             if emit is None and self._out_buffer is not None:

@@ -8,6 +8,7 @@ without it (use_whisper is auto-disabled by the agent when no ASR is loaded).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -41,20 +42,59 @@ class WhisperCppASR(ASRModel):
         return " ".join(segment.text for segment in segments)
 
 
+class TransformersWhisperASR(ASRModel):
+    """HF Whisper backend (torch CPU — installed in this image): loads a
+    local checkpoint directory or hub id via WhisperForConditionalGeneration.
+    Greedy single-segment decoding matches the reference whisper.cpp call
+    surface (realtime_agent_v2.py:421-428)."""
+
+    def __init__(self, model_name_or_path: str = None, model=None, processor=None):
+        import torch
+
+        if model is None or processor is None:
+            from transformers import WhisperForConditionalGeneration, WhisperProcessor
+
+            model = WhisperForConditionalGeneration.from_pretrained(model_name_or_path)
+            processor = WhisperProcessor.from_pretrained(model_name_or_path)
+        self._torch = torch
+        self._model = model.eval()
+        self._processor = processor
+
+    def transcribe(self, audio: np.ndarray, temperature: float = 0.0) -> str:
+        inputs = self._processor(
+            np.asarray(audio, dtype=np.float32), sampling_rate=16000, return_tensors="pt"
+        )
+        with self._torch.no_grad():
+            ids = self._model.generate(
+                inputs.input_features,
+                do_sample=temperature > 0,
+                temperature=temperature if temperature > 0 else None,
+                max_new_tokens=128,
+            )
+        return self._processor.batch_decode(ids, skip_special_tokens=True)[0].strip()
+
+
 def load_asr(model: Optional[object]) -> Optional[ASRModel]:
-    """None stays None; a string loads whisper.cpp if available; an ASRModel
-    passes through."""
+    """None stays None; an ASRModel passes through; a string tries
+    whisper.cpp first, then an HF Whisper checkpoint (local dir or hub id
+    when weights are available locally)."""
     if model is None or isinstance(model, ASRModel):
         return model
     if isinstance(model, str):
         try:
             return WhisperCppASR(model)
         except ImportError:
+            pass
+        try:
+            name = model if "/" in model or os.path.isdir(model) else f"openai/whisper-{model}"
+            return TransformersWhisperASR(name)
+        except Exception:
             import warnings
 
             warnings.warn(
-                f"pywhispercpp not installed; ASR model '{model}' unavailable — "
-                "native transcription will be used (use_whisper disabled)."
+                f"no ASR backend available for '{model}' (pywhispercpp missing, "
+                "HF Whisper weights not found locally) — native transcription "
+                "will be used (use_whisper disabled)."
             )
             return None
     raise TypeError(f"Unsupported ASR model: {type(model)}")

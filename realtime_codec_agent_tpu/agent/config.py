@@ -42,6 +42,10 @@ class RealtimeAgentConfig:
     force_trans_after_inactivity_secs: float = 0.5
     force_response_after_inactivity_secs: float = 3.0
     finalize_response_after_inactivity_secs: float = 3.0
+    # safety cap on a single inline text generation (the reference loops until
+    # <|audio|> is sampled, realtime_agent_v2.py:192-220 — unbounded if the
+    # model never emits it; a runaway generation would stall the realtime loop)
+    max_inline_text_tokens: int = 512
     finalize_response_improbable_token_tolerance: int = 3
     use_whisper: bool = True
     # framing token strings

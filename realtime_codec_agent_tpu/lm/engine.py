@@ -21,7 +21,7 @@ TPU-native replacement for the llama.cpp runtime the reference drives through
 from __future__ import annotations
 
 import functools
-from typing import Generator, List, Optional, Sequence
+from typing import Generator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,11 +149,84 @@ class DuplexLMEngine:
         def probs_of(logits, ids):
             return jax.nn.softmax(logits)[ids]
 
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2), static_argnames=("top_k", "max_n")
+        )
+        def gen_until(
+            params, k, v, n_tokens, first_token, base_key, step0,
+            scalars, bias_ids, bias_vals, window_ids, window_count,
+            stop_id, top_k, max_n,
+        ):
+            """Jitted multi-token generation (SURVEY §7 hard part 2): up to
+            max_n sequential eval+sample steps in ONE device program, halting
+            bookkeeping when stop_id is sampled. K/V accumulates in a small
+            side buffer against the READ-ONLY cache and commits once. The
+            PRNG/penalty-window schedule is identical to per-token
+            eval_and_sample, so results match the stepwise path token-exactly."""
+            from ..models.llama import commit_kv_scatter, forward_decode
+
+            cache_len = k.shape[2]
+            trash = cache_len - 4
+            rejected = jnp.int32(2**30)
+            kv_shape = (cfg.num_layers, 1, max_n, cfg.num_kv_heads, cfg.head_dim)
+            dtype = jnp.dtype(cfg.compute_dtype)
+
+            def step(carry, i):
+                small_k, small_v, small_pos, tok, wids, wcount, done, last_logits = carry
+                pos = n_tokens + i
+                wmask = (
+                    jnp.arange(PENALTY_WINDOW) >= PENALTY_WINDOW - wcount
+                ).astype(jnp.float32)
+                hidden, nk, nv = forward_decode(
+                    params, tok[None, None], cfg, k, v, pos[None],
+                    cache_valid=n_tokens,
+                    extra_kv=(small_k, small_v), extra_pos=small_pos,
+                )
+                logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
+                key = jax.random.fold_in(base_key, step0 + i)
+                nxt = sample_token(
+                    logits, key, scalars, bias_ids, bias_vals, wids, wmask,
+                    top_k=top_k,
+                )
+                accept = ~done
+                last_logits = jnp.where(done, last_logits, logits)
+                small_k = jax.lax.dynamic_update_slice(small_k, nk, (0, 0, i, 0, 0))
+                small_v = jax.lax.dynamic_update_slice(small_v, nv, (0, 0, i, 0, 0))
+                small_pos = small_pos.at[i].set(jnp.where(accept, pos, rejected))
+                # roll the sampled token into the penalty window (stepwise
+                # make_window over the growing mirror does the same)
+                rolled = jnp.concatenate([wids[1:], nxt[None]])
+                wids = jnp.where(accept, rolled, wids)
+                wcount = jnp.where(accept, jnp.minimum(wcount + 1, PENALTY_WINDOW), wcount)
+                out = jnp.where(accept, nxt, -1)
+                done = done | (nxt == stop_id)
+                tok = jnp.where(accept, nxt, tok)
+                return (small_k, small_v, small_pos, tok, wids, wcount, done, last_logits), out
+
+            init = (
+                jnp.zeros(kv_shape, dtype),
+                jnp.zeros(kv_shape, dtype),
+                jnp.full((max_n,), rejected, jnp.int32),
+                first_token,
+                window_ids,
+                window_count,
+                jnp.bool_(False),
+                jnp.zeros((cfg.vocab_size,), jnp.float32),
+            )
+            (small_k, small_v, small_pos, _, _, _, done, last_logits), out_tokens = (
+                jax.lax.scan(step, init, jnp.arange(max_n))
+            )
+            target_idx = jnp.where(small_pos < rejected, small_pos, trash)
+            k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
+            n_out = (out_tokens >= 0).sum().astype(jnp.int32)
+            return out_tokens, n_out, done, last_logits, k, v
+
         self._prefill_fn = prefill
         self._decode_fn = decode_step
         self._resample_fn = resample
         self._score_fn = score
         self._probs_fn = probs_of
+        self._gen_until_fn = gen_until
 
     # ----------------------------------------------------------- state mgmt
     @property
@@ -293,6 +366,50 @@ class DuplexLMEngine:
         self._n_tokens += len(tokens)
         return int(token)
 
+    def generate_until(
+        self, first_token: int, stop_id: int, max_n: int = 64
+    ) -> Tuple[List[int], bool]:
+        """Jitted multi-token generation: eval ``first_token`` (the pending
+        appended-not-evaled id) then sample until ``stop_id`` or max_n tokens,
+        in ONE device call. Token-exact equivalent of looping
+        ``eval_and_sample(ids[-1:])`` (same PRNG + penalty-window schedule);
+        the final sampled token is returned appended-not-evaled, matching the
+        stepwise loop's state shape."""
+        ids = self._input_ids + [int(first_token)]
+        tail = ids[-PENALTY_WINDOW:]
+        window = np.zeros((PENALTY_WINDOW,), np.int32)
+        if tail:
+            window[-len(tail):] = tail
+        bias_ids, bias_vals = self.settings.bias_arrays()
+        out_tokens, n_out, done, last_logits, self._k, self._v = self._gen_until_fn(
+            self.params,
+            self._k,
+            self._v,
+            jnp.int32(self._n_tokens),
+            jnp.int32(first_token),
+            self._base_key,
+            jnp.int32(self._step),
+            self.settings.scalars(),
+            bias_ids,
+            bias_vals,
+            jnp.asarray(window),
+            jnp.int32(len(tail)),
+            jnp.int32(stop_id),
+            self.settings.top_k,
+            max_n,
+        )
+        out, n, hit = jax.device_get((out_tokens, n_out, done))
+        toks = [int(t) for t in out[: int(n)]]
+        if not toks:
+            return [], False
+        # evaled on device: first_token + all sampled except the last
+        evaled = [int(first_token)] + toks[:-1]
+        self._input_ids.extend(evaled)
+        self._n_tokens += len(evaled)
+        self._step += len(toks)
+        self._last_logits = last_logits
+        return toks, bool(hit)
+
     def generate(
         self, tokens: Sequence[int], reset: bool = False
     ) -> Generator[int, None, None]:
@@ -314,7 +431,11 @@ class DuplexLMEngine:
         seq = [int(t) for t in ctx_input_ids] + [int(t) for t in input_ids]
         b = _bucket(len(seq))
         if len(seq) > b:
-            b = ((len(seq) + SCORE_CHUNK - 1) // SCORE_CHUNK) * SCORE_CHUNK
+            # power-of-two buckets beyond the prefill set: a fresh XLA compile
+            # per distinct length would stall realtime events
+            b = PREFILL_BUCKETS[-1]
+            while b < len(seq):
+                b *= 2
         tokens = np.zeros((1, b), dtype=np.int32)
         tokens[0, : len(seq)] = seq
         targets = np.zeros((1, b), dtype=np.int32)

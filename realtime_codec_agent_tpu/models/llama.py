@@ -285,11 +285,20 @@ def forward(
             new_v.append(v_full)
             k_att = nn.repeat_kv(k_full, cfg.n_rep)
             v_att = nn.repeat_kv(v_full, cfg.n_rep)
+            attn = nn.attention(q, k_att, v_att, mask=mask)
+        elif t > 512:
+            # long causal self-attention (teacher-forced scoring, training):
+            # flash-style key-block scan, no (T,T) score materialization
+            attn = nn.flash_causal_attention(
+                q,
+                nn.repeat_kv(k, cfg.n_rep),
+                nn.repeat_kv(v, cfg.n_rep),
+                valid=attn_mask,
+            )
         else:
             k_att = nn.repeat_kv(k, cfg.n_rep)
             v_att = nn.repeat_kv(v, cfg.n_rep)
-
-        attn = nn.attention(q, k_att, v_att, mask=mask)
+            attn = nn.attention(q, k_att, v_att, mask=mask)
         attn = jnp.dot(
             attn.reshape(b, t, cfg.q_dim), blk["wo"], preferred_element_type=jnp.float32
         ).astype(dtype)
@@ -336,39 +345,97 @@ def _gqa_two_piece_attention(
     cache_valid: jnp.ndarray,  # scalar: cache indices >= this are stale
 ) -> jnp.ndarray:
     """Joint softmax over cache + new keys without materializing either a
-    concatenated key tensor or head-repeated (GQA) copies of the cache."""
+    concatenated key tensor or head-repeated (GQA) copies of the cache.
+
+    Small T (decode / fused frame steps): one-shot scores over the full cache
+    — (T, S) fits comfortably. Large T (bucketed prefill, KV rebuild after a
+    trim): flash-style online softmax over key blocks so the (T, S) f32 score
+    matrix is never materialized (at T=2048 x S=18k it would be ~19 GB of
+    traffic per layer)."""
     b, t, h, dh = q.shape
     kh = k_big.shape[2]
     g = h // kh
     scale = dh ** -0.5
     qg = q.reshape(b, t, kh, g, dh)
+    neg = jnp.float32(-1e30)
 
-    s_big = jnp.einsum(
-        "btkgd,bskd->bkgts", qg, k_big, preferred_element_type=jnp.float32
-    ) * scale  # (B,KH,G,T,S)
     s_new = jnp.einsum(
         "btkgd,bwkd->bkgtw", qg, k_new, preferred_element_type=jnp.float32
     ) * scale  # (B,KH,G,T,W)
-
-    big_pos = jnp.arange(k_big.shape[1])
-    # cache key at index s holds position s; indices >= cache_valid are stale
-    # (rolled back / not yet committed) and must never be attended
-    m_big = (big_pos[None, :] <= q_pos[:, None]) & (big_pos[None, :] < cache_valid)
     m_new = new_pos[None, :] <= q_pos[:, None]       # (T,W)
-    neg = jnp.float32(-1e30)
-    s_big = jnp.where(m_big[None, None, None], s_big, neg)
     s_new = jnp.where(m_new[None, None, None], s_new, neg)
 
-    s_all = jnp.concatenate([s_big, s_new], axis=-1)
-    probs = jax.nn.softmax(s_all, axis=-1)
-    p_big = probs[..., : k_big.shape[1]].astype(v_big.dtype)
-    p_new = probs[..., k_big.shape[1] :].astype(v_new.dtype)
-    out = jnp.einsum(
-        "bkgts,bskd->btkgd", p_big, v_big, preferred_element_type=jnp.float32
-    ) + jnp.einsum(
-        "bkgtw,bwkd->btkgd", p_new, v_new, preferred_element_type=jnp.float32
+    s = k_big.shape[1]
+    if t <= 8:
+        s_big = jnp.einsum(
+            "btkgd,bskd->bkgts", qg, k_big, preferred_element_type=jnp.float32
+        ) * scale  # (B,KH,G,T,S)
+        big_pos = jnp.arange(s)
+        # cache key at index s holds position s; indices >= cache_valid are
+        # stale (rolled back / not yet committed) and must never be attended
+        m_big = (big_pos[None, :] <= q_pos[:, None]) & (big_pos[None, :] < cache_valid)
+        s_big = jnp.where(m_big[None, None, None], s_big, neg)
+
+        s_all = jnp.concatenate([s_big, s_new], axis=-1)
+        probs = jax.nn.softmax(s_all, axis=-1)
+        p_big = probs[..., :s].astype(v_big.dtype)
+        p_new = probs[..., s:].astype(v_new.dtype)
+        out = jnp.einsum(
+            "bkgts,bskd->btkgd", p_big, v_big, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "bkgtw,bwkd->btkgd", p_new, v_new, preferred_element_type=jnp.float32
+        )
+        return out.reshape(b, t, h, dh).astype(q.dtype)
+
+    # ---- flash path: scan key blocks with running (max, denom, acc) ----
+    block = 1024
+    n_blocks = -(-s // block)
+    s_pad = n_blocks * block
+    if s_pad != s:
+        pad = [(0, 0), (0, s_pad - s), (0, 0), (0, 0)]
+        k_big = jnp.pad(k_big, pad)
+        v_big = jnp.pad(v_big, pad)
+    kb = k_big.reshape(b, n_blocks, block, kh, dh).transpose(1, 0, 2, 3, 4)
+    vb = v_big.reshape(b, n_blocks, block, kh, dh).transpose(1, 0, 2, 3, 4)
+
+    def blk(carry, inputs):
+        m, l, acc = carry
+        k_blk, v_blk, blk_idx = inputs  # (B,block,KH,Dh) x2
+        pos = blk_idx * block + jnp.arange(block)
+        sb = jnp.einsum(
+            "btkgd,bskd->bkgts", qg, k_blk, preferred_element_type=jnp.float32
+        ) * scale  # (B,KH,G,T,block)
+        mask = (pos[None, :] <= q_pos[:, None]) & (pos[None, :] < cache_valid)
+        sb = jnp.where(mask[None, None, None], sb, neg)
+        m_new_ = jnp.maximum(m, sb.max(axis=-1, keepdims=True))
+        p = jnp.exp(sb - m_new_)
+        corr = jnp.exp(m - m_new_)
+        l = l * corr + p.sum(axis=-1, keepdims=True)
+        pv = jnp.einsum(
+            "bkgts,bskd->bkgtd", p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * corr + pv
+        return (m_new_, l, acc), None
+
+    m0 = jnp.full((b, kh, g, t, 1), neg, jnp.float32)
+    l0 = jnp.zeros((b, kh, g, t, 1), jnp.float32)
+    acc0 = jnp.zeros((b, kh, g, t, dh), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(blk, (m0, l0, acc0), (kb, vb, jnp.arange(n_blocks)))
+
+    # final block: the new/self keys
+    m_fin = jnp.maximum(m, s_new.max(axis=-1, keepdims=True))
+    p_new = jnp.exp(s_new - m_fin)
+    corr = jnp.exp(m - m_fin)
+    l = l * corr + p_new.sum(axis=-1, keepdims=True)
+    acc = acc * corr + jnp.einsum(
+        "bkgtw,bwkd->bkgtd", p_new.astype(v_new.dtype), v_new,
+        preferred_element_type=jnp.float32,
     )
-    return out.reshape(b, t, h, dh).astype(q.dtype)
+    out = acc / jnp.maximum(l, 1e-30)
+    # (B,KH,G,T,Dh) -> (B,T,H,Dh)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, dh)
+    return out.astype(q.dtype)
 
 
 def forward_decode(

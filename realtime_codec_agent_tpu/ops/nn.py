@@ -116,6 +116,72 @@ def attention(
     return out.astype(q.dtype)
 
 
+def flash_causal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,  # (B, T) key validity (padding mask)
+    block: int = 1024,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Causal self-attention with online softmax over key blocks — never
+    materializes the (T, T) score matrix (at T=8k that is ~8 GB in f32 per
+    head group). q/k/v: (B, T, H, Dh); softmax statistics in f32."""
+    b, t, h, dh = q.shape
+    if scale is None:
+        scale = dh ** -0.5
+    neg = jnp.float32(-1e30)
+    n_blocks = -(-t // block)
+    t_pad = n_blocks * block
+    pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+    kp = jnp.pad(k, pad) if t_pad != t else k
+    vp = jnp.pad(v, pad) if t_pad != t else v
+    validp = None
+    if valid is not None:
+        validp = jnp.pad(valid, [(0, 0), (0, t_pad - t)]) if t_pad != t else valid
+    kb = kp.reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
+    vb = vp.reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
+    q_pos = jnp.arange(t)
+
+    def blk(carry, inputs):
+        m, l, acc = carry
+        if validp is not None:
+            k_blk, v_blk, blk_idx, val_blk = inputs
+        else:
+            k_blk, v_blk, blk_idx = inputs
+            val_blk = None
+        key_pos = blk_idx * block + jnp.arange(block)
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_blk, preferred_element_type=jnp.float32
+        ) * scale  # (B,H,T,block)
+        mask = key_pos[None, :] <= q_pos[:, None]
+        if val_blk is not None:
+            mask = mask & val_blk[:, None, None, :].astype(bool)
+        else:
+            mask = mask[None, None]
+        s = jnp.where(mask if mask.ndim == 4 else mask[None, None], s, neg)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + p.sum(axis=-1, keepdims=True)
+        pv = jnp.einsum(
+            "bhqk,bkhd->bhqd", p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * corr + pv
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, h, t, 1), neg, jnp.float32)
+    l0 = jnp.zeros((b, h, t, 1), jnp.float32)
+    acc0 = jnp.zeros((b, h, t, dh), jnp.float32)
+    xs = (kb, vb, jnp.arange(n_blocks))
+    if validp is not None:
+        xs = xs + (validp.reshape(b, n_blocks, block).transpose(1, 0, 2),)
+    (m, l, acc), _ = jax.lax.scan(blk, (m0, l0, acc0), xs)
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (B,T,H,Dh)
+
+
 def causal_mask(tq: int, tk: int, q_offset) -> jnp.ndarray:
     """(1, 1, tq, tk) boolean mask: query at absolute pos q_offset+i attends keys <= that pos."""
     q_pos = q_offset + jnp.arange(tq)[:, None]

@@ -47,7 +47,10 @@ class ByteTextTokenizer:
 
     def __init__(self, atomic_tokens: Optional[Sequence[str]] = None):
         if atomic_tokens is None:
-            atomic_tokens = [f" {chr(ord('A') + i)}" for i in range(26)]
+            # speaker-identity tokens " A".." Z" plus the external-content
+            # marker '†' (one id each — the real Llama tokenizer also encodes
+            # these atomically, and the agent stores single marker ids)
+            atomic_tokens = [f" {chr(ord('A') + i)}" for i in range(26)] + ["†"]
         self.atomic_tokens = list(atomic_tokens)
         self._atomic_to_id = {tok: 259 + i for i, tok in enumerate(self.atomic_tokens)}
         self._id_to_atomic = {v: k for k, v in self._atomic_to_id.items()}

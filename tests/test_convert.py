@@ -262,3 +262,59 @@ def test_forward_decode_matches_full_forward():
     np.testing.assert_allclose(
         np.asarray(h), np.asarray(full_hidden[:, 11:12]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_forward_decode_flash_prefill_matches_full_forward():
+    """T>8 prefill takes the flash (online-softmax key-block) path — must
+    match the one-shot small-T path and the full causal forward."""
+    from realtime_codec_agent_tpu.models.llama import commit_kv, forward_decode
+
+    cfg = llama.tiny_lm_config(vocab_size=97, compute_dtype="float32", max_context=128)
+    params = llama.init_lm_params(jax.random.PRNGKey(9), cfg)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, 97, size=(1, 40)))
+
+    full_hidden, _ = llama.forward(params, ids, cfg)
+
+    S = 64
+    k = jnp.zeros((cfg.num_layers, 1, S, cfg.num_kv_heads, cfg.head_dim), jnp.float32)
+    v = jnp.zeros_like(k)
+    # prefill 8 (one-shot path), then 32 (flash path) on top of the cache
+    h1, nk, nv = forward_decode(params, ids[:, :8], cfg, k, v, jnp.arange(8))
+    k, v = commit_kv(k, v, nk, nv, 0)
+    h2, nk, nv = forward_decode(params, ids[:, 8:40], cfg, k, v, jnp.arange(8, 40))
+    got = np.concatenate([np.asarray(h1), np.asarray(h2)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(full_hidden), rtol=2e-4, atol=1e-5)
+
+
+def test_forward_flash_causal_matches_attention():
+    """T>512 full-causal forward takes flash_causal_attention — must match
+    the incremental (verified) decode path, including padding masks."""
+    from realtime_codec_agent_tpu.models.llama import commit_kv, forward_decode
+
+    cfg = llama.tiny_lm_config(vocab_size=97, compute_dtype="float32", max_context=768)
+    params = llama.init_lm_params(jax.random.PRNGKey(11), cfg)
+    rng = np.random.default_rng(6)
+    T = 600
+    ids = jnp.asarray(rng.integers(0, 97, size=(1, T)))
+
+    flash_hidden, _ = llama.forward(params, ids, cfg)  # flash path (T>512)
+
+    S = 768
+    k = jnp.zeros((cfg.num_layers, 1, S, cfg.num_kv_heads, cfg.head_dim), jnp.float32)
+    v = jnp.zeros_like(k)
+    h1, nk, nv = forward_decode(params, ids[:, :300], cfg, k, v, jnp.arange(300))
+    k, v = commit_kv(k, v, nk, nv, 0)
+    h2, _, _ = forward_decode(params, ids[:, 300:], cfg, k, v, jnp.arange(300, T))
+    got = np.concatenate([np.asarray(h1), np.asarray(h2)], axis=1)
+    np.testing.assert_allclose(np.asarray(flash_hidden), got, rtol=3e-4, atol=3e-5)
+
+    # padding mask: padded batch rows must not change the valid prefix
+    pad_ids = jnp.concatenate([ids, jnp.zeros((1, 100), jnp.int32)], axis=1)
+    valid = jnp.concatenate(
+        [jnp.ones((1, T), jnp.int32), jnp.zeros((1, 100), jnp.int32)], axis=1
+    )
+    padded_hidden, _ = llama.forward(params, pad_ids, cfg, attn_mask=valid)
+    np.testing.assert_allclose(
+        np.asarray(padded_hidden[:, :T]), np.asarray(flash_hidden), rtol=3e-4, atol=3e-5
+    )

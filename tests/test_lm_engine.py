@@ -233,3 +233,46 @@ def test_codec_llama_dual_route_and_persist():
     np.testing.assert_array_equal(
         np.asarray(vanilla["embed_tokens"][:100]), np.asarray(params["embed_tokens"][:100])
     )
+
+
+def test_generate_until_matches_stepwise_sampled(cfg, params):
+    """The jitted multi-token scan (generate_until) must produce the exact
+    token stream of the per-token eval_and_sample loop — same PRNG schedule,
+    same penalty window, same KV state afterwards (f32 so cross-program
+    numerics cannot flip samples)."""
+    import dataclasses
+
+    from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+    from realtime_codec_agent_tpu.models.llama import init_lm_params
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
+    params32 = init_lm_params(jax.random.PRNGKey(2), cfg32)
+    stop_id = 7
+
+    def make():
+        e = DuplexLMEngine(params32, cfg32, seed=5)
+        e.init_sampler_for_generate(temp=1.0, top_k=50, repeat_penalty=1.3, seed=5)
+        e.eval(list(range(20, 30)))
+        return e
+
+    # stepwise reference
+    ref = make()
+    first = 31
+    ref_tokens = []
+    tok = first
+    for _ in range(16):
+        tok = ref.eval_and_sample([tok])
+        ref_tokens.append(tok)
+        if tok == stop_id:
+            break
+
+    scan = make()
+    toks, hit = scan.generate_until(first, stop_id=stop_id, max_n=16)
+    assert toks == ref_tokens
+    assert hit == (ref_tokens[-1] == stop_id)
+    # engine bookkeeping identical: same mirror, n_tokens, step counter
+    assert scan._input_ids == ref._input_ids
+    assert scan.n_tokens == ref.n_tokens
+    assert scan._step == ref._step
+    # KV state equivalent: next decode step samples the same token
+    assert scan.eval_and_sample([toks[-1]]) == ref.eval_and_sample([ref_tokens[-1]])

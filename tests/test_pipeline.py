@@ -152,3 +152,44 @@ def test_replay_resamples_identical_tokens(resources):
         replayed.append(tok)
         pending = [tok, res.user_tokens[i]]
     assert replayed == fused_tokens
+
+
+def test_fused_path_survives_context_trim(resources):
+    """After the 80s-style trim + KV rebuild, cache positions diverge from
+    sequence positions; the fused-path precondition must use cache
+    coordinates (r1 bench regression: every post-trim chunk silently fell
+    back to the stepwise path). Tokens must also stay identical to the
+    synchronous agent across the trim."""
+    def tiny_trim_agent(pipeline):
+        a = make_agent(resources, pipeline=pipeline, temperature=0.0)
+        a.config.max_context_secs = 1.0
+        a.config.trim_by_secs = 0.5
+        return a
+
+    sync = tiny_trim_agent(False)
+    pipe = tiny_trim_agent(True)
+    audio = chunks(16, seed=4)  # 1.6 s -> trims fire at 1.0 s and 1.5 s
+    for c in audio:
+        sync.process_audio(c)
+        pipe.process_audio(c)
+    pipe.drain_pipeline()
+
+    assert sync.trim_to_secs >= 0.5  # the trim actually fired
+    assert pipe.trim_to_secs == sync.trim_to_secs
+    assert pipe.input_ids == sync.input_ids
+    # post-trim: cache is shorter than the sequence, and the fused
+    # precondition still holds for both agents
+    assert sync.resources.llm.n_tokens < len(sync.input_ids) - 2
+    assert sync._fused_ready()
+    assert pipe._fused_ready()
+
+    # the fused program is actually used after the trim
+    calls = {"n": 0}
+    orig = pipe._session.dispatch_chunk
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+    pipe._session.dispatch_chunk = counting
+    for c in chunks(3, seed=9):
+        pipe.process_audio(c)
+    assert calls["n"] == 3
