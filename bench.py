@@ -43,6 +43,14 @@ def main():
         help="force a trans/response event every N chunks (0 = hot loop only)",
     )
     parser.add_argument("--event_text_tokens", type=int, default=30)
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 decode weights (the reference's q8_0 deployment artifact)",
+    )
+    parser.add_argument(
+        "--no-prewarm", action="store_true",
+        help="skip cold-path shape prewarming during setup",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -54,7 +62,9 @@ def main():
     from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
 
     t_setup = time.time()
-    resources = RealtimeAgentResources(tiny=args.tiny, whisper_model=None)
+    resources = RealtimeAgentResources(
+        tiny=args.tiny, whisper_model=None, quantize_int8=args.int8
+    )
     config = RealtimeAgentConfig(
         seed=args.seed,
         use_whisper=False,
@@ -69,6 +79,20 @@ def main():
         # random weights never sample <|audio|>: bound the scripted events
         max_inline_text_tokens=args.event_text_tokens,
     )
+    # prewarm the cold-path program shapes (big prefill buckets for the trim
+    # KV rebuild, teacher-forced scoring, scan text generation) so first-time
+    # XLA compiles land in setup, not in the timed region. State is rolled
+    # back; the agent's reset re-prefills from scratch.
+    if not args.no_prewarm:
+        eng = resources.llm
+        eng.init_sampler_for_generate(seed=args.seed)
+        for n in (1024, 2048):
+            eng.eval([1] * n)
+        eng.get_logprobs([1] * 100, [1] * 50)        # score @ 256
+        eng.get_logprobs([1] * 1500, [1] * 100)      # score @ 2048
+        eng.get_logprobs([1] * 2500, [1] * 100)      # score @ 4096
+        eng.generate_until(1, stop_id=0, max_n=32)
+        eng.reset()
     agent = RealtimeAgent(resources=resources, config=config)
     # pin generation to the codec region (pure-audio duplex path)
     _orig_set_sampler = agent.set_sampler

@@ -1,0 +1,148 @@
+"""Benchmark suite over the BASELINE.md configs (one JSON line per metric).
+
+1. codec_roundtrip_rtf     — mono streaming encode->decode, 10 s WAV, 100 ms
+                             chunks through AudioTokenizer (BASELINE config 1)
+2. batch_encode_xrt        — offline corpus encoding throughput, sliding
+                             2 s windows, batch 256 (config 2; replaces the
+                             reference's 4-GPU shell sharding with one job)
+3. ar_decode_tok_s         — interleaved AR decode rate through the fused
+                             duplex chunk program (config 3)
+4. self_play_rtf           — two full agents cross-feeding on one chip
+                             (config 5)
+
+``python bench.py`` remains the headline full-duplex metric (config 4).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit, **extra}))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--skip", nargs="+", default=[], choices=["codec", "encode", "ar", "selfplay"])
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    from realtime_codec_agent_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from realtime_codec_agent_tpu.audio_tokenizer import AudioTokenizer
+    from realtime_codec_agent_tpu.models.codec import (
+        CodecConfig, JaxCodecModel, tiny_codec_config,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    ccfg = tiny_codec_config() if args.tiny else CodecConfig()
+    codec = JaxCodecModel.random_init(ccfg, seed=0)
+    sr = codec.sample_rate
+
+    # ---- 1. codec streaming round trip -------------------------------------
+    if "codec" not in args.skip:
+        at = AudioTokenizer(codec_model=codec)
+        audio = (0.2 * np.sin(2 * np.pi * 220 * np.arange(10 * sr) / sr)).astype(np.float32)
+        chunk = int(0.1 * sr)
+        # warmup
+        for i in range(5):
+            s = at.tokenize_audio(audio[i * chunk : (i + 1) * chunk])
+            at.detokenize_audio(s)
+        t0 = time.perf_counter()
+        n = len(audio) // chunk
+        for i in range(n):
+            s = at.tokenize_audio(audio[i * chunk : (i + 1) * chunk])
+            (_, out), _, _ = at.detokenize_audio(s)
+        dt = time.perf_counter() - t0
+        emit("codec_roundtrip_rtf", dt / (n * 0.1), "x_realtime (lower is better)")
+
+    # ---- 2. batched corpus encode throughput --------------------------------
+    if "encode" not in args.skip:
+        from realtime_codec_agent_tpu.data.encode_corpus import CorpusEncoder
+
+        enc = CorpusEncoder(codec, chunk_secs=0.1, context_secs=2.0, batch_size=256)
+        secs = 120
+        audio = (0.1 * rng.normal(size=secs * sr)).astype(np.float32)
+        enc.encode_channel(audio[: 10 * sr])  # warmup/compile
+        t0 = time.perf_counter()
+        codes = enc.encode_channel(audio)
+        dt = time.perf_counter() - t0
+        emit(
+            "batch_encode_xrt", secs / dt, "x_realtime audio-seconds/second (higher is better)",
+            frames=int(codes.shape[-1]),
+        )
+
+    # ---- 3. AR decode rate through the fused duplex chunk -------------------
+    if "ar" not in args.skip:
+        from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
+        from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
+
+        resources = RealtimeAgentResources(
+            tiny=args.tiny, codec_model=codec, whisper_model=None
+        )
+        config = RealtimeAgentConfig(
+            seed=args.seed, use_whisper=False, agent_opening_text=None,
+            force_trans_after_inactivity_secs=0.0,
+            force_response_after_inactivity_secs=0.0,
+            pipeline_chunks=True,
+        )
+        agent = RealtimeAgent(resources=resources, config=config)
+        orig = agent.set_sampler
+
+        def pinned(for_trans=False, suppress_end_audio=False):
+            orig(for_trans=for_trans, suppress_end_audio=suppress_end_audio)
+            resources.llm.settings.min_token_id = resources.tokenizer.codec_vocab_start
+
+        agent.set_sampler = pinned
+        agent.set_sampler()
+        chunk_n = agent.chunk_size_samples
+        audio = (0.1 * rng.normal(size=30 * chunk_n)).astype(np.float32)
+        n_chunks = len(audio) // chunk_n
+        for i in range(10):
+            agent.process_audio(audio[i * chunk_n : (i + 1) * chunk_n])
+        t0 = time.perf_counter()
+        toks = 0
+        for i in range(10, n_chunks):
+            agent.process_audio(audio[i * chunk_n : (i + 1) * chunk_n])
+            toks += 2 * agent.chunk_size_frames_per_channel  # agent+user per frame
+        dt = time.perf_counter() - t0
+        emit("ar_decode_tok_s", toks / dt, "interleaved tokens/second (higher is better)")
+
+        # ---- 4. self-play: two agents on one chip ---------------------------
+        if "selfplay" not in args.skip:
+            agent_b = RealtimeAgent(
+                resources=resources.clone_for_self_play(),
+                config=RealtimeAgentConfig(
+                    seed=args.seed + 1, use_whisper=False, agent_opening_text=None,
+                    force_trans_after_inactivity_secs=0.0,
+                    force_response_after_inactivity_secs=0.0,
+                ),
+                self_play_mode=True,
+            )
+            agent.drain_pipeline()  # flush the in-flight chunk before switching modes
+            agent.self_play_mode = True
+            zero = np.zeros(chunk_n, np.float32)
+            out_a, ids_a = zero, None
+            out_b, ids_b = zero, None
+            for _ in range(5):  # warmup
+                out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
+                out_b, ids_b = agent_b.process_audio(out_a, ids_a)
+                out_a, ids_a = out_a_, ids_a_
+            n = 50
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
+                out_b, ids_b = agent_b.process_audio(out_a, ids_a)
+                out_a, ids_a = out_a_, ids_a_
+            dt = time.perf_counter() - t0
+            emit("self_play_rtf", dt / (n * 0.1), "x_realtime, both agents (lower is better)")
+
+
+if __name__ == "__main__":
+    main()

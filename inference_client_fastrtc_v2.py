@@ -31,20 +31,32 @@ class AgentHandler:
         info = agent.get_info()
         self.sampling_rate = info.sampling_rate
         self.chunk_size_samples = info.chunk_size_samples
-        self.buffer = np.zeros(0, dtype=np.int16)
+        self.buffer = np.zeros(0, dtype=np.float32)  # at codec rate
         self.last_rtf = None
+        self._resampler = None
+        self._resampler_sr = None
 
     def receive(self, frame):
         sr, audio = frame
         audio = audio.reshape(-1)
         if np.abs(audio).max() < NOISE_GATE:
             audio = np.zeros_like(audio)
+        audio = audio.astype(np.float32) / 32768.0
+        if sr != self.sampling_rate:
+            # stateful streaming resample (native C++ core when built): filter
+            # history carries across mic frames, so there is no per-chunk seam
+            if self._resampler is None or self._resampler_sr != sr:
+                from realtime_codec_agent_tpu.utils.native_audio import StreamingResampler
+
+                self._resampler = StreamingResampler(sr, self.sampling_rate)
+                self._resampler_sr = sr
+            audio = self._resampler.process(audio)
         self.buffer = np.concatenate([self.buffer, audio])
-        # resample happens inside the agent (prep_audio); chunk at the mic rate
-        chunk = int(self.chunk_size_samples * sr / self.sampling_rate)
-        while len(self.buffer) >= chunk:
-            self.agent.queue_input((sr, self.buffer[:chunk]))
-            self.buffer = self.buffer[chunk:]
+        while len(self.buffer) >= self.chunk_size_samples:
+            self.agent.queue_input(
+                (self.sampling_rate, self.buffer[: self.chunk_size_samples])
+            )
+            self.buffer = self.buffer[self.chunk_size_samples :]
 
     def emit(self):
         out = self.agent.next_output()

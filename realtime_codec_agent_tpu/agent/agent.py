@@ -556,11 +556,20 @@ class RealtimeAgent:
         audio_chunk_input_ids: List[int],
         force_trans: bool = False,
         force_response: bool = False,
+        out_prefix: Optional[List[int]] = None,
     ) -> List[int]:
-        """The per-frame duplex loop (reference realtime_agent_v2.py:332-372)."""
+        """The per-frame duplex loop (reference realtime_agent_v2.py:332-372).
+
+        ``out_prefix``: agent tokens for the first frames, already generated
+        AND committed (mirror + KV) by a fused chunk whose replay this is —
+        the loop starts at the first un-generated frame."""
         llm = self.resources.llm
         out_chunk_input_ids = [0] * len(audio_chunk_input_ids)
-        for i in range(len(audio_chunk_input_ids)):
+        start_frame = 0
+        if out_prefix:
+            start_frame = len(out_prefix)
+            out_chunk_input_ids[:start_frame] = out_prefix
+        for i in range(start_frame, len(audio_chunk_input_ids)):
             self.trim_sequences()
             suppress_end_audio = False
             while True:
@@ -774,16 +783,20 @@ class RealtimeAgent:
                 )
 
             # ---- fused fast path: whole pure-audio chunk in ONE device call
+            out_prefix = None
             if can_fuse:
                 fused_out = self._process_audio_fused(audio_chunk)
                 if fused_out is not None:
                     return fused_out
-                # an event fired mid-chunk: replay the chunk step-by-step with
-                # the already-encoded user tokens
+                # an event fired mid-chunk: replay the chunk with the
+                # already-encoded user tokens; frames accepted before the
+                # event are teacher-forced (already sampled + committed)
                 audio_chunk_input_ids = self._fused_user_tokens
+                out_prefix = self._fused_event_prefix
 
             out_chunk, out_chunk_input_ids = self._process_chunk_sync(
-                audio_chunk, audio_chunk_input_ids, force_trans, force_response
+                audio_chunk, audio_chunk_input_ids, force_trans, force_response,
+                out_prefix=out_prefix,
             )
             if self.self_play_mode:
                 return out_chunk, out_chunk_input_ids
@@ -795,6 +808,7 @@ class RealtimeAgent:
         audio_chunk_input_ids: Optional[List[int]],
         force_trans: bool,
         force_response: bool,
+        out_prefix: Optional[List[int]] = None,
     ) -> Tuple[np.ndarray, List[int]]:
         """Synchronous chunk processing: encode (if needed) -> per-frame LM
         loop -> TTS substitution -> decode -> stats/timers. This is the event
@@ -830,7 +844,8 @@ class RealtimeAgent:
 
             with self.profilers.lm_profiler:
                 out_chunk_input_ids = self.process_audio_input_ids(
-                    audio_chunk_input_ids, force_trans, force_response
+                    audio_chunk_input_ids, force_trans, force_response,
+                    out_prefix=out_prefix,
                 )
                 out_chunk_input_ids = self.process_tts_input_ids(
                     tts_chunk_input_ids, out_chunk_input_ids
@@ -859,11 +874,33 @@ class RealtimeAgent:
             res, n_final = session.process_chunk(audio_chunk)
         self._fused_user_tokens = res.user_tokens
         if res.event_frame < self.chunk_size_frames_per_channel:
+            self._fused_event_prefix = self._commit_accepted_frames(res)
             return None
         out_chunk = self._commit_fused(res, audio_chunk)
         if self.self_play_mode:
             return out_chunk, res.out_tokens
         return out_chunk
+
+    def _commit_accepted_frames(self, res) -> List[int]:
+        """Teacher-force the frames a fused chunk ACCEPTED before an event
+        fired: their tokens are already sampled and their K/V already
+        committed on device (the fused scatter), so the replay only records
+        them on the host (mirror, step counter, token indices) — zero device
+        calls — and resumes the frame loop at the event frame."""
+        f = res.event_frame
+        if f <= 0:
+            return []
+        llm = self.resources.llm
+        evaled = list(self.input_ids[-2:])
+        for i in range(f - 1):
+            evaled += [res.out_tokens[i], res.user_tokens[i]]
+        llm.commit_external_eval(evaled)
+        llm._step += f  # keys the fused scan consumed for the accepted frames
+        for i in range(f):
+            self.input_ids.append(res.out_tokens[i])
+            self.input_ids.append(res.user_tokens[i])
+            self.audio_tokens_idx.extend([len(self.input_ids) - 2, len(self.input_ids) - 1])
+        return list(res.out_tokens[:f])
 
     def _commit_fused(self, res, audio_chunk: np.ndarray) -> np.ndarray:
         """Commit a clean (event-free) fused chunk result to the host mirrors
@@ -962,10 +999,12 @@ class RealtimeAgent:
         if res.event_frame >= self.chunk_size_frames_per_channel and not res.halted_input:
             return self._commit_fused(res, pending["audio"])
 
-        # event inside this chunk: replay it stepwise with the already-encoded
-        # user tokens (identical PRNG schedule -> identical accepted frames)
+        # event inside this chunk: teacher-force the accepted frames (already
+        # sampled + committed by the fused program) and replay from the event
+        # frame with the already-encoded user tokens
+        out_prefix = self._commit_accepted_frames(res) if not res.halted_input else None
         out_chunk, _ = self._process_chunk_sync(
-            pending["audio"], res.user_tokens, False, False
+            pending["audio"], res.user_tokens, False, False, out_prefix=out_prefix
         )
         # the speculatively dispatched successor (if any) ran halted: fetch
         # its user tokens, resync the chain, and re-dispatch it for real

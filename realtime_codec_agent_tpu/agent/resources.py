@@ -46,8 +46,10 @@ class RealtimeAgentResources:
         tokenizer: Optional[CodecTextTokenizer] = None,
         tiny: bool = False,
         seed: int = 0,
+        quantize_int8: bool = False,
         _shared_lm_params=None,
     ):
+        self.quantize_int8 = quantize_int8
         self.llm_model_path = llm_model_path
         self.llm_model_dir = os.path.dirname(llm_model_path) if llm_model_path else None
         self.llm_n_ctx = llm_n_ctx
@@ -86,6 +88,12 @@ class RealtimeAgentResources:
             lm_params = self._load_checkpoint(llm_model_path)
         else:
             lm_params = init_lm_params(jax.random.PRNGKey(seed), self.lm_config)
+        if quantize_int8 and _shared_lm_params is None:
+            # int8 decode weights: the TPU counterpart of the reference's
+            # q8_0 GGUF deployment artifact (prep_test_model.sh:27-31)
+            from ..models.llama import quantize_params_int8
+
+            lm_params = jax.jit(quantize_params_int8)(lm_params)
         self.lm_params = lm_params
         self.llm = DuplexLMEngine(lm_params, self.lm_config)
         # teacher-forced scoring runs caclelessly on the same engine/weights
@@ -133,6 +141,7 @@ class RealtimeAgentResources:
         """Second agent over the SAME weights: new engine (KV + sampler state),
         shared codec/tokenizer/params (reference realtime_agent_resources.py:41-49)."""
         clone = object.__new__(RealtimeAgentResources)
+        clone.quantize_int8 = self.quantize_int8
         clone.llm_model_path = self.llm_model_path
         clone.llm_model_dir = self.llm_model_dir
         clone.llm_n_ctx = self.llm_n_ctx

@@ -266,9 +266,9 @@ def forward(
     for li, blk in enumerate(params["layers"]):
         res = x
         y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = jnp.dot(y, blk["wq"], preferred_element_type=jnp.float32).astype(dtype)
-        k = jnp.dot(y, blk["wk"], preferred_element_type=jnp.float32).astype(dtype)
-        v = jnp.dot(y, blk["wv"], preferred_element_type=jnp.float32).astype(dtype)
+        q = nn.qdot(y, blk["wq"], out_dtype=dtype)
+        k = nn.qdot(y, blk["wk"], out_dtype=dtype)
+        v = nn.qdot(y, blk["wv"], out_dtype=dtype)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -299,9 +299,7 @@ def forward(
             k_att = nn.repeat_kv(k, cfg.n_rep)
             v_att = nn.repeat_kv(v, cfg.n_rep)
             attn = nn.attention(q, k_att, v_att, mask=mask)
-        attn = jnp.dot(
-            attn.reshape(b, t, cfg.q_dim), blk["wo"], preferred_element_type=jnp.float32
-        ).astype(dtype)
+        attn = nn.qdot(attn.reshape(b, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
         x = res + attn
 
         res = x
@@ -316,7 +314,7 @@ def forward(
 
 def logits_from_hidden(params: Dict, hidden: jnp.ndarray, cfg: DuplexLMConfig) -> jnp.ndarray:
     head = params["embed_tokens"].T if cfg.tie_embeddings else params["lm_head"]
-    return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+    return nn.qdot(hidden, head)
 
 
 # ---------------------------------------------------------------------------
@@ -398,10 +396,11 @@ def _gqa_two_piece_attention(
     kb = k_big.reshape(b, n_blocks, block, kh, dh).transpose(1, 0, 2, 3, 4)
     vb = v_big.reshape(b, n_blocks, block, kh, dh).transpose(1, 0, 2, 3, 4)
 
-    def blk(carry, inputs):
+    def blk(i, carry):
         m, l, acc = carry
-        k_blk, v_blk, blk_idx = inputs  # (B,block,KH,Dh) x2
-        pos = blk_idx * block + jnp.arange(block)
+        k_blk = jax.lax.dynamic_index_in_dim(kb, i, axis=0, keepdims=False)
+        v_blk = jax.lax.dynamic_index_in_dim(vb, i, axis=0, keepdims=False)
+        pos = i * block + jnp.arange(block)
         sb = jnp.einsum(
             "btkgd,bskd->bkgts", qg, k_blk, preferred_element_type=jnp.float32
         ) * scale  # (B,KH,G,T,block)
@@ -416,12 +415,17 @@ def _gqa_two_piece_attention(
             preferred_element_type=jnp.float32,
         )
         acc = acc * corr + pv
-        return (m_new_, l, acc), None
+        return (m_new_, l, acc)
 
     m0 = jnp.full((b, kh, g, t, 1), neg, jnp.float32)
     l0 = jnp.zeros((b, kh, g, t, 1), jnp.float32)
     acc0 = jnp.zeros((b, kh, g, t, dh), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(blk, (m0, l0, acc0), (kb, vb, jnp.arange(n_blocks)))
+    # only key blocks a query can actually see: the valid cache never extends
+    # past max(q_pos), so blocks beyond that are skipped entirely (dynamic
+    # fori_loop bound — a post-trim KV rebuild attends ~1/3 of the cache)
+    max_key = jnp.minimum(q_pos[-1], cache_valid + t)
+    n_needed = jnp.minimum(n_blocks, max_key // block + 1).astype(jnp.int32)
+    m, l, acc = jax.lax.fori_loop(0, n_needed, blk, (m0, l0, acc0))
 
     # final block: the new/self keys
     m_fin = jnp.maximum(m, s_new.max(axis=-1, keepdims=True))
@@ -471,9 +475,9 @@ def forward_decode(
     for li, blk in enumerate(params["layers"]):
         res = x
         y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = jnp.dot(y, blk["wq"], preferred_element_type=jnp.float32).astype(dtype)
-        k = jnp.dot(y, blk["wk"], preferred_element_type=jnp.float32).astype(dtype)
-        v = jnp.dot(y, blk["wv"], preferred_element_type=jnp.float32).astype(dtype)
+        q = nn.qdot(y, blk["wq"], out_dtype=dtype)
+        k = nn.qdot(y, blk["wk"], out_dtype=dtype)
+        v = nn.qdot(y, blk["wv"], out_dtype=dtype)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -492,9 +496,7 @@ def forward_decode(
             q, k_cache[li], v_cache[li], k_small, v_small, positions, small_pos,
             cache_valid,
         )
-        attn = jnp.dot(
-            attn.reshape(b, t, cfg.q_dim), blk["wo"], preferred_element_type=jnp.float32
-        ).astype(dtype)
+        attn = nn.qdot(attn.reshape(b, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
         x = res + attn
 
         res = x
@@ -559,4 +561,39 @@ def persist_codec_embeddings(params: Dict, cfg: DuplexLMConfig, batch_size: int 
         embed = embed.at[ids].set(proj.astype(embed.dtype))
     out["embed_tokens"] = embed
     del out["codec_embed"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# int8 inference quantization (reference deploys q8_0 GGUF, prep_test_model.sh)
+# ---------------------------------------------------------------------------
+
+def quantize_params_int8(params: Dict) -> Dict:
+    """Per-output-channel symmetric int8 quantization of the decode-path
+    matmul weights (attention projections, MLP, lm_head). Embeddings and
+    norms stay in the original dtype (gathers read only the needed rows).
+    Quantized leaves become {"q": int8 (in,out), "s": f32 (out,)} consumed
+    transparently by ops/nn.qdot — halving the per-token HBM weight traffic
+    that dominates batch-1 decode."""
+
+    def quant(w):
+        wf = jnp.asarray(w, jnp.float32)
+        scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": scale}
+
+    out = dict(params)
+    out["layers"] = [
+        {
+            **blk,
+            **{
+                name: quant(blk[name])
+                for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+            },
+        }
+        for blk in params["layers"]
+    ]
+    if "lm_head" in params:
+        out["lm_head"] = quant(params["lm_head"])
     return out

@@ -12,6 +12,25 @@ import jax
 import jax.numpy as jnp
 
 
+def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
+    """Matmul that transparently handles int8-quantized weights.
+
+    ``w`` is either a raw (in, out) array or a dict ``{"q": int8 (in, out),
+    "s": f32 (out,)}`` (per-output-channel symmetric scales, the layout
+    produced by models/llama.quantize_params_int8 — the TPU counterpart of
+    the reference's q8_0 GGUF deployment artifact, prep_test_model.sh:27-31).
+    The HBM read is int8 (half of bf16); the upcast fuses into the matmul.
+    Accumulates in f32."""
+    if isinstance(w, dict) and "q" in w:
+        y = jnp.dot(
+            x, w["q"].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        y = y * w["s"]
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y if out_dtype is None else y.astype(out_dtype)
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """RMSNorm (Llama-style: normalize in f32, scale in input dtype)."""
     dtype = x.dtype
@@ -189,12 +208,13 @@ def causal_mask(tq: int, tk: int, q_offset) -> jnp.ndarray:
     return (k_pos <= q_pos)[None, None]
 
 
-def swiglu_mlp(x: jnp.ndarray, w_gate: jnp.ndarray, w_up: jnp.ndarray, w_down: jnp.ndarray) -> jnp.ndarray:
-    """Llama SwiGLU MLP: down( silu(x@gate) * (x@up) )."""
-    g = jnp.dot(x, w_gate, preferred_element_type=jnp.float32)
-    u = jnp.dot(x, w_up, preferred_element_type=jnp.float32)
+def swiglu_mlp(x: jnp.ndarray, w_gate, w_up, w_down) -> jnp.ndarray:
+    """Llama SwiGLU MLP: down( silu(x@gate) * (x@up) ). Accepts raw or
+    int8-quantized weights (qdot)."""
+    g = qdot(x, w_gate)
+    u = qdot(x, w_up)
     h = (jax.nn.silu(g) * u).astype(x.dtype)
-    return jnp.dot(h, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+    return qdot(h, w_down, out_dtype=x.dtype)
 
 
 def gelu_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:

@@ -70,9 +70,19 @@ def to_mono(audio: np.ndarray) -> np.ndarray:
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resample along the last axis (librosa.resample equivalent)."""
+    """Polyphase resample along the last axis (librosa.resample equivalent).
+
+    Uses the native C++ core (utils/native_audio.py) when built; falls back
+    to scipy's resample_poly otherwise."""
     if orig_sr == target_sr:
         return audio
+    from . import native_audio
+
+    if native_audio.native_available():
+        one = native_audio.resample_streaming_oneshot
+        if audio.ndim == 1:
+            return one(audio, int(orig_sr), int(target_sr))
+        return np.stack([one(ch, int(orig_sr), int(target_sr)) for ch in audio])
     from scipy.signal import resample_poly
 
     g = math.gcd(int(orig_sr), int(target_sr))

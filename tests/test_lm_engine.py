@@ -276,3 +276,39 @@ def test_generate_until_matches_stepwise_sampled(cfg, params):
     assert scan._step == ref._step
     # KV state equivalent: next decode step samples the same token
     assert scan.eval_and_sample([toks[-1]]) == ref.eval_and_sample([ref_tokens[-1]])
+
+
+def test_int8_quantized_decode_close(cfg, params):
+    """int8 decode weights (q8_0-style per-channel) keep logits close to the
+    full-precision path and run through the whole engine surface."""
+    import dataclasses
+
+    from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+    from realtime_codec_agent_tpu.models.llama import (
+        init_lm_params, quantize_params_int8,
+    )
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
+    params32 = init_lm_params(jax.random.PRNGKey(3), cfg32)
+    qparams = jax.jit(quantize_params_int8)(params32)
+    # quantized leaves have the expected layout
+    assert qparams["layers"][0]["wq"]["q"].dtype == jnp.int8
+    assert qparams["layers"][0]["attn_norm"].dtype == jnp.float32  # untouched
+
+    full = DuplexLMEngine(params32, cfg32, seed=1)
+    quant = DuplexLMEngine(qparams, cfg32, seed=1)
+    ctx = list(range(10, 40))
+    full.eval(ctx)
+    quant.eval(ctx)
+    lf = full.get_last_logits()
+    lq = quant.get_last_logits()
+    # int8 per-channel on random weights: logits track closely
+    denom = max(1e-6, float(np.abs(lf).max()))
+    assert float(np.abs(lf - lq).max()) / denom < 0.05
+    # greedy argmax agrees on a clearly-peaked distribution
+    assert int(np.argmax(lf)) == int(np.argmax(lq))
+    # scoring and generate_until run on quantized weights
+    lp = quant.get_logprobs(ctx, [5, 6])
+    assert np.isfinite(lp).all()
+    toks, _ = quant.generate_until(41, stop_id=1, max_n=8)
+    assert len(toks) >= 1
