@@ -122,6 +122,7 @@ def main():
                     seed=args.seed + 1, use_whisper=False, agent_opening_text=None,
                     force_trans_after_inactivity_secs=0.0,
                     force_response_after_inactivity_secs=0.0,
+                    pipeline_chunks=True,
                 ),
                 self_play_mode=True,
             )

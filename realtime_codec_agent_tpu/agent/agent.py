@@ -764,7 +764,6 @@ class RealtimeAgent:
             force_response = self.should_force_response()
             can_fuse = (
                 self._session is not None
-                and audio_chunk_input_ids is None
                 and not self.config.use_external_tts
                 and not (force_trans or force_response)
                 and self._fused_ready()
@@ -775,17 +774,19 @@ class RealtimeAgent:
                 self.config.pipeline_chunks
                 and self._session is not None
                 and not self.config.use_external_tts
-                and not self.self_play_mode
-                and audio_chunk_input_ids is None
             ):
                 return self._process_audio_pipelined(
-                    audio_chunk, force_trans, force_response, can_fuse
+                    audio_chunk, audio_chunk_input_ids, force_trans, force_response,
+                    can_fuse,
                 )
 
             # ---- fused fast path: whole pure-audio chunk in ONE device call
+            # (precomputed user tokens — self-play cross-feed — skip encode)
             out_prefix = None
             if can_fuse:
-                fused_out = self._process_audio_fused(audio_chunk)
+                fused_out = self._process_audio_fused(
+                    audio_chunk, user_tokens=audio_chunk_input_ids
+                )
                 if fused_out is not None:
                     return fused_out
                 # an event fired mid-chunk: replay the chunk with the
@@ -863,15 +864,18 @@ class RealtimeAgent:
             assert len(out_chunk_input_ids) == self.chunk_size_frames_per_channel
             return out_chunk, out_chunk_input_ids
 
-    def _process_audio_fused(self, audio_chunk: np.ndarray):
+    def _process_audio_fused(
+        self, audio_chunk: np.ndarray, user_tokens: Optional[List[int]] = None
+    ):
         """One device call for the whole chunk (lm/duplex_session.py). Returns
         the output chunk on the fast path, or None if an event fired (the
-        caller replays the chunk step-by-step)."""
+        caller replays the chunk step-by-step). ``user_tokens``: pre-encoded
+        user ids (self-play cross-feed) — the program skips its encode stage."""
         self.trim_sequences()
         session = self._session
         session.bind_sequence(self.input_ids)
         with self.profilers.lm_profiler:
-            res, n_final = session.process_chunk(audio_chunk)
+            res, n_final = session.process_chunk(audio_chunk, user_tokens=user_tokens)
         self._fused_user_tokens = res.user_tokens
         if res.event_frame < self.chunk_size_frames_per_channel:
             self._fused_event_prefix = self._commit_accepted_frames(res)
@@ -931,19 +935,20 @@ class RealtimeAgent:
     def _process_audio_pipelined(
         self,
         audio_chunk: np.ndarray,
+        audio_chunk_input_ids: Optional[List[int]],
         force_trans: bool,
         force_response: bool,
         can_fuse: bool,
-    ) -> np.ndarray:
+    ):
         """Depth-1 pipelining, dispatch-FIRST: this chunk's fused program is
         enqueued against the device-resident chain state before the previous
         chunk's results are consumed, so the tunnel's fixed per-fetch fee
         overlaps this chunk's device compute. Emits the PREVIOUS chunk's
-        audio. If the previous chunk turns out to have hit an event, this
-        chunk's speculative program was a harmless no-op (the chain's halted
-        flag propagated on device): the host replays the event, fetches the
-        no-op's already-encoded user tokens, resyncs the chain, and
-        re-dispatches this chunk with those tokens."""
+        audio (+ its token ids in self-play mode). If the previous chunk
+        turns out to have hit an event, this chunk's speculative program was
+        a harmless no-op (the chain's halted flag propagated on device): the
+        host replays the event, fetches the no-op's user tokens, resyncs the
+        chain, and re-dispatches this chunk."""
         session = self._session
         # host-state mutations (trim / forced events / non-audio mode) cannot
         # run under an in-flight speculative chunk: drain first, then take the
@@ -958,14 +963,12 @@ class RealtimeAgent:
             emit = self._resolve_pending()
             if emit is None and self._out_buffer is not None:
                 emit, self._out_buffer = self._out_buffer, None
-            out_chunk, _ = self._process_chunk_sync(
-                audio_chunk, None, force_trans, force_response
+            out_chunk, out_ids = self._process_chunk_sync(
+                audio_chunk, audio_chunk_input_ids, force_trans, force_response
             )
             self._chain_dirty = True
-            self._out_buffer = out_chunk
-            if emit is None:
-                emit = np.zeros(self.chunk_size_samples, dtype=np.float32)
-            return emit
+            self._out_buffer = (out_chunk, out_ids)
+            return self._emit(emit)
 
         # ---- speculative dispatch of THIS chunk ----
         if self._chain_dirty or session.chain is None:
@@ -973,10 +976,13 @@ class RealtimeAgent:
             session.sync_chain()
             self._chain_dirty = False
         with self.profilers.lm_profiler:
-            handles = session.dispatch_chunk(audio_chunk)
+            handles = session.dispatch_chunk(
+                audio_chunk, user_tokens=audio_chunk_input_ids
+            )
         prev_pending = self._pending
         self._pending = {
             "audio": audio_chunk,
+            "ids": audio_chunk_input_ids,
             # fetch on a background thread: the completion-wait fee ticks
             # concurrently with the device computing this chunk
             "future": self._fetcher.submit(_device_get, handles),
@@ -986,24 +992,34 @@ class RealtimeAgent:
         if prev_pending is None:
             if self._out_buffer is not None:
                 emit, self._out_buffer = self._out_buffer, None
-                return emit
-            return np.zeros(self.chunk_size_samples, dtype=np.float32)
-        emit = self._resolve_one(prev_pending)
-        return emit
+                return self._emit(emit)
+            return self._emit(None)
+        return self._emit(self._resolve_one(prev_pending))
 
-    def _resolve_one(self, pending) -> np.ndarray:
-        """Fetch + commit one dispatched fused chunk. Returns its output
-        audio, replaying the chunk stepwise if an event fired in it."""
+    def _emit(self, emit):
+        """Shape a pipelined emission: (audio, ids) in self-play mode, audio
+        otherwise; None -> a silence chunk (pipeline priming)."""
+        if emit is None:
+            emit = (np.zeros(self.chunk_size_samples, dtype=np.float32), None)
+        audio, ids = emit
+        if self.self_play_mode:
+            return audio, ids
+        return audio
+
+    def _resolve_one(self, pending):
+        """Fetch + commit one dispatched fused chunk. Returns its
+        (audio, out token ids), replaying the chunk stepwise if an event
+        fired in it."""
         res, _ = self._session.resolve(pending["future"].result())
         self._fused_user_tokens = res.user_tokens
         if res.event_frame >= self.chunk_size_frames_per_channel and not res.halted_input:
-            return self._commit_fused(res, pending["audio"])
+            return self._commit_fused(res, pending["audio"]), list(res.out_tokens)
 
         # event inside this chunk: teacher-force the accepted frames (already
         # sampled + committed by the fused program) and replay from the event
         # frame with the already-encoded user tokens
         out_prefix = self._commit_accepted_frames(res) if not res.halted_input else None
-        out_chunk, _ = self._process_chunk_sync(
+        out_chunk, out_ids = self._process_chunk_sync(
             pending["audio"], res.user_tokens, False, False, out_prefix=out_prefix
         )
         # the speculatively dispatched successor (if any) ran halted: fetch
@@ -1021,12 +1037,13 @@ class RealtimeAgent:
             )
             self._pending = {
                 "audio": succ["audio"],
+                "ids": succ.get("ids"),
                 "future": self._fetcher.submit(_device_get, handles),
             }
-        return out_chunk
+        return out_chunk, out_ids
 
-    def _resolve_pending(self) -> Optional[np.ndarray]:
-        """Drain the in-flight chunk, if any, and return its audio."""
+    def _resolve_pending(self):
+        """Drain the in-flight chunk, if any; returns its (audio, ids)."""
         if self._pending is None:
             return None
         pending, self._pending = self._pending, None
@@ -1035,13 +1052,16 @@ class RealtimeAgent:
         return out
 
     def drain_pipeline(self) -> Optional[np.ndarray]:
-        """Flush any in-flight chunk (pipelined mode): returns its audio, or
-        the buffered output of a synchronous detour, if any. Call before
-        inspecting transcripts/state at end of session."""
+        """Flush any in-flight chunk (pipelined mode): returns its audio
+        ((audio, ids) in self-play mode), or the buffered output of a
+        synchronous detour, if any. Call before inspecting transcripts/state
+        at end of session."""
         out = self._resolve_pending()
         if out is None and self._out_buffer is not None:
             out, self._out_buffer = self._out_buffer, None
-        return out
+        if out is None:
+            return None
+        return self._emit(out) if self.self_play_mode else out[0]
 
     def detokenize_output_chunk(self, out_chunk_input_ids: List[int]) -> np.ndarray:
         """Decode agent tokens -> audio with preroll-aware crossfade joining

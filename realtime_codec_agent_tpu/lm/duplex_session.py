@@ -469,13 +469,18 @@ class DuplexSession:
         return out, out.n_final
 
     def process_chunk(
-        self, audio_chunk: np.ndarray, commit_decode: bool = True
+        self,
+        audio_chunk: np.ndarray,
+        commit_decode: bool = True,
+        user_tokens: Optional[List[int]] = None,
     ) -> Tuple[FusedChunkResult, int]:
         """Synchronous fused chunk: dispatch + immediate resolve. The chain is
         resynced from the host mirror first (the host may have mutated state
         since the last fused chunk)."""
         self.sync_chain()
-        handles = self.dispatch_chunk(audio_chunk, commit_decode=commit_decode)
+        handles = self.dispatch_chunk(
+            audio_chunk, commit_decode=commit_decode, user_tokens=user_tokens
+        )
         return self.resolve(handles)
 
     def _pending_pair(self) -> List[int]:

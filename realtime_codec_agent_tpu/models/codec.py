@@ -50,6 +50,15 @@ class CodecConfig:
     mlp_ratio: float = 4.0
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
+    # audio <-> frame front-end:
+    # - "patchify": one (hop, H) matmul per frame — the most MXU-friendly form
+    # - "conv": strided Conv1d downsample stack / ConvTranspose1d upsample
+    #   mirror (MagiCodec/Encodec-style; conv_ratios must multiply to
+    #   hop_length). Use this layout when importing a conv-front-end torch
+    #   checkpoint through models/convert.codec_params_from_torch.
+    frontend: str = "patchify"
+    conv_ratios: Tuple[int, ...] = (8, 5, 4, 2)
+    conv_base_channels: int = 48
     compute_dtype: str = "bfloat16"
 
     @property
@@ -63,6 +72,18 @@ class CodecConfig:
     @property
     def mlp_dim(self) -> int:
         return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def conv_channels(self) -> Tuple[int, ...]:
+        """Channel schedule for the conv front-end: doubles per stage, capped
+        at hidden_size, ending exactly at hidden_size."""
+        chans = []
+        c = self.conv_base_channels
+        for _ in self.conv_ratios:
+            chans.append(min(c, self.hidden_size))
+            c *= 2
+        chans[-1] = self.hidden_size
+        return tuple(chans)
 
 
 def tiny_codec_config(**overrides) -> CodecConfig:
@@ -97,6 +118,35 @@ def _init_block(key, h: int, mlp: int, dtype) -> Dict:
     }
 
 
+def _init_conv_frontend(key, cfg: CodecConfig, dtype) -> Tuple[Dict, Dict]:
+    """Strided Conv1d downsample stack + mirrored ConvTranspose1d upsampler
+    (MagiCodec/Encodec-style). Kernel layouts match lax.conv dimension
+    numbers ("NWC","WIO","NWC"): (k, in, out)."""
+    if math.prod(cfg.conv_ratios) != cfg.hop_length:
+        raise ValueError(
+            f"conv_ratios {cfg.conv_ratios} must multiply to hop_length {cfg.hop_length}"
+        )
+    chans = cfg.conv_channels
+    ks = jax.random.split(key, 2 * len(chans) + 2)
+
+    def conv_w(k, kern, cin, cout):
+        scale = 1.0 / math.sqrt(kern * cin)
+        return (jax.random.normal(k, (kern, cin, cout)) * scale).astype(dtype)
+
+    # encoder stage i: channels c_{i-1} -> c_i, downsample by ratio_i
+    # decoder stage j: the exact mirror, upsample back to c_{i-1} (c_{-1}=1)
+    in_chans = (1,) + chans[:-1]
+    enc_stages, dec_stages = [], []
+    for i, (r, cin, cout) in enumerate(zip(cfg.conv_ratios, in_chans, chans)):
+        enc_stages.append(
+            {"w": conv_w(ks[2 * i], 2 * r, cin, cout), "b": jnp.zeros((cout,), dtype)}
+        )
+        dec_stages.append(
+            {"w": conv_w(ks[2 * i + 1], 2 * r, cout, cin), "b": jnp.zeros((cin,), dtype)}
+        )
+    return {"stages": enc_stages}, {"stages": list(reversed(dec_stages))}
+
+
 def init_codec_params(key, cfg: CodecConfig) -> Dict:
     dtype = jnp.dtype(cfg.compute_dtype)
     h, hop, d = cfg.hidden_size, cfg.hop_length, cfg.codebook_dim
@@ -108,10 +158,8 @@ def init_codec_params(key, cfg: CodecConfig) -> Dict:
         _init_block(keys[8 + cfg.num_layers + i], h, cfg.mlp_dim, dtype)
         for i in range(cfg.num_layers)
     ]
-    return {
+    params = {
         "encoder": {
-            "patch_embed": (jax.random.normal(keys[0], (hop, h)) / math.sqrt(hop)).astype(dtype),
-            "patch_bias": jnp.zeros((h,), dtype),
             "blocks": enc_blocks,
             "out_norm": jnp.ones((h,), dtype),
             "out_proj": (jax.random.normal(keys[1], (h, d)) / math.sqrt(h)).astype(dtype),
@@ -128,9 +176,21 @@ def init_codec_params(key, cfg: CodecConfig) -> Dict:
             "in_bias": jnp.zeros((h,), dtype),
             "blocks": dec_blocks,
             "out_norm": jnp.ones((h,), dtype),
-            "patch_unembed": (jax.random.normal(keys[5], (h, hop)) / math.sqrt(h)).astype(dtype),
         },
     }
+    if cfg.frontend == "conv":
+        enc_conv, dec_conv = _init_conv_frontend(keys[6], cfg, dtype)
+        params["encoder"]["conv"] = enc_conv
+        params["decoder"]["conv"] = dec_conv
+    else:
+        params["encoder"]["patch_embed"] = (
+            jax.random.normal(keys[0], (hop, h)) / math.sqrt(hop)
+        ).astype(dtype)
+        params["encoder"]["patch_bias"] = jnp.zeros((h,), dtype)
+        params["decoder"]["patch_unembed"] = (
+            jax.random.normal(keys[5], (h, hop)) / math.sqrt(h)
+        ).astype(dtype)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -192,15 +252,44 @@ def quantizer_tables(params: Dict, cfg: CodecConfig) -> Dict:
     return {"cb_proj": cb, "cbt": cbt, "halfnorm": halfnorm}
 
 
+def _conv_downsample(stages, x: jnp.ndarray, ratios) -> jnp.ndarray:
+    """(B, T, 1) -> (B, T/hop, C) via strided SAME convs + GELU between stages."""
+    for i, (stage, r) in enumerate(zip(stages, ratios)):
+        x = jax.lax.conv_general_dilated(
+            x, stage["w"], window_strides=(r,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + stage["b"]
+        if i < len(stages) - 1:
+            x = jax.nn.gelu(x)
+    return x
+
+
+def _conv_upsample(stages, x: jnp.ndarray, ratios_rev) -> jnp.ndarray:
+    """(B, F, C) -> (B, F*hop, 1) via transposed SAME convs + GELU between."""
+    for i, (stage, r) in enumerate(zip(stages, ratios_rev)):
+        x = jax.lax.conv_transpose(
+            x, stage["w"], strides=(r,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + stage["b"]
+        if i < len(stages) - 1:
+            x = jax.nn.gelu(x)
+    return x
+
+
 def encode_frames(
     params: Dict, audio: jnp.ndarray, cfg: CodecConfig, tables: Optional[Dict] = None
 ) -> jnp.ndarray:
     """audio (B, T) with T % hop == 0 -> codes (B, T/hop) int32."""
     dtype = jnp.dtype(cfg.compute_dtype)
     b, t = audio.shape
-    frames = audio.reshape(b, t // cfg.hop_length, cfg.hop_length).astype(dtype)
     enc = params["encoder"]
-    x = jnp.dot(frames, enc["patch_embed"], preferred_element_type=jnp.float32).astype(dtype) + enc["patch_bias"]
+    if cfg.frontend == "conv":
+        x = _conv_downsample(
+            enc["conv"]["stages"], audio[..., None].astype(dtype), cfg.conv_ratios
+        )
+    else:
+        frames = audio.reshape(b, t // cfg.hop_length, cfg.hop_length).astype(dtype)
+        x = jnp.dot(frames, enc["patch_embed"], preferred_element_type=jnp.float32).astype(dtype) + enc["patch_bias"]
     x = _transformer(x, enc["blocks"], cfg)
     x = nn.rms_norm(x, enc["out_norm"], cfg.rms_eps)
     z_e = jnp.dot(x, enc["out_proj"], preferred_element_type=jnp.float32)  # (B, F, d) f32
@@ -224,6 +313,11 @@ def decode_frames(
     x = jnp.dot(z_q.astype(dtype), dec["in_proj"], preferred_element_type=jnp.float32).astype(dtype) + dec["in_bias"]
     x = _transformer(x, dec["blocks"], cfg)
     x = nn.rms_norm(x, dec["out_norm"], cfg.rms_eps)
+    if cfg.frontend == "conv":
+        audio = _conv_upsample(
+            dec["conv"]["stages"], x, tuple(reversed(cfg.conv_ratios))
+        ).astype(jnp.float32)
+        return audio[..., 0]
     audio = jnp.dot(x, dec["patch_unembed"], preferred_element_type=jnp.float32)  # (B, F, hop) f32
     b, f, hop = audio.shape
     return audio.reshape(b, f * hop)

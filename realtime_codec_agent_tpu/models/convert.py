@@ -272,30 +272,60 @@ def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
             raise KeyError(f"no transformer blocks found under {prefix}.blocks")
         return out
 
+    def conv_stages(prefix: str, transpose_conv: bool):
+        """Conv1d stacks: torch Conv1d weight (out,in,k) -> (k,in,out);
+        ConvTranspose1d weight (in,out,k) -> (k,in,out)."""
+        out = []
+        i = 0
+        while f"{prefix}.conv.stages.{i}.weight" in sd or f"{prefix}.down.{i}.weight" in sd or f"{prefix}.up.{i}.weight" in sd:
+            w = pick(
+                f"{prefix}.conv.stages.{i}.weight",
+                f"{prefix}.down.{i}.weight",
+                f"{prefix}.up.{i}.weight",
+            )
+            b = pick(
+                f"{prefix}.conv.stages.{i}.bias",
+                f"{prefix}.down.{i}.bias",
+                f"{prefix}.up.{i}.bias",
+            )
+            w = w.transpose(2, 0, 1) if transpose_conv else w.transpose(2, 1, 0)
+            out.append({"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)})
+            i += 1
+        if not out:
+            raise KeyError(f"no conv stages found under {prefix}")
+        return out
+
+    conv_front = getattr(cfg, "frontend", "patchify") == "conv"
+    encoder = {
+        "blocks": blocks("encoder"),
+        "out_norm": jnp.asarray(
+            pick("encoder.out_norm.weight", "encoder.norm_f.weight"), dtype
+        ),
+        "out_proj": jnp.asarray(alias("encoder.out_proj").T, dtype),
+    }
+    decoder = {
+        "in_proj": jnp.asarray(alias("decoder.in_proj").T, dtype),
+        "in_bias": jnp.asarray(alias("decoder.in_bias"), dtype),
+        "blocks": blocks("decoder"),
+        "out_norm": jnp.asarray(
+            pick("decoder.out_norm.weight", "decoder.norm_f.weight"), dtype
+        ),
+    }
+    if conv_front:
+        encoder["conv"] = {"stages": conv_stages("encoder", transpose_conv=False)}
+        decoder["conv"] = {"stages": conv_stages("decoder", transpose_conv=True)}
+    else:
+        encoder["patch_embed"] = jnp.asarray(alias("encoder.patch_embed").T, dtype)
+        encoder["patch_bias"] = jnp.asarray(alias("encoder.patch_bias"), dtype)
+        decoder["patch_unembed"] = jnp.asarray(alias("decoder.patch_unembed").T, dtype)
     return {
-        "encoder": {
-            "patch_embed": jnp.asarray(alias("encoder.patch_embed").T, dtype),
-            "patch_bias": jnp.asarray(alias("encoder.patch_bias"), dtype),
-            "blocks": blocks("encoder"),
-            "out_norm": jnp.asarray(
-                pick("encoder.out_norm.weight", "encoder.norm_f.weight"), dtype
-            ),
-            "out_proj": jnp.asarray(alias("encoder.out_proj").T, dtype),
-        },
+        "encoder": encoder,
         "quantizer": {
             "codebook": jnp.asarray(alias("quantizer.codebook"), jnp.float32),
             "proj_w": jnp.asarray(alias("quantizer.proj_w").T, jnp.float32),
             "proj_b": jnp.asarray(alias("quantizer.proj_b"), jnp.float32),
         },
-        "decoder": {
-            "in_proj": jnp.asarray(alias("decoder.in_proj").T, dtype),
-            "in_bias": jnp.asarray(alias("decoder.in_bias"), dtype),
-            "blocks": blocks("decoder"),
-            "out_norm": jnp.asarray(
-                pick("decoder.out_norm.weight", "decoder.norm_f.weight"), dtype
-            ),
-            "patch_unembed": jnp.asarray(alias("decoder.patch_unembed").T, dtype),
-        },
+        "decoder": decoder,
     }
 
 
@@ -334,7 +364,10 @@ def load_codec_checkpoint(path: str):
     from .codec import CodecConfig
 
     data = np.load(path, allow_pickle=False)
-    cfg = CodecConfig(**json.loads(str(data["__config__"])))
+    cfg_kwargs = json.loads(str(data["__config__"]))
+    if "conv_ratios" in cfg_kwargs:
+        cfg_kwargs["conv_ratios"] = tuple(cfg_kwargs["conv_ratios"])
+    cfg = CodecConfig(**cfg_kwargs)
     dtype = jnp.dtype(cfg.compute_dtype)
 
     params: Dict = {}

@@ -36,14 +36,15 @@ def nearest_code_xla(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
 
 
 def _nearest_code_kernel(x_ref, cbt_ref, halfnorm_ref, idx_ref, best_ref, besti_ref):
-    # running (max_score, argmax) lives in scratch; the output block is written
-    # exactly once, on the final grid step (the interpreter also dislikes
-    # read-modify-write of revisited output blocks)
-    j = pl.program_id(0)
+    # grid = (frame blocks, codebook blocks), codebook innermost. Running
+    # (max_score, argmax) lives in scratch (reset at each new frame block);
+    # the output block is written exactly once, on the final codebook step
+    # (the interpreter also dislikes read-modify-write of revisited blocks)
+    j = pl.program_id(1)
     block_v = cbt_ref.shape[1]
     scores = jnp.dot(
         x_ref[:], cbt_ref[:], preferred_element_type=jnp.float32
-    ) - halfnorm_ref[:]  # (N, BV)
+    ) - halfnorm_ref[:]  # (BN, BV)
     blk_max = jnp.max(scores, axis=1, keepdims=True)
     blk_arg = (
         jnp.argmax(scores, axis=1).astype(jnp.int32).reshape(-1, 1) + j * block_v
@@ -60,7 +61,7 @@ def _nearest_code_kernel(x_ref, cbt_ref, halfnorm_ref, idx_ref, best_ref, besti_
         besti_ref[:] = jnp.where(better, blk_arg, besti_ref[:])
         best_ref[:] = jnp.maximum(blk_max, best_ref[:])
 
-    @pl.when(j == pl.num_programs(0) - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _():
         idx_ref[:] = besti_ref[:]
 
@@ -87,26 +88,34 @@ def nearest_code_prepared(
     block_v: int = 8192,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Kernel body over a prepared codebook. x: (N, D) -> (N,) int32."""
+    """Kernel body over a prepared codebook. x: (N, D) -> (N,) int32.
+
+    Frames are blocked too (grid axis 0), so corpus-scale batch encodes
+    (tens of thousands of frames) never exceed VMEM."""
     n, d = x.shape
+    block_n = 512
     n_pad = _round_up(max(n, 8), 8)
+    if n_pad > block_n:
+        n_pad = _round_up(n_pad, block_n)
+    else:
+        block_n = n_pad
     d_pad, v_pad = cbt.shape
     xf = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(x.astype(jnp.float32))
 
-    grid = (v_pad // block_v,)
+    grid = (n_pad // block_n, v_pad // block_v)
     idx = pl.pallas_call(
         _nearest_code_kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_pad, d_pad), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_pad, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_pad, 1), jnp.float32),
-            pltpu.VMEM((n_pad, 1), jnp.int32),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.int32),
         ],
         interpret=interpret,
     )(xf, cbt, halfnorm)

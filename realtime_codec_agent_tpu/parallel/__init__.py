@@ -1,1 +1,8 @@
-from .mesh import make_mesh, default_mesh_shape, lm_param_specs, batch_spec, shard_params
+from .mesh import (
+    make_mesh,
+    default_mesh_shape,
+    lm_param_specs,
+    batch_spec,
+    shard_params,
+    shard_lm_for_inference,
+)

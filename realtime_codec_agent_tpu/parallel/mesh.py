@@ -99,6 +99,47 @@ def batch_spec() -> P:
     return P(("dp", "fsdp"), None)
 
 
+def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh):
+    """Megatron-style tensor-parallel INFERENCE sharding: attention/MLP
+    column- and row-parallel over ``tp``, KV cache sharded over kv-heads,
+    embeddings + lm_head replicated/column-split. The decode programs
+    (models/llama.forward_decode & friends) need no changes — XLA infers the
+    all-reduces from the shardings (compute-follows-data). A 1B LM fits one
+    chip; this is the config-change path to serving bigger models
+    (SURVEY §2.3: TP over ICI as a mesh-shape change)."""
+    layer_spec = {
+        "attn_norm": P(),
+        "wq": P(None, "tp"),
+        "wk": P(None, "tp"),
+        "wv": P(None, "tp"),
+        "wo": P("tp", None),
+        "mlp_norm": P(),
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    specs = {
+        "embed_tokens": P(),
+        "layers": [dict(layer_spec) for _ in params["layers"]],
+        "final_norm": P(),
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P(None, "tp")
+    if "codec_embed" in params:
+        specs["codec_embed"] = jax.tree.map(
+            lambda _: P(), params["codec_embed"],
+            is_leaf=lambda x: not isinstance(x, (dict, list)),
+        )
+    sharded_params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)),
+    )
+    kv_spec = NamedSharding(mesh, P(None, None, None, "tp", None))
+    return sharded_params, jax.device_put(k_cache, kv_spec), jax.device_put(v_cache, kv_spec)
+
+
 def shard_params(params, mesh: Mesh):
     specs = lm_param_specs(params)
     return jax.tree.map(

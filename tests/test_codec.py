@@ -176,3 +176,96 @@ def test_codec_embeddings_shape(tokenizer):
     emb = tokenizer.get_codec_embeddings()
     assert emb.shape == (tokenizer.codebook_size, 16)
     assert emb.dtype == np.float32
+
+
+class TestConvFrontend:
+    """MagiCodec/Encodec-style strided-conv front-end (frontend="conv")."""
+
+    def _cfg(self):
+        from realtime_codec_agent_tpu.models.codec import tiny_codec_config
+
+        return tiny_codec_config(frontend="conv", conv_ratios=(8, 5, 4, 2), conv_base_channels=8)
+
+    def test_shapes_and_roundtrip(self):
+        import jax
+        import numpy as np
+
+        from realtime_codec_agent_tpu.models.codec import JaxCodecModel
+
+        cfg = self._cfg()
+        assert np.prod(cfg.conv_ratios) == cfg.hop_length
+        model = JaxCodecModel.random_init(cfg, seed=0)
+        audio = (0.1 * np.random.default_rng(0).normal(size=(1, 6400))).astype(np.float32)
+        codes = model.encode(audio)
+        assert codes.shape == (1, 20)  # 6400 / 320
+        recon = model.decode(codes)
+        assert recon.shape == (1, 6400)
+        assert np.isfinite(recon).all()
+
+    def test_streaming_tokenizer_over_conv_codec(self):
+        import numpy as np
+
+        from realtime_codec_agent_tpu.audio_tokenizer import AudioTokenizer
+        from realtime_codec_agent_tpu.models.codec import JaxCodecModel
+
+        model = JaxCodecModel.random_init(self._cfg(), seed=1)
+        at = AudioTokenizer(codec_model=model)
+        audio = (0.1 * np.random.default_rng(1).normal(size=4800)).astype(np.float32)
+        s = at.tokenize_audio(audio)
+        assert len(s) == 15
+        (sr, out), _, _ = at.detokenize_audio(s)
+        assert sr == model.sample_rate
+
+    def test_conv_converter_roundtrip(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from realtime_codec_agent_tpu.models import convert
+        from realtime_codec_agent_tpu.models.codec import JaxCodecModel, init_codec_params
+
+        cfg = self._cfg()
+        params = init_codec_params(jax.random.PRNGKey(2), cfg)
+        # npz checkpoint round trip covers the conv stage lists
+        path = str(tmp_path / "codec.npz")
+        convert.save_codec_checkpoint(path, params, cfg)
+        params2, cfg2 = convert.load_codec_checkpoint(path)
+        assert cfg2 == cfg
+        audio = (0.1 * np.random.default_rng(2).normal(size=(1, 3200))).astype(np.float32)
+        np.testing.assert_array_equal(
+            JaxCodecModel(params, cfg).encode(audio), JaxCodecModel(params2, cfg2).encode(audio)
+        )
+
+        # torch state_dict layout round trip (Conv1d / ConvTranspose1d shapes)
+        import torch
+
+        sd = {}
+        t = lambda a: torch.tensor(np.asarray(a, np.float32))
+        for prefix, tree, tconv in (("encoder", params["encoder"], False),
+                                    ("decoder", params["decoder"], True)):
+            for i, st in enumerate(tree["conv"]["stages"]):
+                w = np.asarray(st["w"], np.float32)
+                # ours (k,in,out) -> torch Conv1d (out,in,k) / ConvTranspose1d (in,out,k)
+                sd[f"{prefix}.conv.stages.{i}.weight"] = t(
+                    w.transpose(1, 2, 0) if tconv else w.transpose(2, 1, 0)
+                )
+                sd[f"{prefix}.conv.stages.{i}.bias"] = t(st["b"])
+            sd[f"{prefix}.out_norm.weight" if prefix == "encoder" else f"{prefix}.out_norm.weight"] = t(tree["out_norm"])
+            for j, b in enumerate(tree["blocks"]):
+                p = f"{prefix}.blocks.{j}"
+                sd[f"{p}.attn_norm.weight"] = t(b["attn_norm"])
+                sd[f"{p}.mlp_norm.weight"] = t(b["mlp_norm"])
+                for name in ("wq", "wk", "wv", "wo", "w1", "w2"):
+                    sd[f"{p}.{name}.weight"] = t(np.asarray(b[name], np.float32).T)
+                sd[f"{p}.b1"] = t(b["b1"])
+                sd[f"{p}.b2"] = t(b["b2"])
+        sd["encoder.out_proj.weight"] = t(np.asarray(params["encoder"]["out_proj"], np.float32).T)
+        sd["quantizer.codebook.weight"] = t(params["quantizer"]["codebook"])
+        sd["quantizer.codebook_proj.weight"] = t(np.asarray(params["quantizer"]["proj_w"], np.float32).T)
+        sd["quantizer.codebook_proj.bias"] = t(params["quantizer"]["proj_b"])
+        sd["decoder.in_proj.weight"] = t(np.asarray(params["decoder"]["in_proj"], np.float32).T)
+        sd["decoder.in_proj.bias"] = t(params["decoder"]["in_bias"])
+        back = convert.codec_params_from_torch(sd, cfg)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-2, atol=1e-3
+            )

@@ -193,3 +193,43 @@ def test_fused_path_survives_context_trim(resources):
     for c in chunks(3, seed=9):
         pipe.process_audio(c)
     assert calls["n"] == 3
+
+
+def test_self_play_pipelined_cross_feed(resources):
+    """Both self-play agents pipelined: cross-feed with precomputed user
+    tokens takes the fused dispatch path (no re-encode, no stepwise loop) and
+    produces a coherent dual conversation."""
+    a = make_agent(resources, pipeline=True)
+    b = make_agent(resources, pipeline=True)
+    a.self_play_mode = True
+    b.self_play_mode = True
+
+    calls = {"a": 0, "b": 0}
+    for agent, key in ((a, "a"), (b, "b")):
+        orig = agent._session.dispatch_chunk
+        def counting(*args, _orig=orig, _key=key, **kw):
+            calls[_key] += 1
+            return _orig(*args, **kw)
+        agent._session.dispatch_chunk = counting
+
+    zero = np.zeros(1600, np.float32)
+    out_a, ids_a = zero, None
+    out_b, ids_b = zero, None
+    for _ in range(6):
+        out_a_, ids_a_ = a.process_audio(out_b, ids_b)
+        out_b, ids_b = b.process_audio(out_a, ids_a)
+        out_a, ids_a = out_a_, ids_a_
+        assert out_a.shape == (1600,)
+    a.drain_pipeline()
+    b.drain_pipeline()
+
+    # after warm-in, every chunk was a fused dispatch (ids precomputed)
+    assert calls["a"] >= 5 and calls["b"] >= 5
+    # both conversations advanced in lockstep
+    assert a.total_secs == b.total_secs
+    assert a.total_secs >= 0.5
+    # cross-fed ids really are each other's outputs: B's user channel tokens
+    # equal A's agent channel tokens (shifted by the pipeline lag)
+    b_user = [b.input_ids[i] for i in b.audio_tokens_idx[1::2]]
+    a_agent = [a.input_ids[i] for i in a.audio_tokens_idx[0::2]]
+    assert any(t in a_agent for t in b_user)

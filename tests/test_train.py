@@ -142,3 +142,41 @@ def test_dataset_streaming(tmp_path):
     assert len(batches) == 4
     batch, labels = batches[0]
     assert batch.shape == (6, 16) and labels.shape == (6, 16)
+
+
+def test_tensor_parallel_inference_matches_single_device():
+    """TP-sharded decode (Megatron column/row splits + kv-head-sharded cache)
+    must produce the same greedy tokens as the unsharded engine — XLA infers
+    the collectives from the shardings, no decode-code changes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+    from realtime_codec_agent_tpu.models.llama import init_lm_params, tiny_lm_config
+    from realtime_codec_agent_tpu.parallel import make_mesh, shard_lm_for_inference
+
+    cfg = tiny_lm_config(vocab_size=128, compute_dtype="float32", max_context=128)
+    params = init_lm_params(jax.random.PRNGKey(7), cfg)
+
+    ref = DuplexLMEngine(params, cfg, seed=3)
+    ref.init_sampler_for_generate(temp=0.0, seed=3)
+    ref.eval(list(range(2, 22)))
+    ref_toks = [ref.eval_and_sample([int(t)]) for t in (22, 23, 24)]
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=2)
+    tp = DuplexLMEngine(params, cfg, seed=3)
+    tp.init_sampler_for_generate(temp=0.0, seed=3)
+    tp.params, tp._k, tp._v = shard_lm_for_inference(params, tp._k, tp._v, mesh)
+    tp.eval(list(range(2, 22)))
+    tp_toks = [tp.eval_and_sample([int(t)]) for t in (22, 23, 24)]
+
+    assert tp_toks == ref_toks
+    # the cache stayed sharded over kv heads through the donated updates
+    spec = tp._k.sharding.spec
+    assert spec[3] == "tp"
+    # teacher-forced scoring also runs sharded
+    lp = tp.get_logprobs(list(range(2, 22)), [5, 6])
+    np.testing.assert_allclose(lp, ref.get_logprobs(list(range(2, 22)), [5, 6]), atol=1e-5)
