@@ -78,8 +78,9 @@ def main():
             frames=int(codes.shape[-1]),
         )
 
-    # ---- 3. AR decode rate through the fused duplex chunk -------------------
-    if "ar" not in args.skip:
+    # ---- 3/4. full-agent metrics (shared resources) --------------------------
+    need_agent = "ar" not in args.skip or "selfplay" not in args.skip
+    if need_agent:
         from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
         from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
 
@@ -102,6 +103,9 @@ def main():
         agent.set_sampler = pinned
         agent.set_sampler()
         chunk_n = agent.chunk_size_samples
+
+    # ---- 3. AR decode rate through the fused duplex chunk -------------------
+    if "ar" not in args.skip:
         audio = (0.1 * rng.normal(size=30 * chunk_n)).astype(np.float32)
         n_chunks = len(audio) // chunk_n
         for i in range(10):
@@ -114,35 +118,35 @@ def main():
         dt = time.perf_counter() - t0
         emit("ar_decode_tok_s", toks / dt, "interleaved tokens/second (higher is better)")
 
-        # ---- 4. self-play: two agents on one chip ---------------------------
-        if "selfplay" not in args.skip:
-            agent_b = RealtimeAgent(
-                resources=resources.clone_for_self_play(),
-                config=RealtimeAgentConfig(
-                    seed=args.seed + 1, use_whisper=False, agent_opening_text=None,
-                    force_trans_after_inactivity_secs=0.0,
-                    force_response_after_inactivity_secs=0.0,
-                    pipeline_chunks=True,
-                ),
-                self_play_mode=True,
-            )
-            agent.drain_pipeline()  # flush the in-flight chunk before switching modes
-            agent.self_play_mode = True
-            zero = np.zeros(chunk_n, np.float32)
-            out_a, ids_a = zero, None
-            out_b, ids_b = zero, None
-            for _ in range(5):  # warmup
-                out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
-                out_b, ids_b = agent_b.process_audio(out_a, ids_a)
-                out_a, ids_a = out_a_, ids_a_
-            n = 50
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
-                out_b, ids_b = agent_b.process_audio(out_a, ids_a)
-                out_a, ids_a = out_a_, ids_a_
-            dt = time.perf_counter() - t0
-            emit("self_play_rtf", dt / (n * 0.1), "x_realtime, both agents (lower is better)")
+    # ---- 4. self-play: two agents on one chip --------------------------------
+    if "selfplay" not in args.skip:
+        agent_b = RealtimeAgent(
+            resources=resources.clone_for_self_play(),
+            config=RealtimeAgentConfig(
+                seed=args.seed + 1, use_whisper=False, agent_opening_text=None,
+                force_trans_after_inactivity_secs=0.0,
+                force_response_after_inactivity_secs=0.0,
+                pipeline_chunks=True,
+            ),
+            self_play_mode=True,
+        )
+        agent.drain_pipeline()  # flush the in-flight chunk before switching modes
+        agent.self_play_mode = True
+        zero = np.zeros(chunk_n, np.float32)
+        out_a, ids_a = zero, None
+        out_b, ids_b = zero, None
+        for _ in range(5):  # warmup
+            out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
+            out_b, ids_b = agent_b.process_audio(out_a, ids_a)
+            out_a, ids_a = out_a_, ids_a_
+        n = 50
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
+            out_b, ids_b = agent_b.process_audio(out_a, ids_a)
+            out_a, ids_a = out_a_, ids_a_
+        dt = time.perf_counter() - t0
+        emit("self_play_rtf", dt / (n * 0.1), "x_realtime, both agents (lower is better)")
 
 
 if __name__ == "__main__":

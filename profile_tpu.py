@@ -1,9 +1,13 @@
-"""One-off TPU hot-path profiler: where does the 141 ms/chunk go?
+"""One-off TPU hot-path profiler.
 
 Times, on the real chip: tunnel RTT, host->device transfer, one LM decode
 step (forward + head + sample), forward-only, head-only, codec encode/decode
 over the 2 s context, and the whole fused chunk. Run:
     python profile_tpu.py [--skip-fused]
+
+NOTE (axon tunnel): block_until_ready does NOT await completion there — every
+measurement must round-trip real data, so each benched callable ends in a
+jax.device_get of a small result slice.
 """
 import argparse
 import sys
@@ -42,7 +46,7 @@ def main():
     # --- 1. tunnel RTT / dispatch ---
     f_tiny = jax.jit(lambda x: x + 1)
     x8 = jnp.zeros((8,), jnp.float32)
-    bench("tiny jit call (RTT)", lambda: f_tiny(x8).block_until_ready())
+    bench("tiny jit call + fetch (RTT)", lambda: jax.device_get(f_tiny(x8)))
 
     host_buf = np.zeros(1600, np.float32)
     bench("device_put 1600 f32", lambda: jax.device_put(host_buf).block_until_ready())
@@ -52,8 +56,8 @@ def main():
     # 8 small transfers then one tiny call (mimics fused arg prep)
     def many_transfers():
         a = [jax.device_put(np.zeros(s, np.float32)) for s in (1600, 2, 7, 4, 4, 64, 64, 1)]
-        f_tiny(x8).block_until_ready()
-    bench("8 device_puts + tiny call", many_transfers)
+        jax.device_get(f_tiny(x8))
+    bench("8 device_puts + tiny call+fetch", many_transfers)
 
     # --- 2. LM step at full size ---
     from realtime_codec_agent_tpu.models.llama import (
@@ -106,15 +110,15 @@ def main():
     key = jax.random.PRNGKey(0)
 
     h, _, _ = fwd_only(params, k, v, toks, off)
-    bench("LM fwd T=2 (no donate, ret kv)", lambda: jax.block_until_ready(fwd_only(params, k, v, toks, off)))
-    bench("LM head only (1,2048)@(2048,260k)", lambda: head_only(params, h).block_until_ready())
+    bench("LM fwd T=2 (no donate, ret kv)", lambda: jax.device_get(fwd_only(params, k, v, toks, off)[0][0, :4]))
+    bench("LM head only (1,2048)@(2048,260k)", lambda: jax.device_get(head_only(params, h)[0, :4]))
 
     state = {"k": k, "v": v}
     def one_decode():
         tok, state["k"], state["v"] = decode_step(
             params, state["k"], state["v"], toks, off, key, scalars, bias_ids, bias_vals, window_ids, window_mask
         )
-        tok.block_until_ready()
+        jax.device_get(tok)
     bench("LM decode step (donated kv)", one_decode)
 
     # --- 3. codec at full size ---
@@ -129,12 +133,12 @@ def main():
     dec_in = jnp.zeros((1, 100), jnp.int32)
     enc_j = jax.jit(lambda p, a: encode_frames(p, a, ccfg))
     dec_j = jax.jit(lambda p, c: decode_frames(p, c, ccfg))
-    bench("codec encode 2s ctx (100 fr)", lambda: enc_j(cparams, enc_in).block_until_ready())
-    bench("codec decode 2s ctx (100 fr)", lambda: dec_j(cparams, dec_in).block_until_ready())
+    bench("codec encode 2s ctx (100 fr)", lambda: jax.device_get(enc_j(cparams, enc_in)[0, :4]))
+    bench("codec decode 2s ctx (100 fr)", lambda: jax.device_get(dec_j(cparams, dec_in)[0, :4]))
     enc5 = jnp.zeros((1, 1600), jnp.float32)
     dec5 = jnp.zeros((1, 5), jnp.int32)
-    bench("codec encode 5 frames only", lambda: enc_j(cparams, enc5).block_until_ready())
-    bench("codec decode 5 frames only", lambda: dec_j(cparams, dec5).block_until_ready())
+    bench("codec encode 5 frames only", lambda: jax.device_get(enc_j(cparams, enc5)[0, :4]))
+    bench("codec decode 5 frames only", lambda: jax.device_get(dec_j(cparams, dec5)[0, :4]))
 
     if args.skip_fused:
         return

@@ -376,8 +376,11 @@ class RealtimeAgent:
                     llm.eval(self.input_ids[-1:])
                     self.input_ids.append(self.start_audio_token_id)
                     break
+                # bucketed scan lengths (static shapes compile once); the cap
+                # can overshoot by at most 3 tokens
+                max_n = 32 if remaining >= 32 else (8 if remaining >= 8 else 4)
                 toks, hit_stop = llm.generate_until(
-                    self.input_ids[-1], self.start_audio_token_id, max_n=32
+                    self.input_ids[-1], self.start_audio_token_id, max_n=max_n
                 )
                 self.input_ids.extend(toks)
                 if hit_stop:
@@ -815,54 +818,53 @@ class RealtimeAgent:
         loop -> TTS substitution -> decode -> stats/timers. This is the event
         path, the forced-event path, the external-TTS path, and the replay
         path for pipelined chunks."""
-        if True:
-            tts_chunk_input_ids = None
-            with self.profilers.audio_tokenize_profiler:
-                if audio_chunk_input_ids is None:
-                    if self._session is not None:
-                        audio_chunk_input_ids = self._session.encode_chunk(audio_chunk)
-                    else:
-                        audio_chunk_str = self.resources.audio_tokenizer.tokenize_audio(audio_chunk)
-            with self.profilers.tokenize_profiler:
-                if audio_chunk_input_ids is None:
-                    audio_chunk_input_ids = self.resources.tokenizer.encode(
-                        audio_chunk_str, add_special_tokens=False
+        tts_chunk_input_ids = None
+        with self.profilers.audio_tokenize_profiler:
+            if audio_chunk_input_ids is None:
+                if self._session is not None:
+                    audio_chunk_input_ids = self._session.encode_chunk(audio_chunk)
+                else:
+                    audio_chunk_str = self.resources.audio_tokenizer.tokenize_audio(audio_chunk)
+        with self.profilers.tokenize_profiler:
+            if audio_chunk_input_ids is None:
+                audio_chunk_input_ids = self.resources.tokenizer.encode(
+                    audio_chunk_str, add_special_tokens=False
+                )
+            if self.config.use_external_tts and self.tts_interrupted_chunk_input_ids is not None:
+                tts_chunk_input_ids = self.tts_interrupted_chunk_input_ids
+            elif self.config.use_external_tts:
+                tts_chunk = self.tts_client.next_chunk()
+                if tts_chunk is None and not self.config.external_tts_allow_fallback:
+                    tts_chunk = self.default_tts_fallback_chunk
+                if tts_chunk is not None:
+                    tts_chunk_input_ids = self.resources.tokenizer.encode(
+                        tts_chunk, add_special_tokens=False
                     )
-                if self.config.use_external_tts and self.tts_interrupted_chunk_input_ids is not None:
-                    tts_chunk_input_ids = self.tts_interrupted_chunk_input_ids
-                elif self.config.use_external_tts:
-                    tts_chunk = self.tts_client.next_chunk()
-                    if tts_chunk is None and not self.config.external_tts_allow_fallback:
-                        tts_chunk = self.default_tts_fallback_chunk
-                    if tts_chunk is not None:
-                        tts_chunk_input_ids = self.resources.tokenizer.encode(
-                            tts_chunk, add_special_tokens=False
-                        )
-                        assert len(tts_chunk_input_ids) == len(audio_chunk_input_ids), (
-                            f"TTS chunk must have {len(audio_chunk_input_ids)} tokens, "
-                            f"got {len(tts_chunk_input_ids)}"
-                        )
+                    assert len(tts_chunk_input_ids) == len(audio_chunk_input_ids), (
+                        f"TTS chunk must have {len(audio_chunk_input_ids)} tokens, "
+                        f"got {len(tts_chunk_input_ids)}"
+                    )
 
-            with self.profilers.lm_profiler:
-                out_chunk_input_ids = self.process_audio_input_ids(
-                    audio_chunk_input_ids, force_trans, force_response,
-                    out_prefix=out_prefix,
-                )
-                out_chunk_input_ids = self.process_tts_input_ids(
-                    tts_chunk_input_ids, out_chunk_input_ids
-                )
-
-            out_chunk = self.detokenize_output_chunk(out_chunk_input_ids)
-            self.audio_history_ch2.append(audio_chunk)
-
-            self.measure_event_prob()
-            self.update_inactivity_timers()
-
-            assert out_chunk.shape[-1] == self.chunk_size_samples, (
-                f"out_chunk must have length {self.chunk_size_samples}, got {out_chunk.shape[-1]}"
+        with self.profilers.lm_profiler:
+            out_chunk_input_ids = self.process_audio_input_ids(
+                audio_chunk_input_ids, force_trans, force_response,
+                out_prefix=out_prefix,
             )
-            assert len(out_chunk_input_ids) == self.chunk_size_frames_per_channel
-            return out_chunk, out_chunk_input_ids
+            out_chunk_input_ids = self.process_tts_input_ids(
+                tts_chunk_input_ids, out_chunk_input_ids
+            )
+
+        out_chunk = self.detokenize_output_chunk(out_chunk_input_ids)
+        self.audio_history_ch2.append(audio_chunk)
+
+        self.measure_event_prob()
+        self.update_inactivity_timers()
+
+        assert out_chunk.shape[-1] == self.chunk_size_samples, (
+            f"out_chunk must have length {self.chunk_size_samples}, got {out_chunk.shape[-1]}"
+        )
+        assert len(out_chunk_input_ids) == self.chunk_size_frames_per_channel
+        return out_chunk, out_chunk_input_ids
 
     def _process_audio_fused(
         self, audio_chunk: np.ndarray, user_tokens: Optional[List[int]] = None

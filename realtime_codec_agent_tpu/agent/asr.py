@@ -48,14 +48,27 @@ class TransformersWhisperASR(ASRModel):
     Greedy single-segment decoding matches the reference whisper.cpp call
     surface (realtime_agent_v2.py:421-428)."""
 
-    def __init__(self, model_name_or_path: str = None, model=None, processor=None):
+    def __init__(
+        self,
+        model_name_or_path: str = None,
+        model=None,
+        processor=None,
+        local_files_only: bool = True,
+    ):
         import torch
 
         if model is None or processor is None:
             from transformers import WhisperForConditionalGeneration, WhisperProcessor
 
-            model = WhisperForConditionalGeneration.from_pretrained(model_name_or_path)
-            processor = WhisperProcessor.from_pretrained(model_name_or_path)
+            # local_files_only by default: a hub fetch with network timeouts
+            # inside realtime-agent startup would stall the session; pass
+            # False explicitly to allow downloading
+            model = WhisperForConditionalGeneration.from_pretrained(
+                model_name_or_path, local_files_only=local_files_only
+            )
+            processor = WhisperProcessor.from_pretrained(
+                model_name_or_path, local_files_only=local_files_only
+            )
         self._torch = torch
         self._model = model.eval()
         self._processor = processor

@@ -84,8 +84,11 @@ class RealtimeAgentConfig:
     # fused program for chunk t and returns the audio of chunk t-1, so the
     # device tunnel's fixed per-fetch latency overlaps the next chunk's
     # compute. Costs one chunk (chunk_size_secs) of added response latency;
-    # token streams are identical to the synchronous path. Off by default to
-    # preserve the reference's synchronous process_audio semantics.
+    # token streams are identical to the synchronous path, with one caveat:
+    # the inactivity timers gating force_trans/force_response update at
+    # resolve time, so a FORCED event can fire one chunk later than the
+    # synchronous agent would fire it (model-decided events are unaffected).
+    # Off by default to preserve the reference's synchronous semantics.
     pipeline_chunks: bool = False
 
     def __post_init__(self):

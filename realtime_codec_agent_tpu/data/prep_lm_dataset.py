@@ -96,7 +96,8 @@ def main(argv=None) -> str:
     save_dir = os.path.dirname(args.save_path)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-    metadata_path = args.save_path.replace(".txt", "_metadata.jsonl")
+    root, _ = os.path.splitext(args.save_path)
+    metadata_path = f"{root}_metadata.jsonl"
 
     n = 0
     with open(args.save_path, "w", encoding="utf-8") as f, open(

@@ -273,8 +273,14 @@ def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
         return out
 
     def conv_stages(prefix: str, transpose_conv: bool):
-        """Conv1d stacks: torch Conv1d weight (out,in,k) -> (k,in,out);
-        ConvTranspose1d weight (in,out,k) -> (k,in,out)."""
+        """Conv1d stacks: torch Conv1d weight (out,in,k) -> (k,in,out).
+        ConvTranspose1d weight (in,out,k) -> (k,in,out) with the spatial axis
+        REVERSED: torch's ConvTranspose is the gradient-derived transpose,
+        while lax.conv_transpose(transpose_kernel=False) is a plain
+        fractionally-strided correlation — the two agree only with the kernel
+        spatially flipped (asserted against torch in tests/test_codec.py).
+        Parity is exact for even stride ratios; odd ratios can differ at
+        chunk boundaries by the padding convention."""
         out = []
         i = 0
         while f"{prefix}.conv.stages.{i}.weight" in sd or f"{prefix}.down.{i}.weight" in sd or f"{prefix}.up.{i}.weight" in sd:
@@ -288,7 +294,10 @@ def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
                 f"{prefix}.down.{i}.bias",
                 f"{prefix}.up.{i}.bias",
             )
-            w = w.transpose(2, 0, 1) if transpose_conv else w.transpose(2, 1, 0)
+            if transpose_conv:
+                w = np.ascontiguousarray(w.transpose(2, 0, 1)[::-1])
+            else:
+                w = w.transpose(2, 1, 0)
             out.append({"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)})
             i += 1
         if not out:

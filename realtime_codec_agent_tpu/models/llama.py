@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from ..ops import nn
 
+# queries shorter than this take the one-shot attention (whole cache in one
+# einsum); longer ones take the flash key-block scan bounded by the valid
+# range. Tunable for experiments via RTCA_FLASH_MIN_T.
+_FLASH_DECODE_MIN_T = int(__import__("os").environ.get("RTCA_FLASH_MIN_T", "9"))
+
 
 @dataclasses.dataclass(frozen=True)
 class DuplexLMConfig:
@@ -364,7 +369,7 @@ def _gqa_two_piece_attention(
     s_new = jnp.where(m_new[None, None, None], s_new, neg)
 
     s = k_big.shape[1]
-    if t <= 8:
+    if t < _FLASH_DECODE_MIN_T:
         s_big = jnp.einsum(
             "btkgd,bskd->bkgts", qg, k_big, preferred_element_type=jnp.float32
         ) * scale  # (B,KH,G,T,S)

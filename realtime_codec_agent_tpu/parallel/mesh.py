@@ -107,24 +107,35 @@ def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh):
     all-reduces from the shardings (compute-follows-data). A 1B LM fits one
     chip; this is the config-change path to serving bigger models
     (SURVEY §2.3: TP over ICI as a mesh-shape change)."""
-    layer_spec = {
-        "attn_norm": P(),
-        "wq": P(None, "tp"),
-        "wk": P(None, "tp"),
-        "wv": P(None, "tp"),
-        "wo": P("tp", None),
-        "mlp_norm": P(),
-        "w_gate": P(None, "tp"),
-        "w_up": P(None, "tp"),
-        "w_down": P("tp", None),
-    }
+    def matmul_spec(w, spec: P):
+        """int8-quantized leaves are {'q': (in,out) int8, 's': (out,) f32}
+        dicts (ops/nn.qdot): shard q like the raw weight and s along the
+        output axis."""
+        if isinstance(w, dict) and "q" in w:
+            return {"q": spec, "s": P(spec[1])}
+        return spec
+
+    def layer_spec(blk):
+        col, row = P(None, "tp"), P("tp", None)
+        return {
+            "attn_norm": P(),
+            "wq": matmul_spec(blk["wq"], col),
+            "wk": matmul_spec(blk["wk"], col),
+            "wv": matmul_spec(blk["wv"], col),
+            "wo": matmul_spec(blk["wo"], row),
+            "mlp_norm": P(),
+            "w_gate": matmul_spec(blk["w_gate"], col),
+            "w_up": matmul_spec(blk["w_up"], col),
+            "w_down": matmul_spec(blk["w_down"], row),
+        }
+
     specs = {
         "embed_tokens": P(),
-        "layers": [dict(layer_spec) for _ in params["layers"]],
+        "layers": [layer_spec(blk) for blk in params["layers"]],
         "final_norm": P(),
     }
     if "lm_head" in params:
-        specs["lm_head"] = P(None, "tp")
+        specs["lm_head"] = matmul_spec(params["lm_head"], P(None, "tp"))
     if "codec_embed" in params:
         specs["codec_embed"] = jax.tree.map(
             lambda _: P(), params["codec_embed"],

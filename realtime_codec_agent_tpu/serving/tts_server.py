@@ -169,6 +169,13 @@ class TTSServer:
             while buffer.shape[-1] >= chunk_samples:
                 chunk, buffer = np.split(buffer, [chunk_samples])
                 yield at.tokenize_audio(chunk)
+        if buffer.shape[-1] > 0:
+            # flush the utterance tail zero-padded to a full chunk — the
+            # reference drops it (tts_server.py:55-60), audibly clipping the
+            # last word
+            tail = np.zeros((chunk_samples,), np.float32)
+            tail[: buffer.shape[-1]] = buffer
+            yield at.tokenize_audio(tail)
 
 
 def make_http_server(server: TTSServer, host: str = "127.0.0.1", port: int = 8001):

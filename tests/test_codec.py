@@ -244,9 +244,12 @@ class TestConvFrontend:
                                     ("decoder", params["decoder"], True)):
             for i, st in enumerate(tree["conv"]["stages"]):
                 w = np.asarray(st["w"], np.float32)
-                # ours (k,in,out) -> torch Conv1d (out,in,k) / ConvTranspose1d (in,out,k)
+                # ours (k,in,out) -> torch Conv1d (out,in,k); ConvTranspose1d
+                # (in,out,k) additionally un-flips the spatial axis
                 sd[f"{prefix}.conv.stages.{i}.weight"] = t(
-                    w.transpose(1, 2, 0) if tconv else w.transpose(2, 1, 0)
+                    np.ascontiguousarray(w[::-1].transpose(1, 2, 0))
+                    if tconv
+                    else w.transpose(2, 1, 0)
                 )
                 sd[f"{prefix}.conv.stages.{i}.bias"] = t(st["b"])
             sd[f"{prefix}.out_norm.weight" if prefix == "encoder" else f"{prefix}.out_norm.weight"] = t(tree["out_norm"])
@@ -269,3 +272,54 @@ class TestConvFrontend:
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-2, atol=1e-3
             )
+
+    def test_conv_ops_match_torch_semantics(self):
+        """The converter's layout map must make our lax conv ops numerically
+        reproduce torch's Conv1d / ConvTranspose1d — the operational contract
+        for importing real conv-front-end checkpoints (even stride ratios)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import torch
+
+        from realtime_codec_agent_tpu.models.codec import _conv_downsample, _conv_upsample
+
+        rng = np.random.default_rng(3)
+        cin, cout, r = 2, 6, 4
+        k = 2 * r
+        T = 16
+
+        # --- downsample vs torch Conv1d (stride r, SAME padding) ---
+        x = rng.normal(size=(1, cin, T * r)).astype(np.float32)
+        w_conv = rng.normal(size=(cout, cin, k)).astype(np.float32) * 0.2
+        b_conv = rng.normal(size=(cout,)).astype(np.float32)
+        # jax SAME for stride r, kernel k on length T*r: pad total k - r
+        lo = (k - r) // 2
+        hi = (k - r) - lo
+        y_t = torch.nn.functional.conv1d(
+            torch.nn.functional.pad(torch.tensor(x), (lo, hi)),
+            torch.tensor(w_conv), torch.tensor(b_conv), stride=r,
+        ).numpy()
+        stage = {"w": jnp.asarray(w_conv.transpose(2, 1, 0)), "b": jnp.asarray(b_conv)}
+        y_j = np.asarray(
+            _conv_downsample([stage], jnp.asarray(x.transpose(0, 2, 1)), (r,))
+        ).transpose(0, 2, 1)
+        np.testing.assert_allclose(y_j, y_t, rtol=2e-2, atol=2e-2)
+
+        # --- upsample vs torch ConvTranspose1d (stride r, padding r/2) ---
+        z = rng.normal(size=(1, cout, T)).astype(np.float32)
+        w_tr = rng.normal(size=(cout, cin, k)).astype(np.float32) * 0.2
+        b_tr = rng.normal(size=(cin,)).astype(np.float32)
+        y_t = torch.nn.functional.conv_transpose1d(
+            torch.tensor(z), torch.tensor(w_tr), torch.tensor(b_tr),
+            stride=r, padding=r // 2,
+        ).numpy()
+        stage = {
+            "w": jnp.asarray(np.ascontiguousarray(w_tr.transpose(2, 0, 1)[::-1])),
+            "b": jnp.asarray(b_tr),
+        }
+        y_j = np.asarray(
+            _conv_upsample([stage], jnp.asarray(z.transpose(0, 2, 1)), (r,))
+        ).transpose(0, 2, 1)
+        assert y_j.shape == y_t.shape
+        np.testing.assert_allclose(y_j, y_t, rtol=2e-2, atol=2e-2)

@@ -186,3 +186,19 @@ def test_external_llm_client_sse_sentences():
         client.close_stream(blocking=True)
     finally:
         httpd.shutdown()
+
+
+def test_tts_server_flushes_utterance_tail():
+    """The final partial audio chunk of an utterance is zero-padded and
+    yielded rather than dropped (the reference clips it)."""
+    from realtime_codec_agent_tpu.serving.tts_server import SyntheticTTSEngine, TTSServer
+
+    codec = JaxCodecModel.random_init(tiny_codec_config(), seed=0)
+    at = AudioTokenizer(codec_model=codec)
+    tts = TTSServer(SyntheticTTSEngine(), at)
+
+    chunks = list(tts.generate_chunks("s1", "hi", 0.1))
+    # total synthesized samples for "hi": 2*0.045s*16k=1440 + 480 pad = 1920
+    # -> one full chunk + a flushed padded tail
+    assert len(chunks) == 2
+    assert all(len(c) == 5 for c in chunks)

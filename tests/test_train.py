@@ -180,3 +180,32 @@ def test_tensor_parallel_inference_matches_single_device():
     # teacher-forced scoring also runs sharded
     lp = tp.get_logprobs(list(range(2, 22)), [5, 6])
     np.testing.assert_allclose(lp, ref.get_logprobs(list(range(2, 22)), [5, 6]), atol=1e-5)
+
+
+def test_tensor_parallel_inference_with_int8():
+    """int8-quantized params ({'q','s'} leaves) must shard for TP inference
+    (the spec tree mirrors the quantized structure)."""
+    import jax
+    import numpy as np
+
+    from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+    from realtime_codec_agent_tpu.models.llama import (
+        init_lm_params, quantize_params_int8, tiny_lm_config,
+    )
+    from realtime_codec_agent_tpu.parallel import make_mesh, shard_lm_for_inference
+
+    cfg = tiny_lm_config(vocab_size=128, compute_dtype="float32", max_context=128)
+    params = init_lm_params(jax.random.PRNGKey(7), cfg)
+    qparams = jax.jit(quantize_params_int8)(params)
+
+    ref = DuplexLMEngine(qparams, cfg, seed=3)
+    ref.init_sampler_for_generate(temp=0.0, seed=3)
+    ref.eval(list(range(2, 22)))
+    ref_toks = [ref.eval_and_sample([int(t)]) for t in (22, 23)]
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=2)
+    tp = DuplexLMEngine(qparams, cfg, seed=3)
+    tp.init_sampler_for_generate(temp=0.0, seed=3)
+    tp.params, tp._k, tp._v = shard_lm_for_inference(qparams, tp._k, tp._v, mesh)
+    tp.eval(list(range(2, 22)))
+    assert [tp.eval_and_sample([int(t)]) for t in (22, 23)] == ref_toks
