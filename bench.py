@@ -91,7 +91,8 @@ def main():
         eng.get_logprobs([1] * 100, [1] * 50)        # score @ 256
         eng.get_logprobs([1] * 1500, [1] * 100)      # score @ 2048
         eng.get_logprobs([1] * 2500, [1] * 100)      # score @ 4096
-        eng.generate_until(1, stop_id=0, max_n=32)
+        for n in (4, 8, 32):                         # text-gen scan buckets
+            eng.generate_until(1, stop_id=0, max_n=n)
         eng.reset()
     agent = RealtimeAgent(resources=resources, config=config)
     # pin generation to the codec region (pure-audio duplex path)

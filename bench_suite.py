@@ -27,7 +27,11 @@ def emit(metric, value, unit, **extra):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true")
-    parser.add_argument("--skip", nargs="+", default=[], choices=["codec", "encode", "ar", "selfplay"])
+    parser.add_argument(
+        "--skip", nargs="+", default=[],
+        choices=["codec", "encode", "ar", "selfplay", "batched"],
+    )
+    parser.add_argument("--serving_batch", type=int, default=8)
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -77,6 +81,42 @@ def main():
             "batch_encode_xrt", secs / dt, "x_realtime audio-seconds/second (higher is better)",
             frames=int(codes.shape[-1]),
         )
+
+    # ---- 2b. batched serving throughput --------------------------------------
+    if "batched" not in args.skip:
+        import jax as _jax
+
+        from realtime_codec_agent_tpu.lm.batched_engine import BatchedDecodeEngine
+        from realtime_codec_agent_tpu.models.llama import (
+            init_lm_params, llama32_1b_config, tiny_lm_config,
+        )
+        from realtime_codec_agent_tpu.tokenization import CodecTextTokenizer
+
+        tok = CodecTextTokenizer(codebook_size=ccfg.codebook_size)
+        vocab = ((max(tok.vocab_size, 128512 + ccfg.codebook_size) + 7) // 8) * 8
+        make_cfg = tiny_lm_config if args.tiny else llama32_1b_config
+        lcfg = make_cfg(vocab_size=vocab)
+        lparams = init_lm_params(_jax.random.PRNGKey(0), lcfg)
+        beng = BatchedDecodeEngine(
+            lparams, lcfg, batch_size=args.serving_batch, max_context=2048
+        )
+        for row in range(args.serving_batch):
+            beng.set_row_sampler(row, temp=1.0)
+            beng.prefill_row(row, list(range(10, 200 + row)))
+        active = [True] * args.serving_batch
+        for _ in range(5):
+            beng.step(active, top_k=100)
+        n_steps = 50
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            beng.step(active, top_k=100)
+        dt = time.perf_counter() - t0
+        emit(
+            "batched_serving_tok_s",
+            n_steps * args.serving_batch / dt,
+            f"aggregate tokens/second, {args.serving_batch} concurrent streams (higher is better)",
+        )
+        del beng, lparams
 
     # ---- 3/4. full-agent metrics (shared resources) --------------------------
     need_agent = "ar" not in args.skip or "selfplay" not in args.skip

@@ -343,12 +343,14 @@ def _gqa_two_piece_attention(
     v_big: jnp.ndarray,    # (B, S, KH, Dh)
     k_new: jnp.ndarray,    # (B, W, KH, Dh) rotated new keys (extra + self)
     v_new: jnp.ndarray,    # (B, W, KH, Dh)
-    q_pos: jnp.ndarray,    # (T,) absolute positions of queries
-    new_pos: jnp.ndarray,  # (W,) absolute positions of new keys
-    cache_valid: jnp.ndarray,  # scalar: cache indices >= this are stale
+    q_pos: jnp.ndarray,    # (Bq, T) absolute positions of queries, Bq in {1, B}
+    new_pos: jnp.ndarray,  # (Bn, W) absolute positions of new keys
+    cache_valid: jnp.ndarray,  # (Bc,): cache indices >= this are stale, per row
 ) -> jnp.ndarray:
     """Joint softmax over cache + new keys without materializing either a
     concatenated key tensor or head-repeated (GQA) copies of the cache.
+    Positions/validity are per-row (broadcast from size-1 leading dims), so
+    the batched serving engine can decode rows at independent offsets.
 
     Small T (decode / fused frame steps): one-shot scores over the full cache
     — (T, S) fits comfortably. Large T (bucketed prefill, KV rebuild after a
@@ -361,23 +363,24 @@ def _gqa_two_piece_attention(
     scale = dh ** -0.5
     qg = q.reshape(b, t, kh, g, dh)
     neg = jnp.float32(-1e30)
+    cv = cache_valid[:, None, None]  # (Bc,1,1)
 
     s_new = jnp.einsum(
         "btkgd,bwkd->bkgtw", qg, k_new, preferred_element_type=jnp.float32
     ) * scale  # (B,KH,G,T,W)
-    m_new = new_pos[None, :] <= q_pos[:, None]       # (T,W)
-    s_new = jnp.where(m_new[None, None, None], s_new, neg)
+    m_new = new_pos[:, None, :] <= q_pos[:, :, None]       # (B?,T,W)
+    s_new = jnp.where(m_new[:, None, None], s_new, neg)
 
     s = k_big.shape[1]
     if t < _FLASH_DECODE_MIN_T:
         s_big = jnp.einsum(
             "btkgd,bskd->bkgts", qg, k_big, preferred_element_type=jnp.float32
         ) * scale  # (B,KH,G,T,S)
-        big_pos = jnp.arange(s)
+        big_pos = jnp.arange(s)[None, None, :]
         # cache key at index s holds position s; indices >= cache_valid are
         # stale (rolled back / not yet committed) and must never be attended
-        m_big = (big_pos[None, :] <= q_pos[:, None]) & (big_pos[None, :] < cache_valid)
-        s_big = jnp.where(m_big[None, None, None], s_big, neg)
+        m_big = (big_pos <= q_pos[:, :, None]) & (big_pos < cv)  # (B?,T,S)
+        s_big = jnp.where(m_big[:, None, None], s_big, neg)
 
         s_all = jnp.concatenate([s_big, s_new], axis=-1)
         probs = jax.nn.softmax(s_all, axis=-1)
@@ -405,12 +408,12 @@ def _gqa_two_piece_attention(
         m, l, acc = carry
         k_blk = jax.lax.dynamic_index_in_dim(kb, i, axis=0, keepdims=False)
         v_blk = jax.lax.dynamic_index_in_dim(vb, i, axis=0, keepdims=False)
-        pos = i * block + jnp.arange(block)
+        pos = (i * block + jnp.arange(block))[None, None, :]
         sb = jnp.einsum(
             "btkgd,bskd->bkgts", qg, k_blk, preferred_element_type=jnp.float32
         ) * scale  # (B,KH,G,T,block)
-        mask = (pos[None, :] <= q_pos[:, None]) & (pos[None, :] < cache_valid)
-        sb = jnp.where(mask[None, None, None], sb, neg)
+        mask = (pos <= q_pos[:, :, None]) & (pos < cv)  # (B?,T,block)
+        sb = jnp.where(mask[:, None, None], sb, neg)
         m_new_ = jnp.maximum(m, sb.max(axis=-1, keepdims=True))
         p = jnp.exp(sb - m_new_)
         corr = jnp.exp(m - m_new_)
@@ -428,7 +431,7 @@ def _gqa_two_piece_attention(
     # only key blocks a query can actually see: the valid cache never extends
     # past max(q_pos), so blocks beyond that are skipped entirely (dynamic
     # fori_loop bound — a post-trim KV rebuild attends ~1/3 of the cache)
-    max_key = jnp.minimum(q_pos[-1], cache_valid + t)
+    max_key = jnp.minimum(jnp.max(q_pos), jnp.max(cache_valid) + t)
     n_needed = jnp.minimum(n_blocks, max_key // block + 1).astype(jnp.int32)
     m, l, acc = jax.lax.fori_loop(0, n_needed, blk, (m0, l0, acc0))
 
@@ -453,27 +456,37 @@ def forward_decode(
     cfg: DuplexLMConfig,
     k_cache: jnp.ndarray,    # (L, B, S, KH, Dh) read-only
     v_cache: jnp.ndarray,
-    positions: jnp.ndarray,  # (T,) absolute positions of the new tokens
-    cache_valid: Optional[jnp.ndarray] = None,  # scalar: valid cache length
+    positions: jnp.ndarray,  # (T,) or per-row (B,T) absolute positions
+    cache_valid: Optional[jnp.ndarray] = None,  # scalar or (B,): valid cache length
     extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (L,B,We,KH,Dh) x2
-    extra_pos: Optional[jnp.ndarray] = None,  # (We,)
+    extra_pos: Optional[jnp.ndarray] = None,  # (We,) or (B,We)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Incremental forward over a READ-ONLY cache.
 
     Attention per layer = cache keys at indices < ``cache_valid`` (defaults to
-    ``positions[0]``: everything before the first new token) + ``extra_kv``
+    the first new-token position: everything before it) + ``extra_kv``
     (uncommitted keys from earlier steps of the same fused program, masked by
     ``extra_pos``) + the T new tokens themselves (causal among ``positions``).
-    Returns (hidden (B,T,H), new_k (L,B,T,KH,Dh), new_v) — new K/V are NOT
-    written into the cache; commit with commit_kv / commit_kv_scatter.
+    Positions/validity may be per-row (batched serving: rows decode at
+    independent offsets). Returns (hidden (B,T,H), new_k (L,B,T,KH,Dh),
+    new_v) — new K/V are NOT written into the cache; commit with
+    commit_kv / commit_kv_scatter / commit_kv_rows.
     """
     b, t = ids.shape
     dtype = jnp.dtype(cfg.compute_dtype)
+    positions = jnp.asarray(positions)
+    if positions.ndim == 1:
+        positions = positions[None, :]  # (1, T) broadcasts over rows
     if cache_valid is None:
-        cache_valid = positions[0]
+        cache_valid = positions[:, 0]
+    cache_valid = jnp.atleast_1d(jnp.asarray(cache_valid))
+    if extra_pos is not None:
+        extra_pos = jnp.asarray(extra_pos)
+        if extra_pos.ndim == 1:
+            extra_pos = extra_pos[None, :]
     x = embed_ids(params, ids, cfg)
     cos, sin = nn.rope_cos_sin(
-        positions[None, :], cfg.head_dim, cfg.rope_theta, rope_scaling=cfg.rope_scaling
+        positions, cfg.head_dim, cfg.rope_theta, rope_scaling=cfg.rope_scaling
     )
 
     new_ks, new_vs = [], []
@@ -493,7 +506,12 @@ def forward_decode(
         if extra_kv is not None:
             k_small = jnp.concatenate([extra_kv[0][li], k], axis=1)
             v_small = jnp.concatenate([extra_kv[1][li], v], axis=1)
-            small_pos = jnp.concatenate([extra_pos, positions])
+            rows = max(extra_pos.shape[0], positions.shape[0])
+            small_pos = jnp.concatenate(
+                [jnp.broadcast_to(extra_pos, (rows, extra_pos.shape[1])),
+                 jnp.broadcast_to(positions, (rows, positions.shape[1]))],
+                axis=1,
+            )
         else:
             k_small, v_small, small_pos = k, v, positions
 
@@ -525,6 +543,18 @@ def commit_kv_scatter(k_cache, v_cache, new_k, new_v, target_idx):
     (W,). Rejected entries should point at a trash index past max_context."""
     k_cache = k_cache.at[:, :, target_idx].set(new_k)
     v_cache = v_cache.at[:, :, target_idx].set(new_v)
+    return k_cache, v_cache
+
+
+def commit_kv_rows(k_cache, v_cache, new_k, new_v, offsets):
+    """Per-row contiguous commit for batched serving: row b's T new entries
+    land at [offsets[b], offsets[b]+T). In-place on donated buffers."""
+    b = k_cache.shape[1]
+    t = new_k.shape[2]
+    rows = jnp.arange(b)[:, None]
+    idx = offsets[:, None] + jnp.arange(t)[None, :]  # (B, T)
+    k_cache = k_cache.at[:, rows, idx].set(new_k)
+    v_cache = v_cache.at[:, rows, idx].set(new_v)
     return k_cache, v_cache
 
 

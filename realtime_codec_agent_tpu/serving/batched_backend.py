@@ -1,0 +1,154 @@
+"""Continuous-batching completion backend over BatchedDecodeEngine.
+
+Concurrent requests share one device program per token step: a worker thread
+assigns waiting requests to free batch slots (row-sliced prefill), steps all
+active rows together, and routes each row's decoded text deltas to its
+request stream, applying per-request stop strings / EOS / max_tokens. This is
+the concurrency the reference delegated to vLLM (SURVEY §2.2) — here it is a
+jitted batch step, ~constant device time for 1..B concurrent streams.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence
+
+from ..lm.batched_engine import BatchedDecodeEngine
+from ..tokenization import CodecTextTokenizer
+
+_SENTINEL = object()
+
+
+@dataclass
+class _Request:
+    prompt_ids: List[int]
+    max_tokens: int
+    stop: List[str]
+    top_k: int
+    sampler: dict = field(default_factory=dict)
+    out: "queue.Queue" = field(default_factory=queue.Queue)
+    # row-local decode state
+    out_ids: List[int] = field(default_factory=list)
+    emitted: str = ""
+    finish_reason: str = "length"
+
+
+class BatchedCompletionBackend:
+    """Thread-safe: ``generate`` may be called from many request threads."""
+
+    def __init__(
+        self,
+        engine: BatchedDecodeEngine,
+        tokenizer: CodecTextTokenizer,
+        model_name: str = "rtca-tpu-duplex-lm",
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self._waiting: "queue.Queue[_Request]" = queue.Queue()
+        self._slots: List[Optional[_Request]] = [None] * engine.batch
+        self._wake = threading.Event()
+        self._tl = threading.local()  # per-request-thread finish reason
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    @property
+    def last_finish_reason(self) -> Optional[str]:
+        return getattr(self._tl, "finish_reason", None)
+
+    # ------------------------------------------------------------------ API
+    def generate(
+        self,
+        prompt: str,
+        max_tokens: int = 256,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        min_p: float = 0.0,
+        seed: Optional[int] = None,
+        stop: Optional[Sequence[str]] = None,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
+        repeat_penalty: float = 1.0,
+    ) -> Iterator[str]:
+        req = _Request(
+            prompt_ids=self.tokenizer.encode(prompt),
+            max_tokens=max_tokens,
+            stop=list(stop or []),
+            top_k=top_k,
+        )
+        req.sampler = dict(
+            top_p=top_p, min_p=min_p, temp=temperature,
+            repeat_penalty=repeat_penalty, frequency_penalty=frequency_penalty,
+            presence_penalty=presence_penalty,
+        )
+        self._waiting.put(req)
+        self._wake.set()
+        while True:
+            item = req.out.get()
+            if item is _SENTINEL:
+                self._tl.finish_reason = req.finish_reason
+                return
+            yield item
+
+    # ---------------------------------------------------------------- worker
+    def _admit(self) -> None:
+        for row, slot in enumerate(self._slots):
+            if slot is not None:
+                continue
+            try:
+                req = self._waiting.get_nowait()
+            except queue.Empty:
+                return
+            self.engine.set_row_sampler(row, **req.sampler)
+            self.engine.prefill_row(row, req.prompt_ids)
+            self._slots[row] = req
+
+    def _finish(self, row: int, reason: str) -> None:
+        req = self._slots[row]
+        self._slots[row] = None
+        req.finish_reason = reason
+        # emit any held-back tail (stop-prefix holdback) unless stopped
+        text = self.tokenizer.decode(req.out_ids, skip_special_tokens=False)
+        if reason != "stop" and len(text) > len(req.emitted):
+            req.out.put(text[len(req.emitted):])
+        req.out.put(_SENTINEL)
+
+    def _route_token(self, row: int, token: int) -> None:
+        req = self._slots[row]
+        if token == self.tokenizer.eos_token_id:
+            self._finish(row, "stop")
+            return
+        req.out_ids.append(token)
+        text = self.tokenizer.decode(req.out_ids, skip_special_tokens=False)
+        for s in req.stop:
+            idx = text.find(s)
+            if idx >= 0:
+                final = text[:idx]
+                if len(final) > len(req.emitted):
+                    req.out.put(final[len(req.emitted):])
+                self._finish(row, "stop")
+                return
+        hold = max((len(s) - 1 for s in req.stop), default=0)
+        safe = text[: len(text) - hold] if hold else text
+        if len(safe) > len(req.emitted):
+            req.out.put(safe[len(req.emitted):])
+            req.emitted = safe
+        if len(req.out_ids) >= req.max_tokens:
+            self._finish(row, "length")
+
+    def _loop(self) -> None:
+        while True:
+            self._admit()
+            active = [s is not None for s in self._slots]
+            if not any(active):
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            # per-row top_k is static in the jit; use the max requested
+            top_k = max((s.top_k or 1024) for s in self._slots if s is not None)
+            tokens = self.engine.step(active, top_k=top_k)
+            for row, (is_active, token) in enumerate(zip(active, tokens)):
+                if is_active and self._slots[row] is not None:
+                    self._route_token(row, token)

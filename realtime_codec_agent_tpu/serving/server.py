@@ -143,14 +143,30 @@ def main(argv=None):
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument(
+        "--batch_size", type=int, default=1,
+        help=">1 enables continuous batching: concurrent requests share one "
+             "jitted decode step (the concurrency the reference got from vLLM)",
+    )
+    parser.add_argument("--serving_context", type=int, default=4096)
     args = parser.parse_args(argv)
 
     resources = RealtimeAgentResources(
         llm_model_path=args.llm_model_path, tiny=args.tiny, whisper_model=None
     )
-    backend = CompletionBackend(resources.llm, resources.tokenizer)
+    if args.batch_size > 1:
+        from ..lm.batched_engine import BatchedDecodeEngine
+        from .batched_backend import BatchedCompletionBackend
+
+        engine = BatchedDecodeEngine(
+            resources.lm_params, resources.lm_config,
+            batch_size=args.batch_size, max_context=args.serving_context,
+        )
+        backend = BatchedCompletionBackend(engine, resources.tokenizer)
+    else:
+        backend = CompletionBackend(resources.llm, resources.tokenizer)
     server = CompletionServer(backend, host=args.host, port=args.port)
-    print(f"Serving {backend.model_name} on {args.host}:{server.port}")
+    print(f"Serving {backend.model_name} on {args.host}:{server.port} (batch={args.batch_size})")
     server.serve_forever()
 
 
