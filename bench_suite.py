@@ -107,9 +107,15 @@ def main():
         for _ in range(5):
             beng.step(active, top_k=100)
         n_steps = 50
+        # dispatch-first (the serving loop's pattern): fetch of step k
+        # overlaps compute of step k+1
         t0 = time.perf_counter()
-        for _ in range(n_steps):
-            beng.step(active, top_k=100)
+        pending = beng.step_async(active, top_k=100)
+        for _ in range(n_steps - 1):
+            nxt = beng.step_async(active, top_k=100)
+            beng.resolve(pending)
+            pending = nxt
+        beng.resolve(pending)
         dt = time.perf_counter() - t0
         emit(
             "batched_serving_tok_s",

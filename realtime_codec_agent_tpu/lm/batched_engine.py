@@ -5,11 +5,15 @@ OpenAI-compatible endpoint, SURVEY §2.2); the round-1 backend serialized
 requests behind a lock. This engine decodes up to ``batch_size`` sequences
 per forward: each row has its own cache region, offset, sampler settings,
 PRNG stream, and penalty window — all batched into one jitted step
-(models/llama.forward_decode already supports per-row positions/validity).
+(models/llama.forward_decode supports per-row positions/validity).
 
-Slots are independent: ``prefill_row`` loads a prompt into one row (the
-other rows' caches are untouched — row-sliced prefill), ``step`` advances
-every active row by one token. The continuous-batching serving loop lives in
+The step's bookkeeping (pending token, offset, step counter, penalty window)
+is DEVICE-CARRIED, so consecutive steps chain without waiting for the
+previous step's sampled tokens to reach the host: ``step_async`` dispatches
+against the device state and returns the token handles, ``resolve`` fetches
+them one step later — the device tunnel's fixed per-fetch fee overlaps the
+next step's compute (the same dispatch-first pattern as the realtime agent's
+pipelined chunks). The continuous-batching serving loop lives in
 serving/batched_backend.py.
 """
 from __future__ import annotations
@@ -60,18 +64,23 @@ class BatchedDecodeEngine:
         )
         self._k = jnp.zeros(kv_shape, dtype)
         self._v = jnp.zeros(kv_shape, dtype)
-        self.offsets = np.zeros(batch_size, dtype=np.int64)  # host mirror
-        self.last_tokens = np.zeros(batch_size, dtype=np.int64)
         self._base_key = jax.random.PRNGKey(seed)
-        self._steps = np.zeros(batch_size, dtype=np.int64)
+        # device-carried per-row decode state (chained across steps)
+        self.dstate = {
+            "last": jnp.zeros((batch_size,), jnp.int32),     # pending token
+            "off": jnp.zeros((batch_size,), jnp.int32),      # cache offset
+            "step": jnp.zeros((batch_size,), jnp.int32),     # PRNG step
+            "win": jnp.zeros((batch_size, PENALTY_WINDOW), jnp.int32),
+            "wcount": jnp.zeros((batch_size,), jnp.int32),
+        }
+        # host mirrors (refreshed on resolve; used for admission/inspection)
+        self.offsets = np.zeros(batch_size, dtype=np.int64)
         self._nonces = np.zeros(batch_size, dtype=np.int64)
         # per-row sampler scalars: [top_p, min_p, temp, rep, freq, pres, min_id]
         self.scalars = np.tile(
             np.array([1.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0], np.float32),
             (batch_size, 1),
         )
-        self._windows = np.zeros((batch_size, PENALTY_WINDOW), np.int64)
-        self._window_counts = np.zeros(batch_size, dtype=np.int64)
         self._build_jits()
 
     # ------------------------------------------------------------------- jits
@@ -79,31 +88,48 @@ class BatchedDecodeEngine:
         cfg = self.cfg
 
         @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("row",))
-        def prefill_row(params, k, v, tokens, offset, last_idx, row):
+        def prefill_row(params, k, v, dstate, tokens, n_prompt, last_token, row):
             # row-sliced: only this row's cache region is read/written
             k_row = jax.lax.dynamic_slice_in_dim(k, row, 1, axis=1)
             v_row = jax.lax.dynamic_slice_in_dim(v, row, 1, axis=1)
-            positions = offset + jnp.arange(tokens.shape[1])
+            positions = jnp.arange(tokens.shape[1])
             hidden, nk, nv = forward_decode(
                 params, tokens, cfg, k_row, v_row, positions
             )
-            k_row, v_row = commit_kv(k_row, v_row, nk, nv, offset)
+            k_row, v_row = commit_kv(k_row, v_row, nk, nv, 0)
             k = jax.lax.dynamic_update_slice_in_dim(k, k_row, row, axis=1)
             v = jax.lax.dynamic_update_slice_in_dim(v, v_row, row, axis=1)
-            last_h = jax.lax.dynamic_index_in_dim(hidden[0], last_idx, axis=0)
-            logits = logits_from_hidden(params, last_h, cfg)[0]
-            return logits, k, v
+            # reset this row's chained state: pending = final prompt token,
+            # offset = prompt length - 1, window = trailing prompt tokens
+            # (win_src[p] = prompt token p: the padded head with the final
+            # token written at its true position n_prompt-1)
+            win_src = jnp.concatenate([tokens[0], jnp.zeros((1,), jnp.int32)])
+            win_src = win_src.at[n_prompt - 1].set(last_token)
+            idx = jnp.arange(PENALTY_WINDOW) - PENALTY_WINDOW + n_prompt
+            win = jnp.where(idx >= 0, win_src[jnp.clip(idx, 0, win_src.shape[0] - 1)], 0)
+            dstate = {
+                "last": dstate["last"].at[row].set(last_token),
+                "off": dstate["off"].at[row].set(n_prompt - 1),
+                "step": dstate["step"].at[row].set(0),
+                "win": dstate["win"].at[row].set(win),
+                "wcount": dstate["wcount"].at[row].set(
+                    jnp.minimum(n_prompt, PENALTY_WINDOW)
+                ),
+            }
+            return k, v, dstate
 
         @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("top_k",))
         def step(
-            params, k, v, tokens, offsets, active, base_key, nonces, steps,
-            scalars, windows, window_counts, top_k,
+            params, k, v, dstate, active, base_key, nonces, scalars, top_k,
         ):
-            """One token for every row: eval tokens (B,1) at per-row offsets,
-            sample per-row. Inactive rows write to a trash slot."""
-            b = tokens.shape[0]
+            """One token for every row: eval the pending tokens at per-row
+            offsets, sample per-row, and advance the device-carried state for
+            active rows. Inactive rows commit to a trash slot and freeze."""
+            b = active.shape[0]
             cache_len = k.shape[2]
             trash = cache_len - 1
+            offsets = dstate["off"]
+            tokens = dstate["last"][:, None]
             positions = offsets[:, None]  # (B,1)
             hidden, nk, nv = forward_decode(
                 params, tokens, cfg, k, v, positions, cache_valid=offsets
@@ -112,35 +138,46 @@ class BatchedDecodeEngine:
 
             wmask = (
                 jnp.arange(PENALTY_WINDOW)[None, :]
-                >= PENALTY_WINDOW - window_counts[:, None]
+                >= PENALTY_WINDOW - dstate["wcount"][:, None]
             ).astype(jnp.float32)
             keys = jax.vmap(
                 lambda n, s: jax.random.fold_in(jax.random.fold_in(base_key, n), s)
-            )(nonces, steps)
-            zero_bias = jnp.zeros((b, 4), jnp.int32)
-            zero_vals = jnp.zeros((b, 4), jnp.float32)
+            )(nonces, dstate["step"])
+            zero_bias = jnp.zeros((4,), jnp.int32)
+            zero_vals = jnp.zeros((4,), jnp.float32)
             next_tokens = jax.vmap(
                 lambda lg, key, sc, wi, wm: sample_token(
-                    lg, key, sc, zero_bias[0], zero_vals[0], wi, wm, top_k=top_k
+                    lg, key, sc, zero_bias, zero_vals, wi, wm, top_k=top_k
                 )
-            )(logits, keys, scalars, windows, wmask)
+            )(logits, keys, scalars, dstate["win"], wmask)
 
             commit_off = jnp.where(active, offsets, trash)
             k, v = commit_kv_rows(k, v, nk, nv, commit_off)
-            return next_tokens, k, v
+
+            # chain the per-row state (frozen for inactive rows): the sampled
+            # token becomes pending and joins the penalty window — matching
+            # the sequential engine's make_window over mirror+pending
+            rolled = jnp.concatenate(
+                [dstate["win"][:, 1:], next_tokens[:, None]], axis=1
+            )
+            act = active
+            dstate = {
+                "last": jnp.where(act, next_tokens, dstate["last"]),
+                "off": jnp.where(act, offsets + 1, offsets),
+                "step": jnp.where(act, dstate["step"] + 1, dstate["step"]),
+                "win": jnp.where(act[:, None], rolled, dstate["win"]),
+                "wcount": jnp.where(
+                    act,
+                    jnp.minimum(dstate["wcount"] + 1, PENALTY_WINDOW),
+                    dstate["wcount"],
+                ),
+            }
+            return next_tokens, dstate, k, v
 
         self._prefill_fn = prefill_row
         self._step_fn = step
 
     # ------------------------------------------------------------------ slots
-    def reset_row(self, row: int) -> None:
-        self.offsets[row] = 0
-        self.last_tokens[row] = 0
-        self._steps[row] = 0
-        self._nonces[row] += 1
-        self._windows[row] = 0
-        self._window_counts[row] = 0
-
     def set_row_sampler(
         self, row: int, top_p=1.0, min_p=0.0, temp=1.0, repeat_penalty=1.0,
         frequency_penalty=0.0, presence_penalty=0.0, min_token_id=0,
@@ -156,58 +193,41 @@ class BatchedDecodeEngine:
         prompt_ids = [int(t) for t in prompt_ids]
         if len(prompt_ids) + 1 >= self.max_context:
             raise ValueError("prompt too long for the serving cache")
-        self.reset_row(row)
         self._nonces[row] += 1
         head, last = prompt_ids[:-1], prompt_ids[-1]
-        if head:
-            b = _bucket(len(head))
-            padded = np.zeros((1, b), np.int32)
-            padded[0, : len(head)] = head
-            _, self._k, self._v = self._prefill_fn(
-                self.params, self._k, self._v, jnp.asarray(padded),
-                jnp.int32(0), jnp.int32(len(head) - 1), row,
-            )
+        b = _bucket(max(len(head), 1))
+        padded = np.zeros((1, b), np.int32)
+        padded[0, : len(head)] = head
+        self._k, self._v, self.dstate = self._prefill_fn(
+            self.params, self._k, self._v, self.dstate, jnp.asarray(padded),
+            jnp.int32(len(prompt_ids)), jnp.int32(last), row,
+        )
         self.offsets[row] = len(head)
-        self.last_tokens[row] = last
-        tail = prompt_ids[-PENALTY_WINDOW:]
-        self._windows[row] = 0
-        self._windows[row, PENALTY_WINDOW - len(tail):] = tail
-        self._window_counts[row] = len(tail)
 
-    def step(self, active: Sequence[bool], top_k: int = 0) -> List[int]:
-        """Advance every row one token (inactive rows are no-ops); returns
-        the sampled token per row."""
+    # ------------------------------------------------------------------ steps
+    def step_async(self, active: Sequence[bool], top_k: int = 0):
+        """Dispatch one batched step against the device-carried state and
+        return the sampled-token handles WITHOUT fetching. Consecutive
+        dispatches chain on device; fetch with ``resolve`` one step later so
+        the tunnel's per-fetch fee overlaps the next step's compute."""
         active_arr = np.asarray(active, dtype=bool)
-        tokens, self._k, self._v = self._step_fn(
+        tokens, self.dstate, self._k, self._v = self._step_fn(
             self.params,
             self._k,
             self._v,
-            jnp.asarray(self.last_tokens[:, None].astype(np.int32)),
-            jnp.asarray(self.offsets.astype(np.int32)),
+            self.dstate,
             jnp.asarray(active_arr),
             self._base_key,
             jnp.asarray(self._nonces.astype(np.int32)),
-            jnp.asarray(self._steps.astype(np.int32)),
             jnp.asarray(self.scalars),
-            jnp.asarray(self._windows.astype(np.int32)),
-            jnp.asarray(self._window_counts.astype(np.int32)),
             int(top_k) if top_k else 1024,
         )
-        tokens = np.asarray(jax.device_get(tokens))
-        out: List[int] = []
-        for r in range(self.batch):
-            tok = int(tokens[r])
-            out.append(tok)
-            if active_arr[r]:
-                # the newly sampled token becomes the pending one and (like
-                # the sequential engine's make_window over mirror+pending)
-                # joins the penalty window for the NEXT sample
-                self._windows[r] = np.roll(self._windows[r], -1)
-                self._windows[r, -1] = tok
-                self._window_counts[r] = min(
-                    self._window_counts[r] + 1, PENALTY_WINDOW
-                )
-                self.offsets[r] += 1
-                self._steps[r] += 1
-                self.last_tokens[r] = tok
-        return out
+        self.offsets[active_arr] += 1  # mirror (content arrives at resolve)
+        return tokens
+
+    def resolve(self, handles) -> List[int]:
+        return [int(t) for t in np.asarray(jax.device_get(handles))]
+
+    def step(self, active: Sequence[bool], top_k: int = 0) -> List[int]:
+        """Synchronous convenience: dispatch + immediate resolve."""
+        return self.resolve(self.step_async(active, top_k=top_k))

@@ -18,6 +18,7 @@ from ..lm.batched_engine import BatchedDecodeEngine
 from ..tokenization import CodecTextTokenizer
 
 _SENTINEL = object()
+_DRAINING = object()  # slot finished but its speculative token is in flight
 
 
 @dataclass
@@ -139,16 +140,51 @@ class BatchedCompletionBackend:
             self._finish(row, "length")
 
     def _loop(self) -> None:
+        # dispatch-FIRST: step k+1 is enqueued against the engine's
+        # device-carried state before step k's tokens are fetched, so the
+        # tunnel's per-fetch fee overlaps compute. A row that finishes during
+        # resolve was already active in the in-flight step — it DRAINS: its
+        # speculative token is discarded at the next resolve, then the slot
+        # frees for admission.
+        pending = None  # (handles, active_mask, slots_snapshot)
+        draining = [False] * self.engine.batch
         while True:
-            self._admit()
-            active = [s is not None for s in self._slots]
-            if not any(active):
+            if pending is None:
+                self._admit()
+            active = [
+                s is not None and not draining[row]
+                for row, s in enumerate(self._slots)
+            ]
+            if not any(active) and pending is None:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            # per-row top_k is static in the jit; use the max requested
-            top_k = max((s.top_k or 1024) for s in self._slots if s is not None)
-            tokens = self.engine.step(active, top_k=top_k)
-            for row, (is_active, token) in enumerate(zip(active, tokens)):
-                if is_active and self._slots[row] is not None:
-                    self._route_token(row, token)
+
+            if any(active):
+                top_k = max(
+                    (s.top_k or 1024)
+                    for row, s in enumerate(self._slots)
+                    if s is not None and not draining[row]
+                )
+                handles = self.engine.step_async(active, top_k=top_k)
+                this = (handles, list(active))
+            else:
+                this = None
+
+            if pending is not None:
+                handles, was_active = pending
+                tokens = self.engine.resolve(handles)
+                for row, (is_active, token) in enumerate(zip(was_active, tokens)):
+                    if draining[row]:
+                        # the speculative token of a finished request: discard
+                        # and free the slot
+                        draining[row] = False
+                        self._slots[row] = None
+                    elif is_active and self._slots[row] is not None:
+                        self._route_token(row, token)
+                        if self._slots[row] is None and this is not None:
+                            # finished, but already active in the in-flight
+                            # step: hold the slot until that token resolves
+                            self._slots[row] = _DRAINING
+                            draining[row] = True
+            pending = this
