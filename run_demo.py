@@ -124,7 +124,8 @@ def build_client_and_tokenizer(args):
     return client, tokenizer
 
 
-if __name__ == "__main__":
+def main(argv=None):
+
     parser = argparse.ArgumentParser("Audio generation demo")
     parser.add_argument("--base_url", default="http://localhost:8000/v1")
     parser.add_argument("--in_process", action="store_true")
@@ -136,7 +137,7 @@ if __name__ == "__main__":
     parser.add_argument("--seconds", type=float, default=5.0)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output", default="demo_out.wav")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     client, tokenizer = build_client_and_tokenizer(args)
     context = read_audio(args.context_audio) if args.context_audio else None
@@ -154,3 +155,7 @@ if __name__ == "__main__":
     write_wav(args.output, sr, audio if audio.ndim == 1 else audio[0])
     print(re.sub(SHORTEN_CODES_REGEX, ".........", text))
     print(f"Wrote {audio.shape[-1]} samples to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,8 @@ def streaming_asr(
         yield sequence
 
 
-if __name__ == "__main__":
+def main(argv=None):
+
     parser = argparse.ArgumentParser("Streaming ASR demo")
     parser.add_argument("--base_url", default="http://localhost:8000/v1")
     parser.add_argument("--in_process", action="store_true")
@@ -77,7 +78,7 @@ if __name__ == "__main__":
     parser.add_argument("--stereo", action="store_true")
     parser.add_argument("--audio_file", required=True)
     parser.add_argument("--seed", type=int, default=42)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     client, tokenizer = build_client_and_tokenizer(args)
     sr, audio = read_audio(args.audio_file, mono=tokenizer.num_channels == 1)
@@ -85,3 +86,7 @@ if __name__ == "__main__":
     for sequence in streaming_asr(client, tokenizer, audio, seed=args.seed):
         pass
     print(sequence)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,8 @@ def streaming_tts(
         yield audio_tokenizer.sampling_rate, out_audio, sequence
 
 
-if __name__ == "__main__":
+def main(argv=None):
+
     parser = argparse.ArgumentParser("Streaming TTS demo")
     parser.add_argument("--base_url", default="http://localhost:8000/v1")
     parser.add_argument("--in_process", action="store_true")
@@ -69,7 +70,7 @@ if __name__ == "__main__":
     parser.add_argument("--context_audio", default=None)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output", default="tts_out.wav")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     client, tokenizer = build_client_and_tokenizer(args)
     context = read_audio(args.context_audio) if args.context_audio else None
@@ -79,3 +80,7 @@ if __name__ == "__main__":
     sr, audio, sequence = final
     write_wav(args.output, sr, audio if audio.ndim > 1 else audio)
     print(f"Wrote {audio.shape[-1]} samples to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
