@@ -58,6 +58,10 @@ class DuplexLMConfig:
     codebook_size: int = 131072
     codebook_dim: int = 16
     compute_dtype: str = "bfloat16"
+    # rematerialize per-layer activations on the backward pass (training):
+    # trades ~30% more FLOPs for O(layers) less activation memory — the
+    # standard TPU recipe for fitting 1B-scale training on few chips
+    remat: bool = False
 
     @property
     def rope_scaling(self):
@@ -267,19 +271,18 @@ def forward(
         if attn_mask is not None:
             mask = mask & attn_mask[:, None, None, :].astype(bool)
 
-    new_k, new_v = [], []
-    for li, blk in enumerate(params["layers"]):
-        res = x
-        y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = nn.qdot(y, blk["wq"], out_dtype=dtype)
-        k = nn.qdot(y, blk["wk"], out_dtype=dtype)
-        v = nn.qdot(y, blk["wv"], out_dtype=dtype)
-        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        q, k = nn.apply_rope(q, k, cos, sin)
-
-        if use_cache:
+    if use_cache:
+        new_k, new_v = [], []
+        for li, blk in enumerate(params["layers"]):
+            res = x
+            y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+            q = nn.qdot(y, blk["wq"], out_dtype=dtype)
+            k = nn.qdot(y, blk["wk"], out_dtype=dtype)
+            v = nn.qdot(y, blk["wv"], out_dtype=dtype)
+            q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+            q, k = nn.apply_rope(q, k, cos, sin)
             k_full = jax.lax.dynamic_update_slice(
                 k_cache[li], k, (0, cache_offset, 0, 0)
             )
@@ -291,7 +294,25 @@ def forward(
             k_att = nn.repeat_kv(k_full, cfg.n_rep)
             v_att = nn.repeat_kv(v_full, cfg.n_rep)
             attn = nn.attention(q, k_att, v_att, mask=mask)
-        elif t > 512:
+            attn = nn.qdot(attn.reshape(b, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
+            x = res + attn
+            res = x
+            y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
+            x = res + nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
+        x = nn.rms_norm(x, params["final_norm"], cfg.rms_eps)
+        return x, (jnp.stack(new_k), jnp.stack(new_v))
+
+    def layer_body(x, blk):
+        res = x
+        y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q = nn.qdot(y, blk["wq"], out_dtype=dtype)
+        k = nn.qdot(y, blk["wk"], out_dtype=dtype)
+        v = nn.qdot(y, blk["wv"], out_dtype=dtype)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q, k = nn.apply_rope(q, k, cos, sin)
+        if t > 512:
             # long causal self-attention (teacher-forced scoring, training):
             # flash-style key-block scan, no (T,T) score materialization
             attn = nn.flash_causal_attention(
@@ -301,19 +322,20 @@ def forward(
                 valid=attn_mask,
             )
         else:
-            k_att = nn.repeat_kv(k, cfg.n_rep)
-            v_att = nn.repeat_kv(v, cfg.n_rep)
-            attn = nn.attention(q, k_att, v_att, mask=mask)
+            attn = nn.attention(
+                q, nn.repeat_kv(k, cfg.n_rep), nn.repeat_kv(v, cfg.n_rep), mask=mask
+            )
         attn = nn.qdot(attn.reshape(b, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
         x = res + attn
-
         res = x
         y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
-        x = res + nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
+        return res + nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
 
+    if cfg.remat:
+        layer_body = jax.checkpoint(layer_body)
+    for blk in params["layers"]:
+        x = layer_body(x, blk)
     x = nn.rms_norm(x, params["final_norm"], cfg.rms_eps)
-    if use_cache:
-        return x, (jnp.stack(new_k), jnp.stack(new_v))
     return x, None
 
 

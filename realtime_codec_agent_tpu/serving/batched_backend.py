@@ -140,6 +140,26 @@ class BatchedCompletionBackend:
             self._finish(row, "length")
 
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        except Exception as e:  # defensive: never leave requests hanging
+            import traceback
+
+            traceback.print_exc()
+            for row, slot in enumerate(self._slots):
+                if slot is not None and slot is not _DRAINING:
+                    slot.finish_reason = f"error: {e}"
+                    slot.out.put(_SENTINEL)
+                self._slots[row] = None
+            while True:
+                try:
+                    req = self._waiting.get_nowait()
+                except queue.Empty:
+                    break
+                req.finish_reason = f"error: {e}"
+                req.out.put(_SENTINEL)
+
+    def _loop_inner(self) -> None:
         # dispatch-FIRST: step k+1 is enqueued against the engine's
         # device-carried state before step k's tokens are fetched, so the
         # tunnel's per-fetch fee overlaps compute. A row that finishes during

@@ -43,6 +43,9 @@ class TrainConfig:
     log_every: int = 10
     seed: int = 42
     freeze_codec_table: bool = True
+    # rematerialize layer activations on backward (jax.checkpoint):
+    # ~30% extra forward FLOPs for O(layers) less activation memory
+    remat: bool = True
 
 
 def pad_batch(
@@ -84,7 +87,7 @@ class Trainer:
         train_config: TrainConfig,
         mesh=None,
     ):
-        self.cfg = lm_config
+        self.cfg = dataclasses.replace(lm_config, remat=train_config.remat)
         self.tc = train_config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.step = 0

@@ -209,3 +209,32 @@ def test_tensor_parallel_inference_with_int8():
     tp.params, tp._k, tp._v = shard_lm_for_inference(qparams, tp._k, tp._v, mesh)
     tp.eval(list(range(2, 22)))
     assert [tp.eval_and_sample([int(t)]) for t in (22, 23)] == ref_toks
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint rematerialization must not change loss or gradients."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_codec_agent_tpu.models.llama import init_lm_params, tiny_lm_config
+    from realtime_codec_agent_tpu.train.trainer import loss_and_metrics
+
+    cfg = tiny_lm_config(vocab_size=96, compute_dtype="float32", max_context=64)
+    params = init_lm_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(1, 96, size=(2, 32)))
+    labels = jnp.asarray(batch)
+
+    def loss_of(c):
+        return jax.value_and_grad(
+            lambda p: loss_and_metrics(p, batch, labels, c)[0]
+        )(params)
+
+    loss_a, grads_a = loss_of(cfg)
+    loss_b, grads_b = loss_of(dataclasses.replace(cfg, remat=True))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for ga, gb in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)
