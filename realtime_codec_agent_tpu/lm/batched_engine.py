@@ -76,10 +76,16 @@ class BatchedDecodeEngine:
         # host mirrors (refreshed on resolve; used for admission/inspection)
         self.offsets = np.zeros(batch_size, dtype=np.int64)
         self._nonces = np.zeros(batch_size, dtype=np.int64)
-        # per-row sampler scalars: [top_p, min_p, temp, rep, freq, pres, min_id]
+        # per-row sampler scalars:
+        # [top_p, min_p, temp, rep, freq, pres, min_id, dyn_top_k]
         self.scalars = np.tile(
-            np.array([1.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0], np.float32),
+            np.array([1.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0], np.float32),
             (batch_size, 1),
+        )
+        # per-row PRNG bases: request seeds make rows reproducible; unseeded
+        # rows derive a fresh stream per slot reuse
+        self._row_keys = np.stack(
+            [np.asarray(jax.random.fold_in(self._base_key, r)) for r in range(batch_size)]
         )
         self._build_jits()
 
@@ -87,7 +93,7 @@ class BatchedDecodeEngine:
     def _build_jits(self):
         cfg = self.cfg
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("row",))
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
         def prefill_row(params, k, v, dstate, tokens, n_prompt, last_token, row):
             # row-sliced: only this row's cache region is read/written
             k_row = jax.lax.dynamic_slice_in_dim(k, row, 1, axis=1)
@@ -120,7 +126,7 @@ class BatchedDecodeEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("top_k",))
         def step(
-            params, k, v, dstate, active, base_key, nonces, scalars, top_k,
+            params, k, v, dstate, active, row_keys, scalars, top_k,
         ):
             """One token for every row: eval the pending tokens at per-row
             offsets, sample per-row, and advance the device-carried state for
@@ -140,9 +146,7 @@ class BatchedDecodeEngine:
                 jnp.arange(PENALTY_WINDOW)[None, :]
                 >= PENALTY_WINDOW - dstate["wcount"][:, None]
             ).astype(jnp.float32)
-            keys = jax.vmap(
-                lambda n, s: jax.random.fold_in(jax.random.fold_in(base_key, n), s)
-            )(nonces, dstate["step"])
+            keys = jax.vmap(jax.random.fold_in)(row_keys, dstate["step"])
             zero_bias = jnp.zeros((4,), jnp.int32)
             zero_vals = jnp.zeros((4,), jnp.float32)
             next_tokens = jax.vmap(
@@ -178,21 +182,46 @@ class BatchedDecodeEngine:
         self._step_fn = step
 
     # ------------------------------------------------------------------ slots
+    def max_prompt_len(self) -> int:
+        """Longest admissible prompt: its padded prefill bucket plus at least
+        one decode slot (and the trash slot) must fit the serving cache."""
+        limit = 0
+        for b in PREFILL_BUCKETS:
+            if b + 2 <= self.max_context:
+                limit = b
+        return min(limit + 1, self.max_context - 2)  # +1: the unpadded last token
+
+    def row_capacity_left(self, row: int) -> int:
+        """Decode steps remaining before this row hits the cache end (the
+        trash slot occupies the final index)."""
+        return int(self.max_context - 2 - self.offsets[row])
+
     def set_row_sampler(
         self, row: int, top_p=1.0, min_p=0.0, temp=1.0, repeat_penalty=1.0,
         frequency_penalty=0.0, presence_penalty=0.0, min_token_id=0,
+        top_k=0, seed=None,
     ) -> None:
         self.scalars[row] = [
             top_p, min_p, temp, repeat_penalty, frequency_penalty,
-            presence_penalty, float(min_token_id),
+            presence_penalty, float(min_token_id), float(top_k or 0),
         ]
+        if seed is not None:
+            self._row_keys[row] = np.asarray(jax.random.PRNGKey(int(seed)))
+        else:
+            self._nonces[row] += 1
+            self._row_keys[row] = np.asarray(
+                jax.random.fold_in(self._base_key, int(self._nonces[row]) * 997 + row)
+            )
 
     def prefill_row(self, row: int, prompt_ids: Sequence[int]) -> None:
         """Load a prompt into one slot; the final prompt token becomes the
         row's pending token (evaled by its first step)."""
         prompt_ids = [int(t) for t in prompt_ids]
-        if len(prompt_ids) + 1 >= self.max_context:
-            raise ValueError("prompt too long for the serving cache")
+        if len(prompt_ids) > self.max_prompt_len():
+            raise ValueError(
+                f"prompt too long for the serving cache "
+                f"({len(prompt_ids)} > {self.max_prompt_len()})"
+            )
         self._nonces[row] += 1
         head, last = prompt_ids[:-1], prompt_ids[-1]
         b = _bucket(max(len(head), 1))
@@ -217,8 +246,7 @@ class BatchedDecodeEngine:
             self._v,
             self.dstate,
             jnp.asarray(active_arr),
-            self._base_key,
-            jnp.asarray(self._nonces.astype(np.int32)),
+            jnp.asarray(self._row_keys.astype(np.uint32)),
             jnp.asarray(self.scalars),
             int(top_k) if top_k else 1024,
         )

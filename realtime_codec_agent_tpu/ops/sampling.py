@@ -98,8 +98,13 @@ def sample_token(
     window_mask: jnp.ndarray,
     top_k: int = 100,
 ) -> jnp.ndarray:
-    """One sampled token id, full llama.cpp chain. jit-safe; top_k is static."""
+    """One sampled token id, full llama.cpp chain. jit-safe; ``top_k`` is the
+    STATIC upper bound shaping lax.top_k; scalars[7] (when present) is a
+    dynamic per-call/per-row top-k cutoff <= the static bound (0 = use the
+    full static k) — batched serving samples rows with different top_k
+    through one compiled program."""
     top_p, min_p, temp, rep, freq, pres, min_id = (scalars[i] for i in range(7))
+    dyn_k = scalars[7] if scalars.shape[0] > 7 else jnp.float32(0.0)
 
     logits = logits.astype(jnp.float32)
     # additive logit bias (get_logits_bias_processor, llamacpp_utils.py:8-24)
@@ -110,6 +115,8 @@ def sample_token(
 
     k = max(1, min(top_k if top_k > 0 else 1024, logits.shape[0]))
     top_vals, top_idx = jax.lax.top_k(logits, k)
+    rank = jnp.arange(k).astype(jnp.float32)
+    top_vals = jnp.where((dyn_k <= 0) | (rank < dyn_k), top_vals, NEG_INF)
 
     def greedy(_):
         return top_idx[0]

@@ -73,8 +73,19 @@ class BatchedCompletionBackend:
         frequency_penalty: float = 0.0,
         repeat_penalty: float = 1.0,
     ) -> Iterator[str]:
+        prompt_ids = self.tokenizer.encode(prompt)
+        # validate on the REQUEST thread (a worker-side failure would stall
+        # every stream) and bound decoding by the serving cache
+        if len(prompt_ids) > self.engine.max_prompt_len():
+            raise ValueError(
+                f"prompt too long for the serving cache "
+                f"({len(prompt_ids)} > {self.engine.max_prompt_len()} tokens)"
+            )
+        max_tokens = max(
+            1, min(max_tokens, self.engine.max_context - 2 - len(prompt_ids))
+        )
         req = _Request(
-            prompt_ids=self.tokenizer.encode(prompt),
+            prompt_ids=prompt_ids,
             max_tokens=max_tokens,
             stop=list(stop or []),
             top_k=top_k,
@@ -82,7 +93,7 @@ class BatchedCompletionBackend:
         req.sampler = dict(
             top_p=top_p, min_p=min_p, temp=temperature,
             repeat_penalty=repeat_penalty, frequency_penalty=frequency_penalty,
-            presence_penalty=presence_penalty,
+            presence_penalty=presence_penalty, top_k=top_k, seed=seed,
         )
         self._waiting.put(req)
         self._wake.set()
@@ -102,24 +113,30 @@ class BatchedCompletionBackend:
                 req = self._waiting.get_nowait()
             except queue.Empty:
                 return
-            self.engine.set_row_sampler(row, **req.sampler)
-            self.engine.prefill_row(row, req.prompt_ids)
+            try:
+                self.engine.set_row_sampler(row, **req.sampler)
+                self.engine.prefill_row(row, req.prompt_ids)
+            except Exception as e:  # release the request; keep serving
+                req.finish_reason = f"error: {e}"
+                req.out.put(_SENTINEL)
+                continue
             self._slots[row] = req
 
-    def _finish(self, row: int, reason: str) -> None:
+    def _finish(self, row: int, reason: str, flush_tail: bool = True) -> None:
         req = self._slots[row]
         self._slots[row] = None
         req.finish_reason = reason
-        # emit any held-back tail (stop-prefix holdback) unless stopped
+        # emit any held-back tail (stop-prefix holdback) — except when a stop
+        # STRING fired (its prefix must not leak); EOS/length flush it
         text = self.tokenizer.decode(req.out_ids, skip_special_tokens=False)
-        if reason != "stop" and len(text) > len(req.emitted):
+        if flush_tail and len(text) > len(req.emitted):
             req.out.put(text[len(req.emitted):])
         req.out.put(_SENTINEL)
 
     def _route_token(self, row: int, token: int) -> None:
         req = self._slots[row]
         if token == self.tokenizer.eos_token_id:
-            self._finish(row, "stop")
+            self._finish(row, "stop")  # EOS: flush the held-back tail
             return
         req.out_ids.append(token)
         text = self.tokenizer.decode(req.out_ids, skip_special_tokens=False)
@@ -129,14 +146,17 @@ class BatchedCompletionBackend:
                 final = text[:idx]
                 if len(final) > len(req.emitted):
                     req.out.put(final[len(req.emitted):])
-                self._finish(row, "stop")
+                self._finish(row, "stop", flush_tail=False)
                 return
         hold = max((len(s) - 1 for s in req.stop), default=0)
         safe = text[: len(text) - hold] if hold else text
         if len(safe) > len(req.emitted):
             req.out.put(safe[len(req.emitted):])
             req.emitted = safe
-        if len(req.out_ids) >= req.max_tokens:
+        if (
+            len(req.out_ids) >= req.max_tokens
+            or self.engine.row_capacity_left(row) <= 1
+        ):
             self._finish(row, "length")
 
     def _loop(self) -> None:
@@ -166,11 +186,15 @@ class BatchedCompletionBackend:
         # resolve was already active in the in-flight step — it DRAINS: its
         # speculative token is discarded at the next resolve, then the slot
         # frees for admission.
-        pending = None  # (handles, active_mask, slots_snapshot)
+        pending = None  # (handles, active_mask)
         draining = [False] * self.engine.batch
         while True:
-            if pending is None:
+            try:
                 self._admit()
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
             active = [
                 s is not None and not draining[row]
                 for row, s in enumerate(self._slots)
@@ -181,12 +205,9 @@ class BatchedCompletionBackend:
                 continue
 
             if any(active):
-                top_k = max(
-                    (s.top_k or 1024)
-                    for row, s in enumerate(self._slots)
-                    if s is not None and not draining[row]
-                )
-                handles = self.engine.step_async(active, top_k=top_k)
+                # per-request top_k rides the per-row sampler scalars; the
+                # static lax.top_k bound stays fixed (no recompiles)
+                handles = self.engine.step_async(active, top_k=1024)
                 this = (handles, list(active))
             else:
                 this = None

@@ -65,14 +65,38 @@ def test_batched_rows_match_sequential_greedy(setup):
     assert outs == refs
 
     # a freed slot can be re-used for a new prompt without disturbing others
+    refs2_long = _sequential_greedy(params, cfg, prompts[2], n + 2)
     eng.prefill_row(1, prompts[2])
     eng.set_row_sampler(1, temp=0.0)
     tokens = eng.step([False, True, True, False])
-    assert tokens[1] == refs[2][0]          # fresh prompt decodes from scratch
-    more = eng.step([False, False, True, False])
-    assert more[2] == refs[2][n] if len(refs[2]) > n else True
+    assert tokens[1] == refs2_long[0]       # fresh prompt decodes from scratch
+    assert tokens[2] == refs2_long[n]       # row 2 keeps its own continuation
+    more = eng.step([False, True, True, False])
+    assert more[1] == refs2_long[1]
+    assert more[2] == refs2_long[n + 1]
     # row 0 state untouched while inactive
     assert eng.offsets[0] == len(prompts[0]) - 1 + n
+
+
+def test_batched_seed_reproducible_and_guards(setup):
+    tok, cfg, params = setup
+    engine = BatchedDecodeEngine(params, cfg, batch_size=2, max_context=256, seed=0)
+    backend = BatchedCompletionBackend(engine, tok)
+    a = "".join(backend.generate("hello", max_tokens=8, temperature=1.0, seed=7))
+    b = "".join(backend.generate("hello", max_tokens=8, temperature=1.0, seed=7))
+    c = "".join(backend.generate("hello", max_tokens=8, temperature=1.0, seed=8))
+    assert a == b            # per-request seeds survive slot reuse
+    assert a != c or len(a) == 0
+    # oversized prompts are rejected on the request thread; the worker (and
+    # other requests) keep running
+    with pytest.raises(ValueError, match="prompt too long"):
+        list(backend.generate("x" * 4000, max_tokens=4))
+    assert "".join(backend.generate("hello", max_tokens=4, temperature=0.0))
+    # max_tokens is capped by the serving cache: the stream ends with
+    # finish_reason length instead of decoding past the cache
+    long_prompt = "y" * 100
+    out = "".join(backend.generate(long_prompt, max_tokens=100000, temperature=0.0))
+    assert backend.last_finish_reason in ("stop", "length")
 
 
 def test_batched_backend_concurrent_requests(setup):

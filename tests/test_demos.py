@@ -35,7 +35,8 @@ def test_run_demo_asr(tmp_path, capsys):
     write_wav(wav, sr, (0.2 * np.sin(np.arange(sr) / 25.0)).astype(np.float32))
     run_demo_asr.main(["--in_process", "--tiny", "--audio_file", wav])
     outp = capsys.readouterr().out
-    assert "transcript" in outp.lower() or len(outp) >= 0  # ran to completion
+    # the demo prints the decoded sequence (audio markers + any transcription)
+    assert "<|audio|>" in outp
 
 
 def test_run_demo_tts(tmp_path):
