@@ -71,3 +71,45 @@ def test_audio_utils_resample_dispatch():
     out2 = resample(stereo, 48000, 16000)
     assert out2.shape[0] == 2
     np.testing.assert_allclose(out2[0], -out2[1], atol=1e-6)
+
+
+def test_fastrtc_handler_streaming_resample():
+    """The live client's mic path: 48 kHz frames resample statefully to the
+    codec rate and chunk at exactly 1600 samples."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from inference_client_fastrtc_v2 import AgentHandler
+
+    class FakeAgentProc:
+        def __init__(self):
+            self.inputs = []
+
+        def get_info(self):
+            class I:
+                sampling_rate = 16000
+                chunk_size_samples = 1600
+            return I()
+
+        def queue_input(self, item):
+            self.inputs.append(item)
+
+    fake = FakeAgentProc()
+    h = AgentHandler(fake)
+    sr = 48000
+    t = np.arange(sr) / sr  # 1 s of mic audio in 20 ms frames
+    mic = (8000 * np.sin(2 * np.pi * 300 * t)).astype(np.int16)
+    frame = sr // 50
+    for i in range(50):
+        h.receive((sr, mic[i * frame : (i + 1) * frame]))
+    # 1 s at 16 kHz = 10 chunks of 1600 (minus filter delay, at least 9)
+    assert len(fake.inputs) >= 9
+    for in_sr, chunk in fake.inputs:
+        assert in_sr == 16000
+        assert chunk.shape == (1600,)
+        assert chunk.dtype == np.float32
+    # the resampled audio still carries the 300 Hz tone (not noise/zeros)
+    joined = np.concatenate([c for _, c in fake.inputs])
+    assert np.abs(joined).max() > 0.1
+    spec = np.abs(np.fft.rfft(joined))
+    peak_hz = np.argmax(spec) * 16000 / len(joined)
+    assert 280 < peak_hz < 320
