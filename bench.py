@@ -93,8 +93,28 @@ def main():
         eng.get_logprobs([1] * 2500, [1] * 100)      # score @ 4096
         for n in (4, 8, 32):                         # text-gen scan buckets
             eng.generate_until(1, stop_id=0, max_n=n)
+        for b in (8, 16, 32, 64, 128, 256, 512):     # small prefill buckets
+            eng.eval([1] * b)
+        eng.init_sampler_for_generate(temp=0.0)
+        eng.eval_and_sample([1])                     # decode T=1 / T=2
+        eng.eval_and_sample([1, 2])
         eng.reset()
     agent = RealtimeAgent(resources=resources, config=config)
+    if not args.no_prewarm:
+        # drive the EVENT machinery once (sync chunk, forced trans, forced
+        # response) so its remaining programs compile now; reset rebuilds a
+        # clean session afterwards
+        was_pipelined = agent.config.pipeline_chunks
+        agent.config.pipeline_chunks = False
+        warm_chunk = np.zeros(agent.chunk_size_samples, np.float32)
+        agent.process_audio(warm_chunk)
+        for patch in ("should_force_transcription", "should_force_response"):
+            keep = getattr(agent, patch)
+            setattr(agent, patch, lambda: True)
+            agent.process_audio(warm_chunk)
+            setattr(agent, patch, keep)
+        agent.config.pipeline_chunks = was_pipelined
+        agent.reset()
     # pin generation to the codec region (pure-audio duplex path)
     _orig_set_sampler = agent.set_sampler
 
