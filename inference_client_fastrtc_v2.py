@@ -109,6 +109,7 @@ CONFIG_CONTROLS = [
     ("finalize_response_after_inactivity_secs", "number", {}),
     ("finalize_response_improbable_token_tolerance", "number", {}),
     ("use_whisper", "checkbox", {}),
+    ("pipeline_chunks", "checkbox", {}),
     ("use_external_llm", "checkbox", {}),
     ("external_llm_base_url", "text", {}),
     ("external_llm_model", "text", {}),
@@ -136,11 +137,16 @@ def main():
             "or inference_client_self_play.py instead."
         )
 
+    # live deployment default: pipelined fused chunks (one chunk of added
+    # response latency; the tunnel fetch fee overlaps compute — see
+    # RealtimeAgentConfig.pipeline_chunks)
     agent = RealtimeAgentMultiprocessing(
-        llm_model_path=args.llm_model_path, tiny=args.tiny
+        config=RealtimeAgentConfig(pipeline_chunks=True),
+        llm_model_path=args.llm_model_path,
+        tiny=args.tiny,
     )
     handler = AgentHandler(agent)
-    defaults = RealtimeAgentConfig()
+    defaults = RealtimeAgentConfig(pipeline_chunks=True)
 
     with gr.Blocks() as ui:
         controls = {}

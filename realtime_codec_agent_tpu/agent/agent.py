@@ -1370,6 +1370,11 @@ class RealtimeAgentMultiprocessing:
             # pin this process to a single TPU chip before JAX initializes
             os.environ.setdefault("TPU_VISIBLE_CHIPS", str(device_id))
             os.environ.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+        # the spawned child starts with a cold in-process XLA cache; the
+        # persistent on-disk cache makes repeat launches start in seconds
+        from ..utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         resources = RealtimeAgentResources(**resources_kwargs)
         agent = RealtimeAgent(resources=resources, config=config, self_play_mode=self_play_mode)
         last_input_time = datetime.now()
@@ -1418,8 +1423,18 @@ class RealtimeAgentMultiprocessing:
                         print(">>> Agent is no longer idle! <<<")
                     last_input_time = now
                     is_idle = False
-                elif not is_idle:
-                    if (now - last_input_time).total_seconds() >= idle_tol_secs:
+                else:
+                    # input queue empty: we are waiting on the mic anyway, so
+                    # resolve any in-flight pipelined chunk now — the device
+                    # fetch fee overlaps mic idle time and the output reaches
+                    # the speaker one chunk sooner
+                    drained = agent.drain_pipeline()
+                    if drained is not None:
+                        rtf_values = agent.profilers.total_profiler.realtime_factor_values
+                        self.output_queue.put(
+                            (drained, rtf_values[-1] if rtf_values else None)
+                        )
+                    if not is_idle and (now - last_input_time).total_seconds() >= idle_tol_secs:
                         print(">>> Agent is idle! <<<")
                         is_idle = True
             except Exception as ex:
