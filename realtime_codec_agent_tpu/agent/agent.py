@@ -376,11 +376,13 @@ class RealtimeAgent:
                     llm.eval(self.input_ids[-1:])
                     self.input_ids.append(self.start_audio_token_id)
                     break
-                # bucketed scan lengths (static shapes compile once); the cap
-                # can overshoot by at most 3 tokens
-                max_n = 32 if remaining >= 32 else (8 if remaining >= 8 else 4)
+                # bucketed scan lengths (static shapes compile once); the
+                # dynamic n_limit makes one program cover any cap <= 32
+                # exactly — the device loop exits early at the stop token
+                max_n = 4 if remaining <= 4 else (8 if remaining <= 8 else 32)
                 toks, hit_stop = llm.generate_until(
-                    self.input_ids[-1], self.start_audio_token_id, max_n=max_n
+                    self.input_ids[-1], self.start_audio_token_id,
+                    max_n=max_n, n_limit=remaining,
                 )
                 self.input_ids.extend(toks)
                 if hit_stop:

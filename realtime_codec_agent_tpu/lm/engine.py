@@ -155,14 +155,17 @@ class DuplexLMEngine:
         def gen_until(
             params, k, v, n_tokens, first_token, base_key, step0,
             scalars, bias_ids, bias_vals, window_ids, window_count,
-            stop_id, top_k, max_n,
+            stop_id, n_limit, top_k, max_n,
         ):
             """Jitted multi-token generation (SURVEY §7 hard part 2): up to
-            max_n sequential eval+sample steps in ONE device program, halting
-            bookkeeping when stop_id is sampled. K/V accumulates in a small
-            side buffer against the READ-ONLY cache and commits once. The
-            PRNG/penalty-window schedule is identical to per-token
-            eval_and_sample, so results match the stepwise path token-exactly."""
+            min(max_n, n_limit) sequential eval+sample steps in ONE device
+            program, exiting the device loop as soon as stop_id is sampled
+            (a bounded while_loop, so short generations don't pay for unused
+            steps). K/V accumulates in a small side buffer against the
+            READ-ONLY cache and commits once. The PRNG/penalty-window schedule
+            is identical to per-token eval_and_sample, so results match the
+            stepwise path token-exactly. ``n_limit`` is dynamic: one compiled
+            max_n bucket serves any remaining-token cap without overshoot."""
             from ..models.llama import commit_kv_scatter, forward_decode
 
             cache_len = k.shape[2]
@@ -171,8 +174,12 @@ class DuplexLMEngine:
             kv_shape = (cfg.num_layers, 1, max_n, cfg.num_kv_heads, cfg.head_dim)
             dtype = jnp.dtype(cfg.compute_dtype)
 
-            def step(carry, i):
-                small_k, small_v, small_pos, tok, wids, wcount, done, last_logits = carry
+            def cond(carry):
+                i, _, _, _, _, _, _, done, _, _, _ = carry
+                return (~done) & (i < max_n)
+
+            def body(carry):
+                i, small_k, small_v, small_pos, tok, wids, wcount, done, hit, last_logits, out_tokens = carry
                 pos = n_tokens + i
                 wmask = (
                     jnp.arange(PENALTY_WINDOW) >= PENALTY_WINDOW - wcount
@@ -188,38 +195,40 @@ class DuplexLMEngine:
                     logits, key, scalars, bias_ids, bias_vals, wids, wmask,
                     top_k=top_k,
                 )
-                accept = ~done
-                last_logits = jnp.where(done, last_logits, logits)
                 small_k = jax.lax.dynamic_update_slice(small_k, nk, (0, 0, i, 0, 0))
                 small_v = jax.lax.dynamic_update_slice(small_v, nv, (0, 0, i, 0, 0))
-                small_pos = small_pos.at[i].set(jnp.where(accept, pos, rejected))
+                small_pos = small_pos.at[i].set(pos)
                 # roll the sampled token into the penalty window (stepwise
                 # make_window over the growing mirror does the same)
-                rolled = jnp.concatenate([wids[1:], nxt[None]])
-                wids = jnp.where(accept, rolled, wids)
-                wcount = jnp.where(accept, jnp.minimum(wcount + 1, PENALTY_WINDOW), wcount)
-                out = jnp.where(accept, nxt, -1)
-                done = done | (nxt == stop_id)
-                tok = jnp.where(accept, nxt, tok)
-                return (small_k, small_v, small_pos, tok, wids, wcount, done, last_logits), out
+                wids = jnp.concatenate([wids[1:], nxt[None]])
+                wcount = jnp.minimum(wcount + 1, PENALTY_WINDOW)
+                out_tokens = out_tokens.at[i].set(nxt)
+                hit = nxt == stop_id
+                done = hit | (i + 1 >= n_limit)
+                return (
+                    i + 1, small_k, small_v, small_pos, nxt, wids, wcount,
+                    done, hit, logits, out_tokens,
+                )
 
             init = (
+                jnp.int32(0),
                 jnp.zeros(kv_shape, dtype),
                 jnp.zeros(kv_shape, dtype),
                 jnp.full((max_n,), rejected, jnp.int32),
                 first_token,
                 window_ids,
                 window_count,
+                n_limit <= 0,
                 jnp.bool_(False),
                 jnp.zeros((cfg.vocab_size,), jnp.float32),
+                jnp.full((max_n,), -1, jnp.int32),
             )
-            (small_k, small_v, small_pos, _, _, _, done, last_logits), out_tokens = (
-                jax.lax.scan(step, init, jnp.arange(max_n))
+            n_out, small_k, small_v, small_pos, _, _, _, _, hit, last_logits, out_tokens = (
+                jax.lax.while_loop(cond, body, init)
             )
             target_idx = jnp.where(small_pos < rejected, small_pos, trash)
             k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
-            n_out = (out_tokens >= 0).sum().astype(jnp.int32)
-            return out_tokens, n_out, done, last_logits, k, v
+            return out_tokens, n_out, hit, last_logits, k, v
 
         self._prefill_fn = prefill
         self._decode_fn = decode_step
@@ -367,14 +376,17 @@ class DuplexLMEngine:
         return int(token)
 
     def generate_until(
-        self, first_token: int, stop_id: int, max_n: int = 64
+        self, first_token: int, stop_id: int, max_n: int = 64,
+        n_limit: Optional[int] = None,
     ) -> Tuple[List[int], bool]:
         """Jitted multi-token generation: eval ``first_token`` (the pending
-        appended-not-evaled id) then sample until ``stop_id`` or max_n tokens,
-        in ONE device call. Token-exact equivalent of looping
+        appended-not-evaled id) then sample until ``stop_id``,
+        ``min(max_n, n_limit)`` tokens, in ONE device call with on-device
+        early exit. Token-exact equivalent of looping
         ``eval_and_sample(ids[-1:])`` (same PRNG + penalty-window schedule);
         the final sampled token is returned appended-not-evaled, matching the
-        stepwise loop's state shape."""
+        stepwise loop's state shape. ``n_limit`` (dynamic, defaults to max_n)
+        caps the accepted tokens without a fresh compile per cap."""
         ids = self._input_ids + [int(first_token)]
         tail = ids[-PENALTY_WINDOW:]
         window = np.zeros((PENALTY_WINDOW,), np.int32)
@@ -395,6 +407,7 @@ class DuplexLMEngine:
             jnp.asarray(window),
             jnp.int32(len(tail)),
             jnp.int32(stop_id),
+            jnp.int32(max_n if n_limit is None else min(n_limit, max_n)),
             self.settings.top_k,
             max_n,
         )

@@ -278,6 +278,40 @@ def test_generate_until_matches_stepwise_sampled(cfg, params):
     assert scan.eval_and_sample([toks[-1]]) == ref.eval_and_sample([ref_tokens[-1]])
 
 
+def test_generate_until_n_limit(cfg, params):
+    """A dynamic n_limit caps accepted tokens exactly (no overshoot) while
+    staying token-exact with the stepwise loop — one compiled max_n bucket
+    serves every remaining-token cap."""
+    import dataclasses
+
+    from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+    from realtime_codec_agent_tpu.models.llama import init_lm_params
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
+    params32 = init_lm_params(jax.random.PRNGKey(2), cfg32)
+    stop_id = -1  # never sampled: the cap must halt the device loop
+
+    def make():
+        e = DuplexLMEngine(params32, cfg32, seed=5)
+        e.init_sampler_for_generate(temp=1.0, top_k=50, repeat_penalty=1.3, seed=5)
+        e.eval(list(range(20, 30)))
+        return e
+
+    ref = make()
+    ref_tokens = []
+    tok = 31
+    for _ in range(10):
+        tok = ref.eval_and_sample([tok])
+        ref_tokens.append(tok)
+
+    lim = make()
+    toks, hit = lim.generate_until(31, stop_id=stop_id, max_n=16, n_limit=10)
+    assert toks == ref_tokens and not hit
+    assert lim._input_ids == ref._input_ids
+    assert lim.n_tokens == ref.n_tokens and lim._step == ref._step
+    assert lim.eval_and_sample([toks[-1]]) == ref.eval_and_sample([ref_tokens[-1]])
+
+
 def test_int8_quantized_decode_close(cfg, params):
     """int8 decode weights (q8_0-style per-channel) keep logits close to the
     full-precision path and run through the whole engine surface."""
