@@ -42,6 +42,46 @@ class WhisperCppASR(ASRModel):
         return " ".join(segment.text for segment in segments)
 
 
+class JaxWhisperASR(ASRModel):
+    """On-TPU Whisper backend: the full pipeline (log-mel -> encoder ->
+    KV-cached greedy while_loop decode) runs as jitted JAX programs
+    (models/whisper.py), so external transcription shares the TPU with the
+    duplex LM instead of a host CPU whisper.cpp process (reference
+    realtime_agent_resources.py:36-39). Greedy, single segment, no context —
+    the same call surface as the reference's whisper.cpp invocation
+    (realtime_agent_v2.py:421-428)."""
+
+    def __init__(self, model, tokenizer):
+        """model: models.whisper.JaxWhisperModel; tokenizer: anything with
+        decode(ids, skip_special_tokens=True) over Whisper's vocab."""
+        self._model = model
+        self._tokenizer = tokenizer
+
+    @classmethod
+    def from_hf_checkpoint(
+        cls, model_name_or_path: str, local_files_only: bool = True, max_new_tokens: int = 128
+    ) -> "JaxWhisperASR":
+        """Build from a local HF Whisper checkpoint: torch weights convert to
+        the JAX pytree once at load; torch is not used at inference."""
+        from transformers import WhisperForConditionalGeneration, WhisperTokenizer
+
+        from ..models.whisper import JaxWhisperModel
+
+        hf_model = WhisperForConditionalGeneration.from_pretrained(
+            model_name_or_path, local_files_only=local_files_only
+        )
+        tokenizer = WhisperTokenizer.from_pretrained(
+            model_name_or_path, local_files_only=local_files_only
+        )
+        return cls(JaxWhisperModel.from_hf(hf_model, max_new_tokens=max_new_tokens), tokenizer)
+
+    def transcribe(self, audio: np.ndarray, temperature: float = 0.0) -> str:
+        # greedy decode regardless of temperature (the reference calls
+        # whisper.cpp with temperature=0.0)
+        ids = self._model.transcribe_ids(np.asarray(audio, dtype=np.float32))
+        return self._tokenizer.decode(ids, skip_special_tokens=True).strip()
+
+
 class TransformersWhisperASR(ASRModel):
     """HF Whisper backend (torch CPU — installed in this image): loads a
     local checkpoint directory or hub id via WhisperForConditionalGeneration.
@@ -88,18 +128,22 @@ class TransformersWhisperASR(ASRModel):
 
 
 def load_asr(model: Optional[object]) -> Optional[ASRModel]:
-    """None stays None; an ASRModel passes through; a string tries
-    whisper.cpp first, then an HF Whisper checkpoint (local dir or hub id
-    when weights are available locally)."""
+    """None stays None; an ASRModel passes through; a string tries the
+    on-TPU JAX Whisper first (local HF checkpoint converted to a pytree),
+    then whisper.cpp (pywhispercpp), then the torch-CPU HF backend."""
     if model is None or isinstance(model, ASRModel):
         return model
     if isinstance(model, str):
+        name = model if "/" in model or os.path.isdir(model) else f"openai/whisper-{model}"
+        try:
+            return JaxWhisperASR.from_hf_checkpoint(name)
+        except Exception:
+            pass
         try:
             return WhisperCppASR(model)
         except ImportError:
             pass
         try:
-            name = model if "/" in model or os.path.isdir(model) else f"openai/whisper-{model}"
             return TransformersWhisperASR(name)
         except Exception:
             import warnings
