@@ -229,18 +229,33 @@ class DuplexSession:
 
             def frame_step(carry, xs):
                 (small_k, small_v, small_pos, n, prev, wids, wcount,
-                 done, event_tok, last_logits) = carry
+                 done, event_tok, probs3) = carry
                 i, u_token = xs
-                positions = n + jnp.arange(2)
+                positions = n + jnp.arange(3)
                 wmask = (
                     jnp.arange(PENALTY_WINDOW) >= PENALTY_WINDOW - wcount
                 ).astype(jnp.float32)
+                # the speculative speaker probe rides as a third token
+                # (<|end_audio|> one position ahead, reference
+                # realtime_agent_v2.py:459-466): the weights are read once per
+                # step either way, so probing here deletes the separate
+                # full-model probe forward (1 of 6 per chunk). Causality keeps
+                # rows 0-1 numerically independent of it, and its K/V is never
+                # stored. On the last accepted frame its context (cache +
+                # earlier accepted pairs + this pair) and position n+2 match
+                # the end-of-chunk probe exactly; earlier frames' probes are
+                # simply overwritten.
+                ids3 = jnp.concatenate([prev, jnp.array([end_audio], jnp.int32)])
                 hidden, nk, nv = forward_decode(
-                    params, prev[None, :], cfg, k, v, positions,
+                    params, ids3[None, :], cfg, k, v, positions,
                     cache_valid=n0,
                     extra_kv=(small_k, small_v), extra_pos=small_pos,
                 )
-                logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
+                logits2 = logits_from_hidden(params, hidden[0, 1:3], cfg)
+                logits = logits2[0]
+                nk = nk[:, :, :2]
+                nv = nv[:, :, :2]
+                positions = positions[:2]
                 key = jax.random.fold_in(base_key, step0 + i)
                 a = sample_token(
                     logits, key, scalars, bias_ids, bias_vals, wids, wmask,
@@ -250,7 +265,14 @@ class DuplexSession:
                 accept = (~done) & is_audio
                 event_now = (~done) & (~is_audio)
                 event_tok = jnp.where(event_now, a, event_tok)
-                last_logits = jnp.where(done, last_logits, logits)
+                # event-prob + probe scalars for this frame (kept iff active):
+                # P(end_audio | sample row) and P(speaker | probe row)
+                sample_probs = jax.nn.softmax(logits)
+                probe_probs = jax.nn.softmax(logits2[1])
+                new3 = jnp.stack(
+                    [sample_probs[end_audio], probe_probs[agent_sp], probe_probs[user_sp]]
+                )
+                probs3 = jnp.where(done, probs3, new3)
                 # stash this pair's K/V in the small buffer; rejected entries
                 # get the sentinel position so no later query attends them
                 small_k = jax.lax.dynamic_update_slice(small_k, nk, (0, 0, 2 * i, 0, 0))
@@ -271,7 +293,7 @@ class DuplexSession:
                 out = jnp.where(accept, a, -1)
                 return (
                     small_k, small_v, small_pos, n, prev, wids, wcount,
-                    done, event_tok, last_logits,
+                    done, event_tok, probs3,
                 ), out
 
             init = (
@@ -284,34 +306,21 @@ class DuplexSession:
                 chain["window_count"],
                 halted_in,
                 jnp.int32(-1),
-                jnp.zeros((cfg.vocab_size,), jnp.float32),
+                jnp.zeros((3,), jnp.float32),
             )
             (
                 (small_k, small_v, small_pos, n_final, prev, wids, wcount,
-                 done, event_tok, last_logits),
+                 done, event_tok, probs3),
                 out_tokens,
             ) = jax.lax.scan(frame_step, init, (jnp.arange(chunk_frames), user_tokens))
             event_frame = jnp.argmax(out_tokens < 0).astype(jnp.int32)
             event_frame = jnp.where(jnp.any(out_tokens < 0), event_frame, chunk_frames)
             had_event = (~halted_in) & (event_frame < chunk_frames)
 
-            # event-probability head at the final evaled position
-            probs = jax.nn.softmax(last_logits)
-            p_end_audio = probs[end_audio]
-
-            # speculative speaker probe (reference realtime_agent_v2.py:459-466):
-            # eval <|end_audio|> at position n_final against cache + accepted
-            # in-chunk K/V; its own K/V is neither stored nor committed
-            probe_ids = jnp.array([[end_audio]], jnp.int32)
-            probe_hidden, _, _ = forward_decode(
-                params, probe_ids, cfg, k, v, n_final[None],
-                cache_valid=n0,
-                extra_kv=(small_k, small_v), extra_pos=small_pos,
-            )
-            probe_logits = logits_from_hidden(params, probe_hidden[:, -1], cfg)[0]
-            probe_probs = jax.nn.softmax(probe_logits)
-            p_agent = probe_probs[agent_sp]
-            p_user = probe_probs[user_sp]
+            # event-probability + speaker-probe scalars came out of the frame
+            # scan (the probe token rode each frame step; the last active
+            # frame's values are exactly the end-of-chunk probe's)
+            p_end_audio, p_agent, p_user = probs3[0], probs3[1], probs3[2]
 
             # ONE in-place commit of the chunk's K/V (donated buffers):
             # accepted entries scatter to their real positions, rejected to
