@@ -1,0 +1,76 @@
+"""Pallas TPU kernel: matmul with int8 weights dequantized in VMEM.
+
+Why a kernel: batch-1 AR decode of the 1B duplex LM is weight-read-bound
+(~3 GB of bf16 weights per frame step). Per-channel int8 halves the bytes,
+but plain XLA (`x @ wq.astype(bf16) * s`) materializes the dequantized bf16
+copy through HBM on this backend — 1 byte read + 4 bytes of round-trip —
+so it measured *no* win (docs/PERFORMANCE.md round 2). Here the int8 block
+is DMA'd HBM->VMEM once, upcast in VMEM, and fed straight to the MXU: HBM
+traffic is the int8 bytes plus activations, nothing else.
+
+The quantization layout is models/llama.quantize_params_int8's
+{"q": int8 (K, N), "s": f32 (N,)} — the TPU counterpart of the reference's
+q8_0 GGUF deployment artifact (reference prep_test_model.sh:27-31).
+
+Only the T and N axes are gridded; K stays whole in VMEM (K <= 8192 for the
+1B geometry), so there is no cross-block accumulation. Edge blocks rely on
+Pallas's out-of-bounds semantics: garbage input rows/cols only ever produce
+garbage output rows/cols that the edge write drops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-block VMEM budget for the weight tile (int8 bytes); x/out are small
+_W_BLOCK_BYTES = 4 * 1024 * 1024
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[:].astype(jnp.bfloat16)
+    y = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = y * s_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """x (..., K) bf16/f32 @ wq (K, N) int8 * scale (N,) f32 -> (..., N) f32.
+
+    Dequantization happens in VMEM inside the kernel; HBM reads the int8
+    weights exactly once. Accumulates in f32 on the MXU.
+    """
+    k, n = wq.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k)
+    t = x2.shape[0]
+
+    # bf16 min sublane tile is 16; tiny decode T pads up to it
+    block_t = min(_round_up(t, 16), 256)
+    block_n = max(_LANE, (_W_BLOCK_BYTES // k) // _LANE * _LANE)
+    block_n = min(block_n, _round_up(n, _LANE))
+    grid = (pl.cdiv(t, block_t), pl.cdiv(n, block_n))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_t, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
+        interpret=interpret,
+    )(x2.astype(jnp.bfloat16), wq, scale.reshape(1, n).astype(jnp.float32))
+    return out.reshape(*lead, n)

@@ -6,10 +6,21 @@ Normalization and softmax statistics are computed in float32.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _pallas_int8_enabled() -> bool:
+    """Use the Pallas fused-dequant kernel for int8 weights on TPU (the plain
+    XLA formulation round-trips a dequantized bf16 copy through HBM, erasing
+    the bandwidth win — docs/PERFORMANCE.md). RTCA_INT8_PALLAS=0 opts out."""
+    return (
+        os.environ.get("RTCA_INT8_PALLAS", "1") != "0"
+        and jax.default_backend() == "tpu"
+    )
 
 
 def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
@@ -19,13 +30,19 @@ def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     "s": f32 (out,)}`` (per-output-channel symmetric scales, the layout
     produced by models/llama.quantize_params_int8 — the TPU counterpart of
     the reference's q8_0 GGUF deployment artifact, prep_test_model.sh:27-31).
-    The HBM read is int8 (half of bf16); the upcast fuses into the matmul.
+    On TPU the int8 block dequantizes in VMEM inside a Pallas kernel so HBM
+    reads the int8 bytes exactly once; elsewhere falls back to XLA.
     Accumulates in f32."""
     if isinstance(w, dict) and "q" in w:
-        y = jnp.dot(
-            x, w["q"].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-        )
-        y = y * w["s"]
+        if _pallas_int8_enabled():
+            from .int8_matmul import int8_matmul
+
+            y = int8_matmul(x, w["q"], w["s"])
+        else:
+            y = jnp.dot(
+                x, w["q"].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+            )
+            y = y * w["s"]
     else:
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return y if out_dtype is None else y.astype(out_dtype)
