@@ -88,9 +88,10 @@ def main():
         eng.init_sampler_for_generate(seed=args.seed)
         for n in (1024, 2048):
             eng.eval([1] * n)
-        eng.get_logprobs([1] * 100, [1] * 50)        # score @ 256
-        eng.get_logprobs([1] * 1500, [1] * 100)      # score @ 2048
-        eng.get_logprobs([1] * 2500, [1] * 100)      # score @ 4096
+        # finalize scores its two contexts as ONE batched (B=2) forward
+        eng.get_logprobs_batch([([1] * 100, [1] * 50)] * 2)    # score @ 256
+        eng.get_logprobs_batch([([1] * 1500, [1] * 100)] * 2)  # score @ 2048
+        eng.get_logprobs_batch([([1] * 2500, [1] * 100)] * 2)  # score @ 4096
         for n in (4, 8, 32):                         # text-gen scan buckets
             eng.generate_until(1, stop_id=0, max_n=n)
         for b in (8, 16, 32, 64, 128, 256, 512):     # small prefill buckets

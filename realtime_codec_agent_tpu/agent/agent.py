@@ -1200,9 +1200,12 @@ class RealtimeAgent:
         to_ctx_ids = tok.encode(to_ctx)
         txt_ids = tok.encode(" " + last_response["text"], add_special_tokens=False)
 
-        af_probs = np.exp(self.resources.aux_llm.get_logprobs(af_ctx_ids, txt_ids))
-        to_probs = np.exp(self.resources.aux_llm.get_logprobs(to_ctx_ids, txt_ids))
-        probs_ratio = af_probs / to_probs
+        # both contexts score in ONE batched forward: same weight read, one
+        # device round-trip (the reference runs two aux-LM evals here)
+        af_lps, to_lps = self.resources.aux_llm.get_logprobs_batch(
+            [(af_ctx_ids, txt_ids), (to_ctx_ids, txt_ids)]
+        )
+        probs_ratio = np.exp(af_lps) / np.exp(to_lps)
 
         counter = 0
         i = len(probs_ratio) - 1

@@ -118,15 +118,20 @@ class DuplexLMEngine:
 
         @jax.jit
         def score(params, tokens, targets):
-            # tokens/targets: (1, Tb). Per-position logprob of targets under a
+            # tokens/targets: (B, Tb). Per-position logprob of targets under a
             # full causal forward, head applied in chunks to bound memory.
+            # Rows are causally independent, so unrelated contexts batch into
+            # ONE weight read (finalize_last_response scores its audio-first
+            # and text-only contexts together this way).
             hidden, _ = forward(params, tokens, cfg)
-            h = hidden[0]  # (Tb, H)
-            tb = h.shape[0]
-            n_chunks = tb // SCORE_CHUNK if tb % SCORE_CHUNK == 0 else -(-tb // SCORE_CHUNK)
-            pad = n_chunks * SCORE_CHUNK - tb
-            h_p = jnp.pad(h, ((0, pad), (0, 0)))
-            t_p = jnp.pad(targets[0], (0, pad))
+            b, tb, h = hidden.shape
+            flat_h = hidden.reshape(b * tb, h)
+            flat_t = targets.reshape(b * tb)
+            n = b * tb
+            n_chunks = -(-n // SCORE_CHUNK)
+            pad = n_chunks * SCORE_CHUNK - n
+            h_p = jnp.pad(flat_h, ((0, pad), (0, 0)))
+            t_p = jnp.pad(flat_t, (0, pad))
 
             def body(carry, blk):
                 hb, tgt = blk
@@ -143,7 +148,7 @@ class DuplexLMEngine:
                     t_p.reshape(n_chunks, SCORE_CHUNK),
                 ),
             )
-            return lps.reshape(-1)[:tb]
+            return lps.reshape(-1)[:n].reshape(b, tb)
 
         @jax.jit
         def probs_of(logits, ids):
@@ -441,22 +446,40 @@ class DuplexLMEngine:
     def get_logprobs(self, ctx_input_ids: Sequence[int], input_ids: Sequence[int]) -> np.ndarray:
         """Teacher-forced logprobs of input_ids given ctx (aux-LM equivalent,
         reference llamacpp_utils.py:30-37). Cacheless full forward."""
-        seq = [int(t) for t in ctx_input_ids] + [int(t) for t in input_ids]
-        b = _bucket(len(seq))
-        if len(seq) > b:
+        return self.get_logprobs_batch([(ctx_input_ids, input_ids)])[0]
+
+    def get_logprobs_batch(
+        self, pairs: Sequence[Tuple[Sequence[int], Sequence[int]]]
+    ) -> List[np.ndarray]:
+        """Score several independent (ctx, ids) sequences in ONE forward.
+        Rows pad to a shared bucket; causal attention keeps them independent.
+        The finalize-response ratio scores both of its contexts this way —
+        one weight read and one device round-trip instead of two (the
+        reference pays two aux-LM evals, realtime_agent_v2.py:620-692)."""
+        seqs = [
+            [int(t) for t in ctx] + [int(t) for t in ids] for ctx, ids in pairs
+        ]
+        longest = max(len(s) for s in seqs)
+        b = _bucket(longest)
+        if longest > b:
             # power-of-two buckets beyond the prefill set: a fresh XLA compile
             # per distinct length would stall realtime events
             b = PREFILL_BUCKETS[-1]
-            while b < len(seq):
+            while b < longest:
                 b *= 2
-        tokens = np.zeros((1, b), dtype=np.int32)
-        tokens[0, : len(seq)] = seq
-        targets = np.zeros((1, b), dtype=np.int32)
-        targets[0, : len(seq) - 1] = seq[1:]
-        lps = self._score_fn(self.params, jnp.asarray(tokens), jnp.asarray(targets))
-        lps = np.asarray(lps)
-        start = len(ctx_input_ids) - 1
-        return lps[start : start + len(input_ids)]
+        tokens = np.zeros((len(seqs), b), dtype=np.int32)
+        targets = np.zeros((len(seqs), b), dtype=np.int32)
+        for i, seq in enumerate(seqs):
+            tokens[i, : len(seq)] = seq
+            targets[i, : len(seq) - 1] = seq[1:]
+        lps = np.asarray(
+            self._score_fn(self.params, jnp.asarray(tokens), jnp.asarray(targets))
+        )
+        outs = []
+        for i, (ctx, ids) in enumerate(pairs):
+            start = len(ctx) - 1
+            outs.append(lps[i, start : start + len(list(ids))])
+        return outs
 
     # ------------------------------------------------------------ logit taps
     def last_probs(self, token_ids: Sequence[int]) -> np.ndarray:

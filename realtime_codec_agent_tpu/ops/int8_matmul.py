@@ -26,8 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-block VMEM budget for the weight tile (int8 bytes); x/out are small
-_W_BLOCK_BYTES = 4 * 1024 * 1024
+# per-block VMEM budgets. Pallas double-buffers every gridded operand, so the
+# worst case (K=8192: x 2x2MB + w 2x2MB + out) must stay well under the 16MB
+# scoped-VMEM limit.
+_W_BLOCK_BYTES = 2 * 1024 * 1024
+_X_BLOCK_BYTES = 2 * 1024 * 1024
 _LANE = 128
 
 
@@ -54,7 +57,8 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, interpret: 
     t = x2.shape[0]
 
     # bf16 min sublane tile is 16; tiny decode T pads up to it
-    block_t = min(_round_up(t, 16), 256)
+    max_t = max(16, (_X_BLOCK_BYTES // (2 * k)) // 16 * 16)
+    block_t = min(_round_up(t, 16), max_t, 256)
     block_n = max(_LANE, (_W_BLOCK_BYTES // k) // _LANE * _LANE)
     block_n = min(block_n, _round_up(n, _LANE))
     grid = (pl.cdiv(t, block_t), pl.cdiv(n, block_n))

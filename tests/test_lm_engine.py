@@ -111,6 +111,20 @@ def test_get_logprobs_matches_manual(engine, params, cfg):
     np.testing.assert_allclose(lps, manual, rtol=2e-2, atol=2e-2)
 
 
+def test_get_logprobs_batch_matches_individual(engine):
+    """Batched scoring (finalize's one-forward path) equals per-pair calls,
+    including with different context lengths padding to a shared bucket."""
+    pairs = [
+        ([1, 2, 3, 4, 5, 6], [7, 8, 9]),
+        ([10, 11], [12, 13, 14, 15]),
+    ]
+    batched = engine.get_logprobs_batch(pairs)
+    for (ctx, ids), got in zip(pairs, batched):
+        want = engine.get_logprobs(ctx, ids)
+        assert got.shape == want.shape == (len(ids),)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_get_logprobs_does_not_disturb_kv(engine):
     engine.eval([1, 2, 3])
     before = engine.get_last_logits()
