@@ -88,12 +88,16 @@ class RealtimeAgentResources:
             lm_params = self._load_checkpoint(llm_model_path)
         else:
             lm_params = init_lm_params(jax.random.PRNGKey(seed), self.lm_config)
-        if quantize_int8 and _shared_lm_params is None:
-            # int8 decode weights: the TPU counterpart of the reference's
-            # q8_0 GGUF deployment artifact (prep_test_model.sh:27-31)
-            from ..models.llama import quantize_params_int8
+        if _shared_lm_params is None:
+            from ..models.llama import fuse_lm_params_for_decode, quantize_params_int8
 
-            lm_params = jax.jit(quantize_params_int8)(lm_params)
+            if quantize_int8:
+                # int8 decode weights: the TPU counterpart of the reference's
+                # q8_0 GGUF deployment artifact (prep_test_model.sh:27-31)
+                lm_params = jax.jit(quantize_params_int8)(lm_params)
+            # fuse QKV and gate|up once at load: 4 matmuls per decode layer
+            # instead of 7 (skinny decode GEMVs are per-op-overhead-bound)
+            lm_params = jax.jit(fuse_lm_params_for_decode)(lm_params)
         self.lm_params = lm_params
         self.llm = DuplexLMEngine(lm_params, self.lm_config)
         # teacher-forced scoring runs caclelessly on the same engine/weights

@@ -186,6 +186,64 @@ def init_codec_embed_params(key, cfg: DuplexLMConfig) -> Dict:
     }
 
 
+def fuse_lm_params_for_decode(params: Dict) -> Dict:
+    """Concat per-layer Q/K/V and gate/up projection weights along the output
+    axis: each decode layer then runs 4 matmuls (qkv, wo, gate|up, down)
+    instead of 7. At decode-time T (1-3 tokens) every matmul is a skinny
+    GEMV whose cost is dominated by per-op ramp-up, so fewer/wider ops track
+    the HBM roofline better; results are column-identical to the unfused
+    layout. Accepts raw arrays or int8 {"q","s"} leaves (concat q on the
+    output axis, s end-to-end). The trainer keeps the canonical unfused
+    layout; converters emit unfused and inference fuses once at load
+    (agent/resources.py)."""
+
+    def cat(ws):
+        if isinstance(ws[0], dict) and "q" in ws[0]:
+            return {
+                "q": jnp.concatenate([w["q"] for w in ws], axis=1),
+                "s": jnp.concatenate([w["s"] for w in ws], axis=0),
+            }
+        return jnp.concatenate(list(ws), axis=1)
+
+    out = dict(params)
+    layers = []
+    for blk in params["layers"]:
+        if "wqkv" in blk:
+            layers.append(blk)
+            continue
+        nblk = {k2: v2 for k2, v2 in blk.items() if k2 not in ("wq", "wk", "wv", "w_gate", "w_up")}
+        nblk["wqkv"] = cat([blk["wq"], blk["wk"], blk["wv"]])
+        nblk["w_gu"] = cat([blk["w_gate"], blk["w_up"]])
+        layers.append(nblk)
+    out["layers"] = layers
+    return out
+
+
+def _attn_qkv(y, blk, cfg: DuplexLMConfig, dtype):
+    """Project y to (q, k, v), transparently handling the fused layout."""
+    if "wqkv" in blk:
+        qkv = nn.qdot(y, blk["wqkv"], out_dtype=dtype)
+        q = qkv[..., : cfg.q_dim]
+        k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim :]
+        return q, k, v
+    return (
+        nn.qdot(y, blk["wq"], out_dtype=dtype),
+        nn.qdot(y, blk["wk"], out_dtype=dtype),
+        nn.qdot(y, blk["wv"], out_dtype=dtype),
+    )
+
+
+def _mlp(y, blk, dtype):
+    """SwiGLU MLP, transparently handling the fused gate|up layout."""
+    if "w_gu" in blk:
+        gu = nn.qdot(y, blk["w_gu"])
+        g, u = jnp.split(gu, 2, axis=-1)
+        h = (jax.nn.silu(g) * u).astype(dtype)
+        return nn.qdot(h, blk["w_down"], out_dtype=dtype)
+    return nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
+
+
 # ---------------------------------------------------------------------------
 # Embedding (dual-route for CodecLlama training)
 # ---------------------------------------------------------------------------
@@ -276,9 +334,7 @@ def forward(
         for li, blk in enumerate(params["layers"]):
             res = x
             y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-            q = nn.qdot(y, blk["wq"], out_dtype=dtype)
-            k = nn.qdot(y, blk["wk"], out_dtype=dtype)
-            v = nn.qdot(y, blk["wv"], out_dtype=dtype)
+            q, k, v = _attn_qkv(y, blk, cfg, dtype)
             q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
             k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
             v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -298,16 +354,14 @@ def forward(
             x = res + attn
             res = x
             y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
-            x = res + nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
+            x = res + _mlp(y, blk, dtype)
         x = nn.rms_norm(x, params["final_norm"], cfg.rms_eps)
         return x, (jnp.stack(new_k), jnp.stack(new_v))
 
     def layer_body(x, blk):
         res = x
         y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = nn.qdot(y, blk["wq"], out_dtype=dtype)
-        k = nn.qdot(y, blk["wk"], out_dtype=dtype)
-        v = nn.qdot(y, blk["wv"], out_dtype=dtype)
+        q, k, v = _attn_qkv(y, blk, cfg, dtype)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -329,7 +383,7 @@ def forward(
         x = res + attn
         res = x
         y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
-        return res + nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
+        return res + _mlp(y, blk, dtype)
 
     if cfg.remat:
         layer_body = jax.checkpoint(layer_body)
@@ -515,9 +569,7 @@ def forward_decode(
     for li, blk in enumerate(params["layers"]):
         res = x
         y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = nn.qdot(y, blk["wq"], out_dtype=dtype)
-        k = nn.qdot(y, blk["wk"], out_dtype=dtype)
-        v = nn.qdot(y, blk["wv"], out_dtype=dtype)
+        q, k, v = _attn_qkv(y, blk, cfg, dtype)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -546,7 +598,7 @@ def forward_decode(
 
         res = x
         y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
-        x = res + nn.swiglu_mlp(y, blk["w_gate"], blk["w_up"], blk["w_down"])
+        x = res + _mlp(y, blk, dtype)
 
     x = nn.rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x, jnp.stack(new_ks), jnp.stack(new_vs)
@@ -640,14 +692,12 @@ def quantize_params_int8(params: Dict) -> Dict:
         q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
         return {"q": q, "s": scale}
 
+    names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "wqkv", "w_gu")
     out = dict(params)
     out["layers"] = [
         {
             **blk,
-            **{
-                name: quant(blk[name])
-                for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
-            },
+            **{name: quant(blk[name]) for name in names if name in blk},
         }
         for blk in params["layers"]
     ]

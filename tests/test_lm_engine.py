@@ -111,6 +111,44 @@ def test_get_logprobs_matches_manual(engine, params, cfg):
     np.testing.assert_allclose(lps, manual, rtol=2e-2, atol=2e-2)
 
 
+def test_fused_qkv_params_match_unfused(params, cfg):
+    """fuse_lm_params_for_decode (the load-time 7->4 matmul fusion used by
+    agent/resources) produces the same tokens and near-identical logits."""
+    from realtime_codec_agent_tpu.models.llama import fuse_lm_params_for_decode
+
+    fused = fuse_lm_params_for_decode(params)
+    blk = fused["layers"][0]
+    assert "wqkv" in blk and "w_gu" in blk and "wq" not in blk
+
+    ref = DuplexLMEngine(params, cfg, seed=7)
+    ref.init_sampler_for_generate(temp=0.0, seed=7)
+    got = DuplexLMEngine(fused, cfg, seed=7)
+    got.init_sampler_for_generate(temp=0.0, seed=7)
+    seq = [1, 2, 3, 4, 5]
+    ref.eval(seq)
+    got.eval(seq)
+    np.testing.assert_allclose(
+        got.get_last_logits(), ref.get_last_logits(), rtol=5e-2, atol=5e-2
+    )
+    ref_toks = [ref.eval_and_sample([t]) for t in (6, 7, 8)]
+    got_toks = [got.eval_and_sample([t]) for t in (6, 7, 8)]
+    assert got_toks == ref_toks
+    # scoring path (cacheless forward) too
+    np.testing.assert_allclose(
+        got.get_logprobs([1, 2, 3], [4, 5]),
+        ref.get_logprobs([1, 2, 3], [4, 5]),
+        rtol=5e-2, atol=5e-2,
+    )
+    # int8 quantization composes with the fused layout
+    from realtime_codec_agent_tpu.models.llama import quantize_params_int8
+
+    qf = quantize_params_int8(fused)
+    assert "q" in qf["layers"][0]["wqkv"]
+    q8 = DuplexLMEngine(qf, cfg, seed=7)
+    q8.init_sampler_for_generate(temp=0.0, seed=7)
+    q8.eval(seq)  # runs
+
+
 def test_get_logprobs_batch_matches_individual(engine):
     """Batched scoring (finalize's one-forward path) equals per-pair calls,
     including with different context lengths padding to a shared bucket."""
