@@ -13,14 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _pallas_int8_enabled() -> bool:
-    """Use the Pallas fused-dequant kernel for int8 weights on TPU (the plain
-    XLA formulation round-trips a dequantized bf16 copy through HBM, erasing
-    the bandwidth win — docs/PERFORMANCE.md). RTCA_INT8_PALLAS=0 opts out."""
-    return (
-        os.environ.get("RTCA_INT8_PALLAS", "1") != "0"
-        and jax.default_backend() == "tpu"
-    )
+def _use_pallas_int8(x: jnp.ndarray, n: int) -> bool:
+    """Route an int8 matmul to the Pallas fused-dequant kernel only where it
+    measured faster than XLA's dequant+dot on the v5e: very wide outputs at
+    decode-sized row counts (the 260k-vocab lm_head at T<=4: 0.98 vs 1.08 ms).
+    At layer shapes XLA's int8 path wins outright once QKV/gate-up are fused
+    (0.66 ms vs 0.85 ms for 4 layers' matmuls), so everything else stays XLA.
+    RTCA_INT8_PALLAS=0 forces XLA everywhere."""
+    if os.environ.get("RTCA_INT8_PALLAS", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return n >= 16384 and rows <= 8
 
 
 def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
@@ -30,11 +37,10 @@ def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     "s": f32 (out,)}`` (per-output-channel symmetric scales, the layout
     produced by models/llama.quantize_params_int8 — the TPU counterpart of
     the reference's q8_0 GGUF deployment artifact, prep_test_model.sh:27-31).
-    On TPU the int8 block dequantizes in VMEM inside a Pallas kernel so HBM
-    reads the int8 bytes exactly once; elsewhere falls back to XLA.
-    Accumulates in f32."""
+    Wide-output decode matmuls dispatch to the Pallas fused-dequant kernel;
+    everything else uses XLA's dequant+dot. Accumulates in f32."""
     if isinstance(w, dict) and "q" in w:
-        if _pallas_int8_enabled():
+        if _use_pallas_int8(x, w["q"].shape[1]):
             from .int8_matmul import int8_matmul
 
             y = int8_matmul(x, w["q"], w["s"])

@@ -101,3 +101,49 @@ def test_whisper_constrained_merge(codec, text_tok):
     seq = agent.get_sequence_str()
     assert "hello there" in seq
     assert "<|audio|>" in seq.split("hello there")[-1]
+
+
+def test_jax_whisper_plugs_into_agent(codec, text_tok):
+    """The on-TPU JAX Whisper backend (random tiny weights) drives the same
+    whisper_trans flow end-to-end: transcribe -> clean -> splice as external
+    range. Content is arbitrary under random weights; the protocol is not."""
+    import jax
+
+    from realtime_codec_agent_tpu.agent.asr import JaxWhisperASR
+    from realtime_codec_agent_tpu.models import whisper as W
+
+    wcfg = W.tiny_whisper_config()
+    model = W.JaxWhisperModel(
+        W.init_whisper_params(jax.random.PRNGKey(0), wcfg), wcfg, max_new_tokens=4
+    )
+
+    class StubTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "stub words"
+
+    asr = JaxWhisperASR(model, StubTok())
+    fake = FakeLMEngine(default_token=text_tok.codec_vocab_start + 7)
+    resources = FakeResources(AudioTokenizer(codec_model=codec), text_tok, fake)
+    resources.whisper_model = asr
+    config = RealtimeAgentConfig(
+        use_whisper=True,
+        agent_opening_text=None,
+        force_trans_after_inactivity_secs=0.0,
+        force_response_after_inactivity_secs=0.0,
+    )
+    agent = RealtimeAgent(resources=resources, config=config)
+
+    user_sp = text_tok.encode(" B", add_special_tokens=False)[0]
+    end_audio = text_tok.convert_tokens_to_ids("<|end_audio|>")
+    start_audio = text_tok.convert_tokens_to_ids("<|audio|>")
+    audio_tok = text_tok.codec_vocab_start + 21
+    colon = text_tok.encode(":", add_special_tokens=False)
+
+    agent.process_audio(np.zeros(1600, np.float32))
+    fake.script = (
+        [audio_tok, end_audio, user_sp] + colon + [start_audio] + [audio_tok] * 4
+    )
+    out = agent.process_audio(np.zeros(1600, np.float32))
+    assert out.shape == (1600,)
+    assert len(agent.transcript) == 1
+    assert "stub words" in agent.transcript[0]["text"]
