@@ -116,6 +116,10 @@ def main():
             setattr(agent, patch, keep)
         agent.config.pipeline_chunks = was_pipelined
         agent.reset()
+        # AOT-compile every fused-chunk variant (cache-view buckets x replay
+        # flag): buckets cross mid-run as the context grows and a cold XLA
+        # compile over the tunnel would stall the timed loop for seconds
+        agent._session.prewarm()
     # pin generation to the codec region (pure-audio duplex path)
     _orig_set_sampler = agent.set_sampler
 

@@ -188,7 +188,7 @@ class DuplexSession:
         @functools.partial(
             jax.jit,
             donate_argnums=(3, 4),
-            static_argnames=("top_k", "use_precomputed_tokens"),
+            static_argnames=("top_k", "use_precomputed_tokens", "cache_view"),
         )
         def fused_chunk(
             params,
@@ -208,9 +208,20 @@ class DuplexSession:
             commit_decode,
             top_k,
             use_precomputed_tokens,
+            cache_view=0,
         ):
             cache_len = k.shape[2]
             trash = cache_len - 4  # rejected frame K/V land here, never attended
+            # attention reads only the first cache_view cache entries (a
+            # bucketed bound >= the valid length chosen by the host): the
+            # one-shot T=3 attention otherwise streams the ENTIRE static
+            # cache (~537 MB/frame at 16k context) through HBM even though
+            # positions >= n0 are masked. Commits still target the full cache.
+            if cache_view and cache_view < cache_len:
+                k_view = k[:, :, :cache_view]
+                v_view = v[:, :, :cache_view]
+            else:
+                k_view, v_view = k, v
             kv_shape = (cfg.num_layers, 1, n_small, cfg.num_kv_heads, cfg.head_dim)
             dtype = jnp.dtype(cfg.compute_dtype)
             n0 = chain["n"]
@@ -247,7 +258,7 @@ class DuplexSession:
                 # simply overwritten.
                 ids3 = jnp.concatenate([prev, jnp.array([end_audio], jnp.int32)])
                 hidden, nk, nv = forward_decode(
-                    params, ids3[None, :], cfg, k, v, positions,
+                    params, ids3[None, :], cfg, k_view, v_view, positions,
                     cache_valid=n0,
                     extra_kv=(small_k, small_v), extra_pos=small_pos,
                 )
@@ -422,6 +433,7 @@ class DuplexSession:
             self.sync_chain()
         bias_ids, bias_vals = eng.settings.bias_arrays()
         use_pre = user_tokens is not None
+        cache_view = self._cache_view_bucket()
         ut = jnp.asarray(
             np.asarray(user_tokens if use_pre else [0] * self.chunk_frames, np.int32)
         )
@@ -446,8 +458,70 @@ class DuplexSession:
             jnp.bool_(commit_decode),
             eng.settings.top_k,
             use_pre,
+            cache_view,
         )
         return packed_i32, packed_f32
+
+    def prewarm(self, include_replay: bool = True) -> None:
+        """AOT-compile every fused-chunk program variant (cache-view buckets
+        x replay flag) so none of them compiles mid-session — a cold XLA
+        compile over the device tunnel stalls the realtime loop for seconds.
+        Uses jit.lower on abstract shapes: no device state is touched."""
+        eng = self.engine
+
+        def spec(tree):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), tree
+            )
+
+        chain_spec = {
+            "prev_pair": jax.ShapeDtypeStruct((2,), jnp.int32),
+            "n": jax.ShapeDtypeStruct((), jnp.int32),
+            "step": jax.ShapeDtypeStruct((), jnp.int32),
+            "window_ids": jax.ShapeDtypeStruct((PENALTY_WINDOW,), jnp.int32),
+            "window_count": jax.ShapeDtypeStruct((), jnp.int32),
+            "halted": jax.ShapeDtypeStruct((), jnp.bool_),
+        }
+        bias_ids, bias_vals = eng.settings.bias_arrays()
+        cache_len = eng._k.shape[2]
+        gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+        views = sorted(set(range(gran, cache_len, gran))) + [0]
+        args = (
+            spec(eng.params),
+            spec(self.codec.params),
+            spec(self.codec.tables),
+            spec(eng._k),
+            spec(eng._v),
+            chain_spec,
+            jax.ShapeDtypeStruct((self.context_samples,), jnp.float32),
+            jax.ShapeDtypeStruct((self.context_frames,), jnp.int32),
+            jax.ShapeDtypeStruct((self.chunk_samples,), jnp.float32),
+            jax.ShapeDtypeStruct((self.chunk_frames,), jnp.int32),
+            spec(eng._base_key),
+            spec(eng.settings.scalars()),
+            spec(bias_ids),
+            spec(bias_vals),
+            jax.ShapeDtypeStruct((), jnp.bool_),
+        )
+        for view in views:
+            for use_pre in (False, True) if include_replay else (False,):
+                self._fused_chunk.lower(
+                    *args,
+                    top_k=eng.settings.top_k,
+                    use_precomputed_tokens=use_pre,
+                    cache_view=view,
+                ).compile()
+
+    def _cache_view_bucket(self) -> int:
+        """Static attention-read bound for the next fused chunk: the host
+        n_tokens mirror (which may lag one in-flight pipelined chunk) plus
+        slack, rounded up to a coarse bucket so only a handful of program
+        variants ever compile. 0 = read the full cache."""
+        cache_len = self.engine._k.shape[2]
+        gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+        need = self.engine.n_tokens + 4 * self.chunk_frames + 64
+        view = ((need + gran - 1) // gran) * gran
+        return 0 if view >= cache_len else view
 
     def resolve(self, handles) -> Tuple[FusedChunkResult, int]:
         """Fetch a dispatched chunk's packed results (ONE batched host

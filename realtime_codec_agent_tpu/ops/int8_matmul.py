@@ -44,17 +44,45 @@ def _kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[:] = y * s_ref[:]
 
 
+# weights up to this many int8 bytes skip the grid entirely (whole tensor in
+# VMEM, one program): fewer grid-step boundaries measured faster at the 1B
+# model's fused layer shapes (wqkv 6MB, wo 4MB, w_down 16MB->gridded)
+_SINGLE_BLOCK_BYTES = 6 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x (..., K) bf16/f32 @ wq (K, N) int8 * scale (N,) f32 -> (..., N) f32.
 
     Dequantization happens in VMEM inside the kernel; HBM reads the int8
     weights exactly once. Accumulates in f32 on the MXU.
+
+    This kernel's other job is to be OPAQUE: inside a lax.scan/while_loop
+    (the fused frame scan, gen_until), XLA hoists a plain
+    ``wq.astype(bf16)`` out of the loop and round-trips a full bf16 weight
+    copy through HBM once — after which every iteration reads bf16 again and
+    the int8 bandwidth saving is gone. A pallas_call cannot be hoisted, so
+    the loop body genuinely reads int8 bytes every iteration.
     """
     k, n = wq.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
     t = x2.shape[0]
+    scale2 = scale.reshape(1, n).astype(jnp.float32)
+
+    if k * n <= _SINGLE_BLOCK_BYTES and t <= 256:
+        out = pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2.astype(jnp.bfloat16), wq, scale2)
+        return out.reshape(*lead, n)
 
     # bf16 min sublane tile is 16; tiny decode T pads up to it
     max_t = max(16, (_X_BLOCK_BYTES // (2 * k)) // 16 * 16)
@@ -76,5 +104,5 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, interpret: 
         ),
         out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
         interpret=interpret,
-    )(x2.astype(jnp.bfloat16), wq, scale.reshape(1, n).astype(jnp.float32))
+    )(x2.astype(jnp.bfloat16), wq, scale2)
     return out.reshape(*lead, n)

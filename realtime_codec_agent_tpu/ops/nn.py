@@ -14,11 +14,13 @@ import jax.numpy as jnp
 
 
 def _use_pallas_int8(x: jnp.ndarray, n: int) -> bool:
-    """Route an int8 matmul to the Pallas fused-dequant kernel only where it
-    measured faster than XLA's dequant+dot on the v5e: very wide outputs at
-    decode-sized row counts (the 260k-vocab lm_head at T<=4: 0.98 vs 1.08 ms).
-    At layer shapes XLA's int8 path wins outright once QKV/gate-up are fused
-    (0.66 ms vs 0.85 ms for 4 layers' matmuls), so everything else stays XLA.
+    """Route decode-shaped int8 matmuls (rows <= 8: frame scan, gen_until,
+    eval_and_sample) to the Pallas fused-dequant kernel. These all sit inside
+    lax.scan/while_loop bodies where XLA HOISTS a plain ``astype(bf16)``
+    dequant out of the loop — the loop then re-reads a full bf16 weight copy
+    per iteration and int8's bandwidth saving vanishes. The opaque kernel
+    keeps the int8 read inside the loop. Wide-row calls (score/prefill run
+    once, nothing to hoist across) measured faster on XLA's dequant+dot.
     RTCA_INT8_PALLAS=0 forces XLA everywhere."""
     if os.environ.get("RTCA_INT8_PALLAS", "1") == "0":
         return False
@@ -27,7 +29,7 @@ def _use_pallas_int8(x: jnp.ndarray, n: int) -> bool:
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    return n >= 16384 and rows <= 8
+    return rows <= 8
 
 
 def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:

@@ -120,3 +120,19 @@ def test_enrollment_primes_session_ring(resources):
     enrollment = header.split("<|agent_voice|>")[1]
     assert len(enrollment) == 150
     assert all(ord(c) >= agent.resources.tokenizer.unicode_offset for c in enrollment)
+
+
+def test_prewarm_compiles_cache_view_variants(resources):
+    """prewarm() AOT-compiles without touching device state, and the
+    cache-view bucket chosen at dispatch stays within the cache."""
+    agent = make_agent(resources, use_fused=True)
+    session = agent._session
+    eng = session.engine
+    n_before = eng.n_tokens
+    k_before = eng._k
+    session.prewarm(include_replay=False)
+    assert eng.n_tokens == n_before
+    assert eng._k is k_before  # no donation happened
+    view = session._cache_view_bucket()
+    cache_len = eng._k.shape[2]
+    assert view == 0 or (eng.n_tokens + 10 <= view < cache_len)
