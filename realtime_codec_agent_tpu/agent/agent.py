@@ -107,6 +107,10 @@ class RealtimeAgent:
 
         tok = self.resources.tokenizer
         self.end_header_token_id = tok.convert_tokens_to_ids(config.end_header_token)
+        if hasattr(self.resources.llm, "set_end_header_token_id"):
+            # registers the audio/event boundary for the engine's one-program
+            # multi-frame continuation (eval_and_sample_frames)
+            self.resources.llm.set_end_header_token_id(self.end_header_token_id)
         self.start_audio_token_id = tok.convert_tokens_to_ids(config.start_audio_token)
         self.end_audio_token_id = tok.convert_tokens_to_ids(config.end_audio_token)
         self.external_marker_token_id = tok.encode(config.external_marker_token, add_special_tokens=False)[0]
@@ -569,17 +573,48 @@ class RealtimeAgent:
         AND committed (mirror + KV) by a fused chunk whose replay this is —
         the loop starts at the first un-generated frame."""
         llm = self.resources.llm
-        out_chunk_input_ids = [0] * len(audio_chunk_input_ids)
+        n_frames = len(audio_chunk_input_ids)
+        out_chunk_input_ids = [0] * n_frames
         start_frame = 0
         if out_prefix:
             start_frame = len(out_prefix)
             out_chunk_input_ids[:start_frame] = out_prefix
-        for i in range(start_frame, len(audio_chunk_input_ids)):
+        i = start_frame
+        while i < n_frames:
             self.trim_sequences()
             suppress_end_audio = False
+            presampled = None
+            # multi-frame continuation: all remaining audio-mode frames run
+            # as ONE device program with on-device event exit (token-exact
+            # with the stepwise loop below) — the sync/event path otherwise
+            # pays a full host round-trip per frame
+            if (
+                not force_trans
+                and not force_response
+                and n_frames - i >= 2
+                and hasattr(llm, "eval_and_sample_frames")
+                and all(t > self.end_header_token_id for t in self.input_ids[-2:])
+            ):
+                accepted, event_tok = llm.eval_and_sample_frames(
+                    self.input_ids[-2:], audio_chunk_input_ids[i:]
+                )
+                for a in accepted:
+                    self.input_ids.append(a)
+                    self.input_ids.append(audio_chunk_input_ids[i])
+                    self.audio_tokens_idx.extend(
+                        [len(self.input_ids) - 2, len(self.input_ids) - 1]
+                    )
+                    out_chunk_input_ids[i] = a
+                    i += 1
+                if event_tok is None:
+                    continue  # chunk finished (i == n_frames)
+                presampled = event_tok  # event at frame i, token presampled
             while True:
                 audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
-                if audio_mode and (force_trans or force_response):
+                if presampled is not None:
+                    next_token = presampled
+                    presampled = None
+                elif audio_mode and (force_trans or force_response):
                     # inject a forced event: append end_audio + chosen speaker
                     self.input_ids.append(self.end_audio_token_id)
                     llm.eval(self.input_ids[-3:])
@@ -606,6 +641,7 @@ class RealtimeAgent:
                     suppress_end_audio = not self.generate_for_trans()
                 elif self.input_ids[-2] == self.end_audio_token_id and next_token == self.agent_speaker_token_id:
                     suppress_end_audio = not self.generate_for_response()
+            i += 1
         return out_chunk_input_ids
 
     def process_tts_input_ids(

@@ -30,6 +30,7 @@ import numpy as np
 from ..models.llama import (
     DuplexLMConfig,
     commit_kv,
+    commit_kv_scatter,
     forward,
     forward_decode,
     logits_from_hidden,
@@ -235,12 +236,102 @@ class DuplexLMEngine:
             k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
             return out_tokens, n_out, hit, last_logits, k, v
 
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2), static_argnames=("top_k", "max_frames")
+        )
+        def frames_until_event(
+            params, k, v, n_tokens, prev_pair, user_tokens, base_key, step0,
+            scalars, bias_ids, bias_vals, window_ids, window_count,
+            end_header, n_limit, top_k, max_frames,
+        ):
+            """Audio-frame continuation as ONE program: repeatedly eval the
+            pending (agent, user) pair and sample the next agent token,
+            stopping when the sample is non-audio (<= end_header: an event)
+            or after n_limit frames. Token/step/window/KV semantics are
+            IDENTICAL to looping eval_and_sample([pair]) — including that the
+            pair evaled at the event frame still commits (the event sample is
+            part of the sequence). The duplex agent uses this to finish a
+            chunk's remaining frames after an inline event without one host
+            round-trip per frame."""
+            cache_len = k.shape[2]
+            trash = cache_len - 4
+            kv_shape = (cfg.num_layers, 1, 2 * max_frames, cfg.num_kv_heads, cfg.head_dim)
+            dtype = jnp.dtype(cfg.compute_dtype)
+            rejected = jnp.int32(2**30)
+
+            def cond(carry):
+                i, done = carry[0], carry[-1]
+                return (~done) & (i < max_frames)
+
+            def body(carry):
+                (i, small_k, small_v, small_pos, n, prev, wids, wcount,
+                 out_tokens, last_logits, event_tok, done) = carry
+                positions = n + jnp.arange(2)
+                wmask = (
+                    jnp.arange(PENALTY_WINDOW) >= PENALTY_WINDOW - wcount
+                ).astype(jnp.float32)
+                hidden, nk, nv = forward_decode(
+                    params, prev[None, :], cfg, k, v, positions,
+                    cache_valid=n_tokens,
+                    extra_kv=(small_k, small_v), extra_pos=small_pos,
+                )
+                logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
+                key = jax.random.fold_in(base_key, step0 + i)
+                a = sample_token(
+                    logits, key, scalars, bias_ids, bias_vals, wids, wmask,
+                    top_k=top_k,
+                )
+                # the evaled pair ALWAYS commits (stepwise eval_and_sample
+                # writes K/V before sampling)
+                small_k = jax.lax.dynamic_update_slice(small_k, nk, (0, 0, 2 * i, 0, 0))
+                small_v = jax.lax.dynamic_update_slice(small_v, nv, (0, 0, 2 * i, 0, 0))
+                small_pos = jax.lax.dynamic_update_slice(small_pos, positions, (2 * i,))
+                u_next = user_tokens[jnp.minimum(i, max_frames - 1)]
+                rolled = jnp.concatenate([wids[2:], jnp.stack([a, u_next])])
+                is_audio = a > end_header
+                event_now = ~is_audio
+                out_tokens = out_tokens.at[i].set(jnp.where(is_audio, a, -1))
+                event_tok = jnp.where(event_now, a, event_tok)
+                wids = jnp.where(is_audio, rolled, wids)
+                wcount = jnp.where(
+                    is_audio, jnp.minimum(wcount + 2, PENALTY_WINDOW), wcount
+                )
+                prev = jnp.where(is_audio, jnp.stack([a, u_next]), prev)
+                done = event_now | (i + 1 >= n_limit)
+                return (
+                    i + 1, small_k, small_v, small_pos, n + 2, prev, wids,
+                    wcount, out_tokens, logits, event_tok, done,
+                )
+
+            init = (
+                jnp.int32(0),
+                jnp.zeros(kv_shape, dtype),
+                jnp.zeros(kv_shape, dtype),
+                jnp.full((2 * max_frames,), rejected, jnp.int32),
+                n_tokens,
+                prev_pair,
+                window_ids,
+                window_count,
+                jnp.full((max_frames,), -2, jnp.int32),
+                jnp.zeros((cfg.vocab_size,), jnp.float32),
+                jnp.int32(-1),
+                n_limit <= 0,
+            )
+            (
+                i_final, small_k, small_v, small_pos, n_final, prev, wids,
+                wcount, out_tokens, last_logits, event_tok, done,
+            ) = jax.lax.while_loop(cond, body, init)
+            target_idx = jnp.where(small_pos < rejected, small_pos, trash)
+            k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
+            return out_tokens, i_final, event_tok, last_logits, k, v
+
         self._prefill_fn = prefill
         self._decode_fn = decode_step
         self._resample_fn = resample
         self._score_fn = score
         self._probs_fn = probs_of
         self._gen_until_fn = gen_until
+        self._frames_fn = frames_until_event
 
     # ----------------------------------------------------------- state mgmt
     @property
@@ -379,6 +470,77 @@ class DuplexLMEngine:
         self._input_ids.extend(tokens)
         self._n_tokens += len(tokens)
         return int(token)
+
+    def eval_and_sample_frames(
+        self, pending_pair: Sequence[int], user_tokens: Sequence[int],
+        max_frames: int = 8,
+    ) -> Tuple[List[int], Optional[int]]:
+        """Duplex audio-frame continuation in ONE device call: token-exact
+        equivalent of
+
+            toks = []
+            pair = pending_pair
+            for u in user_tokens:
+                a = self.eval_and_sample(pair)
+                if a <= end_header: return toks, a       # event
+                toks.append(a); pair = [a, u]
+            return toks, None
+
+        including PRNG/penalty-window/KV/step bookkeeping. ``pending_pair``
+        must be the two appended-not-evaled ids; on return the engine state
+        matches the loop above exactly (the final sampled token — audio or
+        event — is NOT evaled)."""
+        assert len(pending_pair) == 2
+        assert 1 <= len(user_tokens) <= max_frames
+        end_header = getattr(self, "_end_header_token_id", None)
+        if end_header is None:
+            raise RuntimeError(
+                "eval_and_sample_frames needs set_end_header_token_id() first"
+            )
+        ids = self._input_ids + [int(t) for t in pending_pair]
+        tail = ids[-PENALTY_WINDOW:]
+        window = np.zeros((PENALTY_WINDOW,), np.int32)
+        if tail:
+            window[-len(tail):] = tail
+        ut = np.zeros((max_frames,), np.int32)
+        ut[: len(user_tokens)] = [int(t) for t in user_tokens]
+        bias_ids, bias_vals = self.settings.bias_arrays()
+        out, n_evaled, event_tok, last_logits, self._k, self._v = self._frames_fn(
+            self.params,
+            self._k,
+            self._v,
+            jnp.int32(self._n_tokens),
+            jnp.asarray(np.array(pending_pair, np.int32)),
+            jnp.asarray(ut),
+            self._base_key,
+            jnp.int32(self._step),
+            self.settings.scalars(),
+            bias_ids,
+            bias_vals,
+            jnp.asarray(window),
+            jnp.int32(len(tail)),
+            jnp.int32(end_header),
+            jnp.int32(len(user_tokens)),
+            self.settings.top_k,
+            max_frames,
+        )
+        out, n_evaled, event_tok = jax.device_get((out, n_evaled, event_tok))
+        n_evaled = int(n_evaled)
+        hit_event = int(out[n_evaled - 1]) < 0 if n_evaled else False
+        accepted = [int(t) for t in out[: n_evaled - 1 if hit_event else n_evaled]]
+        evaled = [int(t) for t in pending_pair]
+        for j in range(n_evaled - 1):
+            evaled += [accepted[j], int(ut[j])]
+        self._input_ids.extend(evaled)
+        self._n_tokens += len(evaled)
+        self._step += n_evaled
+        self._last_logits = last_logits
+        return accepted, (int(event_tok) if hit_event else None)
+
+    def set_end_header_token_id(self, token_id: int) -> None:
+        """Register the audio/event boundary id (tokens > this are codec
+        audio) for eval_and_sample_frames."""
+        self._end_header_token_id = int(token_id)
 
     def generate_until(
         self, first_token: int, stop_id: int, max_n: int = 64,

@@ -398,3 +398,50 @@ def test_int8_quantized_decode_close(cfg, params):
     assert np.isfinite(lp).all()
     toks, _ = quant.generate_until(41, stop_id=1, max_n=8)
     assert len(toks) >= 1
+
+
+def test_eval_and_sample_frames_matches_stepwise(params, cfg):
+    """The one-program frame continuation must be token/state-exact with
+    looping eval_and_sample — sampled mode, including event stop, step
+    counter, penalty window, n_tokens, and subsequent decode behavior."""
+    # treat ids <= 100 as "events" (non-audio); random weights will
+    # eventually sample one with a wide-open sampler
+    end_header = 100
+
+    def run_stepwise(eng, pending, user_tokens):
+        toks = []
+        pair = list(pending)
+        for u in user_tokens:
+            a = eng.eval_and_sample(pair)
+            if a <= end_header:
+                return toks, a
+            toks.append(a)
+            pair = [a, u]
+        return toks, None
+
+    for seed in (0, 1, 2):
+        ref = DuplexLMEngine(params, cfg, seed=seed)
+        ref.init_sampler_for_generate(top_k=40, temp=1.2, seed=seed)
+        got = DuplexLMEngine(params, cfg, seed=seed)
+        got.init_sampler_for_generate(top_k=40, temp=1.2, seed=seed)
+        got.set_end_header_token_id(end_header)
+        prefix = [5, 200, 300, 400]
+        ref.eval(prefix)
+        got.eval(prefix)
+        pending = [150, 160]
+        users = [170, 180, 190, 175]
+
+        ref_toks, ref_event = run_stepwise(ref, pending, users)
+        got_toks, got_event = got.eval_and_sample_frames(pending, users)
+
+        assert got_toks == ref_toks, (seed, got_toks, ref_toks)
+        assert got_event == ref_event, (seed, got_event, ref_event)
+        assert got.n_tokens == ref.n_tokens
+        assert got._step == ref._step
+        assert got._input_ids == ref._input_ids
+        np.testing.assert_allclose(
+            got.get_last_logits(), ref.get_last_logits(), rtol=1e-4, atol=1e-4
+        )
+        # the engines must stay in lockstep afterwards
+        nxt = [int(ref_toks[-1]) if ref_toks else 150, 170]
+        assert got.eval_and_sample(nxt) == ref.eval_and_sample(nxt)
