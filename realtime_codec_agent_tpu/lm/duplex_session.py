@@ -463,54 +463,54 @@ class DuplexSession:
         return packed_i32, packed_f32
 
     def prewarm(self, include_replay: bool = True) -> None:
-        """AOT-compile every fused-chunk program variant (cache-view buckets
-        x replay flag) so none of them compiles mid-session — a cold XLA
-        compile over the device tunnel stalls the realtime loop for seconds.
-        Uses jit.lower on abstract shapes: no device state is touched."""
+        """Compile every fused-chunk program variant (cache-view buckets x
+        replay flag) so none of them compiles mid-session — a cold XLA
+        compile over the device tunnel stalls the realtime loop for tens of
+        seconds. Each variant runs ONCE against throwaway donated KV buffers
+        with a HALTED chain (a no-op by construction), because only a real
+        dispatch populates the jit and persistent-compilation caches with
+        the exact donation/sharding layout the live call uses (AOT
+        lower().compile() hashes to a different program). Engine state is
+        untouched."""
         eng = self.engine
-
-        def spec(tree):
-            return jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), tree
-            )
-
-        chain_spec = {
-            "prev_pair": jax.ShapeDtypeStruct((2,), jnp.int32),
-            "n": jax.ShapeDtypeStruct((), jnp.int32),
-            "step": jax.ShapeDtypeStruct((), jnp.int32),
-            "window_ids": jax.ShapeDtypeStruct((PENALTY_WINDOW,), jnp.int32),
-            "window_count": jax.ShapeDtypeStruct((), jnp.int32),
-            "halted": jax.ShapeDtypeStruct((), jnp.bool_),
-        }
-        bias_ids, bias_vals = eng.settings.bias_arrays()
-        cache_len = eng._k.shape[2]
+        dtype = eng._k.dtype
+        kv_shape = eng._k.shape
+        cache_len = kv_shape[2]
         gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
         views = sorted(set(range(gran, cache_len, gran))) + [0]
-        args = (
-            spec(eng.params),
-            spec(self.codec.params),
-            spec(self.codec.tables),
-            spec(eng._k),
-            spec(eng._v),
-            chain_spec,
-            jax.ShapeDtypeStruct((self.context_samples,), jnp.float32),
-            jax.ShapeDtypeStruct((self.context_frames,), jnp.int32),
-            jax.ShapeDtypeStruct((self.chunk_samples,), jnp.float32),
-            jax.ShapeDtypeStruct((self.chunk_frames,), jnp.int32),
-            spec(eng._base_key),
-            spec(eng.settings.scalars()),
-            spec(bias_ids),
-            spec(bias_vals),
-            jax.ShapeDtypeStruct((), jnp.bool_),
-        )
+        bias_ids, bias_vals = eng.settings.bias_arrays()
+        chain = {
+            "prev_pair": jnp.zeros((2,), jnp.int32),
+            "n": jnp.int32(2),
+            "step": jnp.int32(0),
+            "window_ids": jnp.zeros((PENALTY_WINDOW,), jnp.int32),
+            "window_count": jnp.int32(0),
+            "halted": jnp.bool_(True),
+        }
         for view in views:
             for use_pre in (False, True) if include_replay else (False,):
-                self._fused_chunk.lower(
-                    *args,
+                out = self._fused_chunk(
+                    eng.params,
+                    self.codec.params,
+                    self.codec.tables,
+                    jnp.zeros(kv_shape, dtype),
+                    jnp.zeros(kv_shape, dtype),
+                    chain,
+                    jnp.zeros((self.context_samples,), jnp.float32),
+                    jnp.zeros((self.context_frames,), jnp.int32),
+                    jnp.zeros((self.chunk_samples,), jnp.float32),
+                    jnp.zeros((self.chunk_frames,), jnp.int32),
+                    eng._base_key,
+                    eng.settings.scalars(),
+                    bias_ids,
+                    bias_vals,
+                    jnp.bool_(False),
                     top_k=eng.settings.top_k,
                     use_precomputed_tokens=use_pre,
                     cache_view=view,
-                ).compile()
+                )
+                # serialize: keep only one throwaway KV pair live at a time
+                jax.device_get(out[-1][-1])
 
     def _cache_view_bucket(self) -> int:
         """Static attention-read bound for the next fused chunk: the host
