@@ -456,9 +456,13 @@ class DuplexSession:
             bias_ids,
             bias_vals,
             jnp.bool_(commit_decode),
-            eng.settings.top_k,
-            use_pre,
-            cache_view,
+            # static args MUST pass as keywords: static_argnames only
+            # canonicalizes keyword calls, so a positional call traces a
+            # SEPARATE program from the (keyword-calling) prewarm — measured
+            # as 30-60s mid-run XLA compiles the prewarm should have absorbed
+            top_k=eng.settings.top_k,
+            use_precomputed_tokens=use_pre,
+            cache_view=cache_view,
         )
         return packed_i32, packed_f32
 
