@@ -521,6 +521,10 @@ class DuplexSession:
         n_tokens mirror (which may lag one in-flight pipelined chunk) plus
         slack, rounded up to a coarse bucket so only a handful of program
         variants ever compile. 0 = read the full cache."""
+        import os
+
+        if os.environ.get("RTCA_CACHE_VIEW", "1") == "0":
+            return 0
         cache_len = self.engine._k.shape[2]
         gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
         need = self.engine.n_tokens + 4 * self.chunk_frames + 64
