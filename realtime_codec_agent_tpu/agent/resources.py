@@ -96,8 +96,10 @@ class RealtimeAgentResources:
                 # q8_0 GGUF deployment artifact (prep_test_model.sh:27-31)
                 lm_params = jax.jit(quantize_params_int8)(lm_params)
             # fuse QKV and gate|up once at load: 4 matmuls per decode layer
-            # instead of 7 (skinny decode GEMVs are per-op-overhead-bound)
-            lm_params = jax.jit(fuse_lm_params_for_decode)(lm_params)
+            # instead of 7 (skinny decode GEMVs are per-op-overhead-bound).
+            # RTCA_FUSE_QKV=0 keeps the canonical layout (A/B benchmarking)
+            if os.environ.get("RTCA_FUSE_QKV", "1") != "0":
+                lm_params = jax.jit(fuse_lm_params_for_decode)(lm_params)
         self.lm_params = lm_params
         self.llm = DuplexLMEngine(lm_params, self.lm_config)
         # teacher-forced scoring runs caclelessly on the same engine/weights

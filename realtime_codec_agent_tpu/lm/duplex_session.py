@@ -480,8 +480,13 @@ class DuplexSession:
         dtype = eng._k.dtype
         kv_shape = eng._k.shape
         cache_len = kv_shape[2]
-        gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
-        views = sorted(set(range(gran, cache_len, gran))) + [0]
+        import os
+
+        if os.environ.get("RTCA_CACHE_VIEW", "0") != "1":
+            views = [0]  # cache-view disabled: only the full-view program runs
+        else:
+            gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+            views = sorted(set(range(gran, cache_len, gran))) + [0]
         bias_ids, bias_vals = eng.settings.bias_arrays()
         chain = {
             "prev_pair": jnp.zeros((2,), jnp.int32),
@@ -523,7 +528,12 @@ class DuplexSession:
         variants ever compile. 0 = read the full cache."""
         import os
 
-        if os.environ.get("RTCA_CACHE_VIEW", "1") == "0":
+        # A/B'd on-chip: bounding the attention read SHOULD save ~1/2 of the
+        # 537 MB/frame cache traffic, but slicing the donated cache makes XLA
+        # copy it defensively — net +0.8 ms per chunk. Default off until the
+        # read bound can be expressed without the slice (e.g. inside a Pallas
+        # attention kernel); RTCA_CACHE_VIEW=1 re-enables.
+        if os.environ.get("RTCA_CACHE_VIEW", "0") != "1":
             return 0
         cache_len = self.engine._k.shape[2]
         gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)

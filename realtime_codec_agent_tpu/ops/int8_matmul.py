@@ -70,7 +70,15 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, interpret: 
     t = x2.shape[0]
     scale2 = scale.reshape(1, n).astype(jnp.float32)
 
-    if k * n <= _SINGLE_BLOCK_BYTES and t <= 256:
+    import os
+
+    # Single-block (whole weight resident in VMEM) measured FASTER in an
+    # isolated chained microbench (0.758 vs 0.848 ms / 4 layers) but ~3 ms
+    # per chunk SLOWER inside the real fused frame scan: parking 4-6 MB of
+    # weights in VMEM starves the surrounding attention/codec ops of
+    # buffering. Default off; RTCA_INT8_SINGLE=1 re-enables for experiments.
+    single_ok = os.environ.get("RTCA_INT8_SINGLE", "0") == "1"
+    if single_ok and k * n <= _SINGLE_BLOCK_BYTES and t <= 256:
         out = pl.pallas_call(
             _kernel,
             out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
