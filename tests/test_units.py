@@ -84,3 +84,18 @@ def test_large_vocab_roundtrip():
     s = codes_to_chars(codes, 131072)
     back = chars_to_codes(s, 1, 131072)
     np.testing.assert_array_equal(back[0], codes)
+
+
+def test_top_k_exact_matches_lax():
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.ops.sampling import top_k_exact
+
+    rng = np.random.default_rng(0)
+    for v, k in ((256 * 128, 100), (256 * 128, 1), (259584, 40), (1000, 5)):
+        x = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
+        v1, i1 = top_k_exact(x, k)
+        v2, i2 = jax.lax.top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
