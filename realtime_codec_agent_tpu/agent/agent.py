@@ -595,8 +595,10 @@ class RealtimeAgent:
                 and hasattr(llm, "eval_and_sample_frames")
                 and all(t > self.end_header_token_id for t in self.input_ids[-2:])
             ):
+                # the scan program holds up to 8 frames; longer chunk
+                # configurations simply loop (another scan picks up the rest)
                 accepted, event_tok = llm.eval_and_sample_frames(
-                    self.input_ids[-2:], audio_chunk_input_ids[i:]
+                    self.input_ids[-2:], audio_chunk_input_ids[i : i + 8]
                 )
                 for a in accepted:
                     self.input_ids.append(a)
@@ -607,7 +609,7 @@ class RealtimeAgent:
                     out_chunk_input_ids[i] = a
                     i += 1
                 if event_tok is None:
-                    continue  # chunk finished (i == n_frames)
+                    continue  # scanned frames done; loop handles any rest
                 presampled = event_tok  # event at frame i, token presampled
             while True:
                 audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])

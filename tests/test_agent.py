@@ -253,3 +253,4 @@ def test_trim_sequences_advances_and_rebuilds(codec, text_tok):
     n_evals_before = len(fake.eval_calls)
     agent.process_audio(chunk_audio())  # total 0.3 s > 0.2 s => trim fires
     assert agent.trim_to_secs == pytest.approx(0.1)
+

@@ -136,3 +136,29 @@ def test_prewarm_compiles_cache_view_variants(resources):
     view = session._cache_view_bucket()
     cache_len = eng._k.shape[2]
     assert view == 0 or (eng.n_tokens + 10 <= view < cache_len)
+
+
+def test_long_chunk_config_multi_scan(resources):
+    """0.2s chunks = 10 frames/channel: the engine's 8-frame continuation
+    program must chain (8 + 2) inside one chunk without state drift."""
+    res = resources.clone_for_self_play()
+    config = RealtimeAgentConfig(
+        chunk_size_secs=0.2,
+        temperature=0.0,
+        use_whisper=False,
+        agent_opening_text=None,
+        force_trans_after_inactivity_secs=0.0,
+        force_response_after_inactivity_secs=0.0,
+        use_fused_step=False,     # force the sync frame loop (scan path)
+        pipeline_chunks=False,
+        seed=11,
+    )
+    agent = RealtimeAgent(resources=res, config=config)
+    n = agent.chunk_size_samples
+    assert agent.chunk_size_frames_per_channel == 10
+    for _ in range(3):
+        out = agent.process_audio(np.zeros(n, np.float32))
+        assert out.shape == (n,)
+    # 3 chunks x 10 frames x (agent, user) pairs + pending pair bookkeeping
+    assert len(agent.audio_tokens_idx) == 3 * 10 * 2
+    assert agent.resources.llm.n_tokens == len(agent.input_ids) - 2
