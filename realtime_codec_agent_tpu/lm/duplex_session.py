@@ -9,10 +9,11 @@ pure-audio chunk into ONE jitted XLA program:
 
     audio_chunk (1600 f32)
       -> streaming codec encode (device-resident 2 s ring context)
-      -> lax.scan over frames: eval (agent,user) pair -> sample agent token
-         (full on-TPU sampler chain), halting bookkeeping if a non-audio token
-         (an end_audio event) appears
-      -> speculative speaker probe: eval <|end_audio|> one step ahead
+      -> lax.scan over frames: eval the (agent, user, <|end_audio|>) triple
+         -> sample the agent token (full on-TPU sampler chain); the third
+         token IS the speculative speaker probe, riding every step
+         causally-isolated (so no separate probe forward exists); halting
+         bookkeeping if a non-audio token (an end_audio event) appears
       -> streaming codec decode of the sampled agent tokens (device-resident
          code ring context) with crossfade preroll
     -> (out_audio, out_tokens, user_tokens, event_frame, probs, new state)

@@ -52,12 +52,10 @@ ROWS_PER_HEAD = 16  # padded G*T query rows per kv head
 
 
 def _kernel(nv_ref, q_ref, k_hbm, v_hbm, m_out, l_out, acc_out):
-    """q_ref: (KH*16, KH*Dh) f32 block-diagonal queries in VMEM.
-    k_hbm/v_hbm: (S, KH*Dh) bf16 in HBM (ANY). Outputs f32:
-    m/l (KH*16, 1)... stored as (KH*16, 128) broadcast-safe? -> (KH*16, 1)
-    is below lane width; use (KH*16, 128) padded columns? Keep (rows, 128)
-    with the value in column 0 is wasteful; Mosaic handles (rows, 1) f32
-    outputs fine as (8,128)-tiled padded buffers."""
+    """Manual-DMA variant. q_ref: (KH*16, KH*Dh) block-diagonal queries in
+    VMEM; k_hbm/v_hbm: (S, KH*Dh) cache in HBM, streamed in double-buffered
+    BLOCK_S slabs bounded by nv_ref[0]. Outputs: flash partials m/l
+    (KH*16, 1) and acc (KH*16, KH*Dh), all f32."""
     rows, width = q_ref.shape
     n_valid = nv_ref[0]
     n_blocks = pl.cdiv(jnp.maximum(n_valid, 0), BLOCK_S)
