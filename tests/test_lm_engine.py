@@ -445,3 +445,27 @@ def test_eval_and_sample_frames_matches_stepwise(params, cfg):
         # the engines must stay in lockstep afterwards
         nxt = [int(ref_toks[-1]) if ref_toks else 150, 170]
         assert got.eval_and_sample(nxt) == ref.eval_and_sample(nxt)
+
+
+def test_eval_and_sample_frames_int8_quantized(params, cfg):
+    """The multi-frame continuation program composes with int8-quantized
+    (and fused) params — the deployment config the agent actually runs."""
+    from realtime_codec_agent_tpu.models.llama import (
+        fuse_lm_params_for_decode,
+        quantize_params_int8,
+    )
+
+    qf = quantize_params_int8(fuse_lm_params_for_decode(params))
+    eng = DuplexLMEngine(qf, cfg, seed=3)
+    eng.init_sampler_for_generate(temp=0.0, seed=3)
+    eng.set_end_header_token_id(100)
+    eng.eval([5, 200, 300, 400])
+    toks, event = eng.eval_and_sample_frames([150, 160], [170, 180, 190])
+    assert len(toks) <= 3
+    # deterministic replay from the same state
+    eng2 = DuplexLMEngine(qf, cfg, seed=3)
+    eng2.init_sampler_for_generate(temp=0.0, seed=3)
+    eng2.set_end_header_token_id(100)
+    eng2.eval([5, 200, 300, 400])
+    toks2, event2 = eng2.eval_and_sample_frames([150, 160], [170, 180, 190])
+    assert (toks, event) == (toks2, event2)
