@@ -122,6 +122,13 @@ class DuplexSession:
         self.chain: Optional[Dict] = None
 
         self._build_jits()
+        # device-resident constants: the tunnel charges an RPC per host->device
+        # upload, so the per-chunk dispatch must not re-upload sampler scalars,
+        # bias tables, placeholder user tokens, or booleans every 100 ms
+        self._ut_zero = jnp.zeros((self.chunk_frames,), jnp.int32)
+        self._commit_true = jnp.bool_(True)
+        self._commit_false = jnp.bool_(False)
+        self._dev_settings_key = None
         self.reset()
 
     # ------------------------------------------------------------------ state
@@ -432,12 +439,13 @@ class DuplexSession:
         eng = self.engine
         if self.chain is None:
             self.sync_chain()
-        bias_ids, bias_vals = eng.settings.bias_arrays()
+        scalars, (bias_ids, bias_vals) = self._device_settings()
         use_pre = user_tokens is not None
         cache_view = self._cache_view_bucket()
-        ut = jnp.asarray(
-            np.asarray(user_tokens if use_pre else [0] * self.chunk_frames, np.int32)
-        )
+        if use_pre:
+            ut = jnp.asarray(np.asarray(user_tokens, np.int32))
+        else:
+            ut = self._ut_zero  # constant placeholder: no per-chunk upload
         (
             eng._k, eng._v, self.enc_ctx, self.dec_ctx, self.chain,
             packed_i32, packed_f32,
@@ -453,10 +461,10 @@ class DuplexSession:
             jnp.asarray(audio_chunk, jnp.float32),
             ut,
             eng._base_key,
-            eng.settings.scalars(),
+            scalars,
             bias_ids,
             bias_vals,
-            jnp.bool_(commit_decode),
+            self._commit_true if commit_decode else self._commit_false,
             # static args MUST pass as keywords: static_argnames only
             # canonicalizes keyword calls, so a positional call traces a
             # SEPARATE program from the (keyword-calling) prewarm — measured
@@ -521,6 +529,22 @@ class DuplexSession:
                 )
                 # serialize: keep only one throwaway KV pair live at a time
                 jax.device_get(out[-1][-1])
+
+    def _device_settings(self):
+        """Device copies of the sampler scalars/bias tables, rebuilt only
+        when the settings actually change (the agent mutates them around
+        events; fast-path chunks reuse the cached arrays)."""
+        s = self.engine.settings
+        key = (
+            s.top_k, s.top_p, s.min_p, s.temp, s.repeat_penalty,
+            s.frequency_penalty, s.presence_penalty, s.logit_bias,
+            s.min_token_id, s.seed,
+        )
+        if self._dev_settings_key != key:
+            self._dev_scalars = s.scalars()
+            self._dev_bias = s.bias_arrays()
+            self._dev_settings_key = key
+        return self._dev_scalars, self._dev_bias
 
     def _cache_view_bucket(self) -> int:
         """Static attention-read bound for the next fused chunk: the host
