@@ -393,6 +393,23 @@ class DuplexLMEngine:
         self._step += 1
         return key
 
+    def _device_settings(self):
+        """Device copies of the sampler scalars and bias tables, rebuilt only
+        when the settings change — the device tunnel charges an RPC per
+        host->device upload, so repeated decode/gen calls must not re-upload
+        constants (same discipline as DuplexSession._device_settings)."""
+        st = self.settings
+        key = (
+            st.top_k, st.top_p, st.min_p, st.temp, st.repeat_penalty,
+            st.frequency_penalty, st.presence_penalty, st.logit_bias,
+            st.min_token_id, st.seed,
+        )
+        if getattr(self, "_dev_settings_key", None) != key:
+            self._dev_scalars = st.scalars()
+            self._dev_bias = st.bias_arrays()
+            self._dev_settings_key = key
+        return self._dev_scalars, self._dev_bias
+
     # ----------------------------------------------------------------- eval
     def eval(self, tokens: Sequence[int]) -> None:
         """Teacher-forced append of tokens at position n_tokens (bucketed prefill)."""
@@ -426,12 +443,12 @@ class DuplexLMEngine:
         """Sample from the logits at the last evaled position."""
         if self._last_logits is None:
             raise RuntimeError("sample() before any eval()")
-        bias_ids, bias_vals = self.settings.bias_arrays()
+        scalars, (bias_ids, bias_vals) = self._device_settings()
         window_ids, window_mask = make_window(self._input_ids, PENALTY_WINDOW)
         token = self._resample_fn(
             self._last_logits,
             self._next_key(),
-            self.settings.scalars(),
+            scalars,
             bias_ids,
             bias_vals,
             window_ids,
@@ -447,7 +464,7 @@ class DuplexLMEngine:
             # uncommon: long teacher-forced run then sample
             self.eval(tokens)
             return self.sample()
-        bias_ids, bias_vals = self.settings.bias_arrays()
+        scalars, (bias_ids, bias_vals) = self._device_settings()
         window_ids, window_mask = make_window(
             self._input_ids + tokens, PENALTY_WINDOW
         )
@@ -459,7 +476,7 @@ class DuplexLMEngine:
             arr,
             jnp.int32(self._n_tokens),
             self._next_key(),
-            self.settings.scalars(),
+            scalars,
             bias_ids,
             bias_vals,
             window_ids,
@@ -504,7 +521,7 @@ class DuplexLMEngine:
             window[-len(tail):] = tail
         ut = np.zeros((max_frames,), np.int32)
         ut[: len(user_tokens)] = [int(t) for t in user_tokens]
-        bias_ids, bias_vals = self.settings.bias_arrays()
+        scalars, (bias_ids, bias_vals) = self._device_settings()
         out, n_evaled, event_tok, last_logits, self._k, self._v = self._frames_fn(
             self.params,
             self._k,
@@ -514,7 +531,7 @@ class DuplexLMEngine:
             jnp.asarray(ut),
             self._base_key,
             jnp.int32(self._step),
-            self.settings.scalars(),
+            scalars,
             bias_ids,
             bias_vals,
             jnp.asarray(window),
@@ -559,7 +576,7 @@ class DuplexLMEngine:
         window = np.zeros((PENALTY_WINDOW,), np.int32)
         if tail:
             window[-len(tail):] = tail
-        bias_ids, bias_vals = self.settings.bias_arrays()
+        scalars, (bias_ids, bias_vals) = self._device_settings()
         out_tokens, n_out, done, last_logits, self._k, self._v = self._gen_until_fn(
             self.params,
             self._k,
@@ -568,7 +585,7 @@ class DuplexLMEngine:
             jnp.int32(first_token),
             self._base_key,
             jnp.int32(self._step),
-            self.settings.scalars(),
+            scalars,
             bias_ids,
             bias_vals,
             jnp.asarray(window),
