@@ -162,6 +162,7 @@ class RealtimeAgent:
         self._pending = None
         self._out_buffer = None
         self._chain_dirty = True  # device chain needs a host resync before dispatch
+        self._trim_rebuild = None  # incremental-trim shadow rebuild state
         if config.pipeline_chunks and getattr(self, "_fetcher", None) is None:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -220,6 +221,7 @@ class RealtimeAgent:
         self._pending = None
         self._out_buffer = None
         self._chain_dirty = True
+        self._trim_rebuild = None
         self.set_sampler()
         self.resources.llm.reset()
         if c.use_external_llm:
@@ -312,10 +314,88 @@ class RealtimeAgent:
     # --------------------------------------------------------- context mgmt
     def trim_sequences(self) -> None:
         """Evict 20 s from the front once 80 s of audio accumulates; KV is
-        rebuilt from the preserved header (reference realtime_agent_v2.py:187-190)."""
+        rebuilt from the preserved header (reference realtime_agent_v2.py:187-190).
+
+        With ``config.incremental_trim`` the chunk-level driver
+        (``_trim_op``/``_trim_pump``/``_trim_swap``) owns trimming instead:
+        the rebuild spreads across chunks into a shadow cache."""
+        if self._incremental_trim_active():
+            return
         if self.total_secs - self.trim_to_secs >= self.config.max_context_secs:
             self.trim_to_secs += self.config.trim_by_secs
             self.recompute_kv_cache(0)
+
+    def _incremental_trim_active(self) -> bool:
+        return self.config.incremental_trim and hasattr(
+            self.resources.llm, "rebuild_begin"
+        )
+
+    def _trim_op(self) -> Optional[str]:
+        """Per-chunk incremental-trim decision: "start" begins a shadow
+        rebuild, "swap" installs a finished one. The trigger counts the
+        in-flight pipelined chunk (if any) so the schedule lands on the same
+        chunk index as the synchronous agent (token parity)."""
+        if not self._incremental_trim_active():
+            return None
+        if self._trim_rebuild is None:
+            effective_secs = self.total_secs + (
+                self.config.chunk_size_secs if self._pending is not None else 0.0
+            )
+            if effective_secs - self.trim_to_secs >= self.config.max_context_secs:
+                return "start"
+            return None
+        if self.resources.llm.rebuild_remaining() == 0:
+            return "swap"
+        return None
+
+    def _pending_eval_count(self) -> int:
+        """Appended-but-unevaled tail length — the same audio-mode rule
+        recompute_kv_cache applies."""
+        audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
+        return 2 if audio_mode else 1
+
+    def _trim_begin(self) -> None:
+        """Freeze the post-trim rebuild target (header + suffix from the trim
+        point, by value) and start the shadow prefill. Host mirror must be
+        current (pipelined callers drain the in-flight chunk first)."""
+        to_secs = self.trim_to_secs + self.config.trim_by_secs
+        trim_pos = self.audio_tokens_idx[self.frames_from_secs(to_secs)]
+        frozen_end = len(self.input_ids) - self._pending_eval_count()
+        target = (
+            self.input_ids[: self.context_start_pos] + self.input_ids[trim_pos:frozen_end]
+        )
+        self.resources.llm.rebuild_begin(target)
+        self._trim_rebuild = {"to_secs": to_secs, "frozen_end": frozen_end}
+
+    def _trim_pump(self) -> None:
+        """One rebuild prefill slice (dispatch-only); called once per chunk
+        PROCESSED so the schedule is identical across execution paths."""
+        if self._trim_rebuild is not None:
+            self.resources.llm.rebuild_pump(self.config.trim_rebuild_slice_tokens)
+
+    def _trim_swap(self) -> None:
+        """Install the finished shadow cache: prefill the small suffix that
+        accumulated since the freeze, swap buffers, and advance the trim
+        point. Host mirror must be current."""
+        llm = self.resources.llm
+        rb = self._trim_rebuild
+        suffix = self.input_ids[rb["frozen_end"] : len(self.input_ids) - self._pending_eval_count()]
+        if suffix:
+            llm.rebuild_extend(suffix)
+            llm.rebuild_pump(len(suffix))
+        llm.rebuild_swap()
+        self.trim_to_secs = rb["to_secs"]
+        self._trim_rebuild = None
+        self._chain_dirty = True
+
+    def _trim_restart_on_edit(self, edit_start_pos: int) -> None:
+        """A history edit below the frozen watermark invalidates the shadow
+        rebuild: re-freeze against the edited sequence (deterministic — edits
+        happen at the same processing step on every execution path)."""
+        if self._trim_rebuild is not None and edit_start_pos < self._trim_rebuild["frozen_end"]:
+            self._trim_rebuild = None
+            self.resources.llm.rebuild_abort()
+            self._trim_begin()
 
     def frames_from_secs(self, secs: float) -> int:
         frames = int(secs * self.resources.audio_tokenizer.framerate * 2)
@@ -345,6 +425,7 @@ class RealtimeAgent:
         starting at the trim point; cache positions are shifted accordingly
         (reference realtime_agent_v2.py:725-733).
         """
+        self._trim_restart_on_edit(edit_start_pos)
         trim_to_frames = self.frames_from_secs(self.trim_to_secs)
         trim_to_pos = self.audio_tokens_idx[trim_to_frames] if trim_to_frames else 0
         if trim_to_frames == 0 or edit_end_pos is None or edit_end_pos > trim_to_pos:
@@ -805,13 +886,7 @@ class RealtimeAgent:
 
             force_trans = self.should_force_transcription()
             force_response = self.should_force_response()
-            can_fuse = (
-                self._session is not None
-                and not self.config.use_external_tts
-                and not (force_trans or force_response)
-                and self._fused_ready()
-                and all(t > self.end_header_token_id for t in self.input_ids[-2:])
-            )
+            trim_op = self._trim_op()
 
             if (
                 self.config.pipeline_chunks
@@ -820,8 +895,25 @@ class RealtimeAgent:
             ):
                 return self._process_audio_pipelined(
                     audio_chunk, audio_chunk_input_ids, force_trans, force_response,
-                    can_fuse,
+                    trim_op,
                 )
+
+            # incremental trim: begin/swap happen at chunk boundaries (host
+            # mirror is always current on the synchronous path), one rebuild
+            # slice rides along with every processed chunk
+            if trim_op == "start":
+                self._trim_begin()
+            elif trim_op == "swap":
+                self._trim_swap()
+            self._trim_pump()
+
+            can_fuse = (
+                self._session is not None
+                and not self.config.use_external_tts
+                and not (force_trans or force_response)
+                and self._fused_ready()
+                and all(t > self.end_header_token_id for t in self.input_ids[-2:])
+            )
 
             # ---- fused fast path: whole pure-audio chunk in ONE device call
             # (precomputed user tokens — self-play cross-feed — skip encode)
@@ -980,7 +1072,7 @@ class RealtimeAgent:
         audio_chunk_input_ids: Optional[List[int]],
         force_trans: bool,
         force_response: bool,
-        can_fuse: bool,
+        trim_op: Optional[str] = None,
     ):
         """Depth-1 pipelining, dispatch-FIRST: this chunk's fused program is
         enqueued against the device-resident chain state before the previous
@@ -992,25 +1084,40 @@ class RealtimeAgent:
         host replays the event, fetches the no-op's user tokens, resyncs the
         chain, and re-dispatches this chunk."""
         session = self._session
-        # host-state mutations (trim / forced events / non-audio mode) cannot
-        # run under an in-flight speculative chunk: drain first, then take the
-        # synchronous path for this chunk (rare: ~1 trim per 200 chunks).
-        # total_secs lags by the in-flight chunk — count it, so the trim fires
-        # at the same chunk index as the synchronous agent (token parity).
-        effective_secs = self.total_secs + (
-            self.config.chunk_size_secs if self._pending is not None else 0.0
+        can_fuse = (
+            not (force_trans or force_response)
+            and self._fused_ready()
+            and all(t > self.end_header_token_id for t in self.input_ids[-2:])
         )
-        trim_due = effective_secs - self.trim_to_secs >= self.config.max_context_secs
-        if not can_fuse or trim_due:
+        # host-state mutations (trim begin/swap / forced events / non-audio
+        # mode) cannot run under an in-flight speculative chunk: drain first,
+        # then take the synchronous path for this chunk (rare). With blocking
+        # trims, total_secs lags by the in-flight chunk — count it, so the
+        # trim fires at the same chunk index as the synchronous agent (token
+        # parity). Incremental trims route through trim_op instead.
+        trim_due = False
+        if not self._incremental_trim_active():
+            effective_secs = self.total_secs + (
+                self.config.chunk_size_secs if self._pending is not None else 0.0
+            )
+            trim_due = effective_secs - self.trim_to_secs >= self.config.max_context_secs
+        if not can_fuse or trim_due or trim_op is not None:
             emit = self._resolve_pending()
             if emit is None and self._out_buffer is not None:
                 emit, self._out_buffer = self._out_buffer, None
+            # the host mirror is current now (in-flight chunk drained)
+            if trim_op == "start":
+                self._trim_begin()
+            elif trim_op == "swap":
+                self._trim_swap()
+            self._trim_pump()
             out_chunk, out_ids = self._process_chunk_sync(
                 audio_chunk, audio_chunk_input_ids, force_trans, force_response
             )
             self._chain_dirty = True
             self._out_buffer = (out_chunk, out_ids)
             return self._emit(emit)
+        self._trim_pump()
 
         # ---- speculative dispatch of THIS chunk ----
         if self._chain_dirty or session.chain is None:

@@ -37,6 +37,18 @@ class RealtimeAgentConfig:
     chunk_fade_secs: float = 0.02
     max_context_secs: float = 80.0
     trim_by_secs: float = 20.0
+    # Amortize the context-trim KV rebuild: instead of one blocking re-prefill
+    # (~0.75 s at full scale, reference realtime_agent_v2.py:725-733 semantics),
+    # rebuild the post-trim cache into a shadow buffer one
+    # ``trim_rebuild_slice_tokens`` prefill slice per chunk while the live
+    # cache keeps serving, then swap. The trim takes effect a deterministic
+    # number of CHUNKS later than the blocking rebuild (identical across the
+    # sync/pipelined/stepwise paths, so token parity between them holds), and
+    # the context the LM attends briefly exceeds max_context_secs by the
+    # rebuild window (~2-3 s) — within the cache slack. Off by default to
+    # preserve the reference's blocking-trim semantics exactly.
+    incremental_trim: bool = False
+    trim_rebuild_slice_tokens: int = 256
     target_volume_rms: float = 0.0
     # turn-taking timers
     force_trans_after_inactivity_secs: float = 0.5

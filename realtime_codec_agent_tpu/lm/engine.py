@@ -77,6 +77,14 @@ class DuplexLMEngine:
         self._base_key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._step = 0
 
+        # incremental KV rebuild (context trim amortization): a shadow cache
+        # filled a prefill slice at a time while the live cache keeps serving
+        self._rb_tokens: Optional[List[int]] = None
+        self._rb_progress = 0
+        self._rb_k = None
+        self._rb_v = None
+        self._rb_logits = None
+
         self._build_jits()
 
     # ------------------------------------------------------------------ jits
@@ -351,6 +359,7 @@ class DuplexLMEngine:
         self._n_tokens = 0
         self._input_ids = []
         self._last_logits = None
+        self.rebuild_abort()
 
     def commit_external_eval(self, tokens: Sequence[int]) -> None:
         """Record tokens that were already evaled on-device by a fused program
@@ -358,6 +367,81 @@ class DuplexLMEngine:
         tokens = [int(t) for t in tokens]
         self._input_ids.extend(tokens)
         self._n_tokens += len(tokens)
+
+    # -------------------------------------------- incremental cache rebuild
+    # Context trims shift RoPE positions (post-trim tokens re-land right
+    # after the preserved header, reference realtime_agent_v2.py:725-733), so
+    # the trimmed KV must be re-prefilled. Doing that in one blocking call
+    # stalls the realtime loop ~0.75 s at full scale. Instead the agent
+    # rebuilds into a SHADOW cache one small prefill slice per chunk while
+    # the live cache keeps serving, then swaps (agent/agent.py incremental
+    # trim). Slices reuse the same compiled bucketed prefill programs (the
+    # shadow buffers have identical shapes, so XLA reuses the executables).
+
+    def rebuild_begin(self, tokens: Sequence[int]) -> None:
+        """Start an incremental rebuild: ``tokens`` is the full post-trim
+        sequence (header + trimmed suffix) to prefill into the shadow cache
+        from position 0."""
+        if self._rb_k is None:
+            self._rb_k = jnp.zeros_like(self._k)
+            self._rb_v = jnp.zeros_like(self._v)
+        self._rb_tokens = [int(t) for t in tokens]
+        self._rb_progress = 0
+        self._rb_logits = None
+
+    def rebuild_extend(self, tokens: Sequence[int]) -> None:
+        """Append tokens to the rebuild target (sequence grew since begin)."""
+        assert self._rb_tokens is not None, "rebuild_extend without rebuild_begin"
+        self._rb_tokens.extend(int(t) for t in tokens)
+
+    def rebuild_remaining(self) -> int:
+        if self._rb_tokens is None:
+            return 0
+        return len(self._rb_tokens) - self._rb_progress
+
+    def rebuild_abort(self) -> None:
+        self._rb_tokens = None
+        self._rb_progress = 0
+        self._rb_logits = None
+
+    def rebuild_pump(self, max_tokens: int) -> int:
+        """Prefill up to ``max_tokens`` of the rebuild target into the shadow
+        cache (dispatch only — nothing is fetched). Returns tokens remaining."""
+        assert self._rb_tokens is not None, "rebuild_pump without rebuild_begin"
+        budget = min(max_tokens, self.rebuild_remaining())
+        while budget > 0:
+            chunk = self._rb_tokens[self._rb_progress : self._rb_progress + min(budget, PREFILL_BUCKETS[-1])]
+            b = _bucket(len(chunk))
+            padded = np.zeros((1, b), dtype=np.int32)
+            padded[0, : len(chunk)] = chunk
+            self._rb_logits, self._rb_k, self._rb_v = self._prefill_fn(
+                self.params,
+                self._rb_k,
+                self._rb_v,
+                jnp.asarray(padded),
+                jnp.int32(self._rb_progress),
+                jnp.int32(len(chunk) - 1),
+            )
+            self._rb_progress += len(chunk)
+            budget -= len(chunk)
+        return self.rebuild_remaining()
+
+    def rebuild_swap(self) -> None:
+        """Install the fully-rebuilt shadow cache as the live cache: the
+        engine state afterwards is exactly what a blocking ``eval`` of the
+        rebuild target from scratch would have produced (mirror, n_tokens,
+        last-position logits). The old live cache becomes the next shadow."""
+        assert self._rb_tokens is not None and self.rebuild_remaining() == 0, (
+            "rebuild_swap before the rebuild finished"
+        )
+        self._k, self._rb_k = self._rb_k, self._k
+        self._v, self._rb_v = self._rb_v, self._v
+        self._input_ids = list(self._rb_tokens)
+        self._n_tokens = len(self._rb_tokens)
+        self._last_logits = self._rb_logits
+        self._rb_tokens = None
+        self._rb_progress = 0
+        self._rb_logits = None
 
     # ------------------------------------------------------------- sampling
     def init_sampler_for_generate(
