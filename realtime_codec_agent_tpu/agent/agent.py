@@ -95,6 +95,8 @@ class RealtimeAgent:
 
     # ------------------------------------------------------------- configure
     def set_config(self, config: RealtimeAgentConfig) -> None:
+        if getattr(self, "_detour_future", None) is not None:
+            self.join_detours()
         self.config = config
         if config.use_whisper and self.resources.whisper_model is None:
             warn("use_whisper requested but no ASR model is loaded; disabling.")
@@ -163,12 +165,35 @@ class RealtimeAgent:
         self._out_buffer = None
         self._chain_dirty = True  # device chain needs a host resync before dispatch
         self._trim_rebuild = None  # incremental-trim shadow rebuild state
+        # async-detour state: one in-flight background detour + backlog of
+        # unprocessed chunks + FIFO of processed-but-unemitted outputs
+        self._detour_future = None
+        self._backlog: List[Tuple[np.ndarray, Optional[List[int]]]] = []
+        self._ready: List[Tuple[np.ndarray, Optional[List[int]]]] = []
+        self.n_filler_emitted = 0
+        self.last_emit_was_filler = False
+        # background-thread busy time (honest RTF accounting: the benchmark
+        # adds this to the foreground per-call latencies) + per-detour durations
+        self.detour_busy_secs = 0.0
+        self.detour_durations: List[float] = []
         if config.pipeline_chunks and getattr(self, "_fetcher", None) is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._fetcher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="kv-fetch")
         elif not hasattr(self, "_fetcher"):
             self._fetcher = None
+        if (
+            config.pipeline_chunks
+            and config.async_detours
+            and getattr(self, "_detour_pool", None) is None
+        ):
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._detour_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="detour"
+            )
+        elif not hasattr(self, "_detour_pool"):
+            self._detour_pool = None
 
     def _make_session(self):
         """Fused device-resident chunk stepping, when the resources carry the
@@ -218,10 +243,18 @@ class RealtimeAgent:
         if self._session is not None:
             self._session.reset()
         self._fused_probs = None
+        self.join_detours()
         self._pending = None
         self._out_buffer = None
         self._chain_dirty = True
         self._trim_rebuild = None
+        self._detour_future = None
+        self._backlog = []
+        self._ready = []
+        self.n_filler_emitted = 0
+        self.last_emit_was_filler = False
+        self.detour_busy_secs = 0.0
+        self.detour_durations = []
         self.set_sampler()
         self.resources.llm.reset()
         if c.use_external_llm:
@@ -884,15 +917,24 @@ class RealtimeAgent:
                 f"got {len(audio_chunk_input_ids)}"
             )
 
+            pipelined = (
+                self.config.pipeline_chunks
+                and self._session is not None
+                and not self.config.use_external_tts
+            )
+            if pipelined and self.config.async_detours:
+                # flags/trim decisions derive at processing time inside the
+                # pump (backlogged chunks must see in-order state, and a
+                # background detour may be mutating it right now)
+                return self._process_audio_pipelined_async(
+                    audio_chunk, audio_chunk_input_ids
+                )
+
             force_trans = self.should_force_transcription()
             force_response = self.should_force_response()
             trim_op = self._trim_op()
 
-            if (
-                self.config.pipeline_chunks
-                and self._session is not None
-                and not self.config.use_external_tts
-            ):
+            if pipelined:
                 return self._process_audio_pipelined(
                     audio_chunk, audio_chunk_input_ids, force_trans, force_response,
                     trim_op,
@@ -1119,7 +1161,19 @@ class RealtimeAgent:
             return self._emit(emit)
         self._trim_pump()
 
-        # ---- speculative dispatch of THIS chunk ----
+        # ---- speculative dispatch of THIS chunk, resolve the PREVIOUS ----
+        prev_pending = self._dispatch_speculative(audio_chunk, audio_chunk_input_ids)
+        if prev_pending is None:
+            if self._out_buffer is not None:
+                emit, self._out_buffer = self._out_buffer, None
+                return self._emit(emit)
+            return self._emit(None)
+        return self._emit(self._resolve_one(prev_pending))
+
+    def _dispatch_speculative(self, audio_chunk, audio_chunk_input_ids):
+        """Enqueue this chunk's fused program against the device chain and
+        register it as in-flight; returns the previously in-flight chunk."""
+        session = self._session
         if self._chain_dirty or session.chain is None:
             session.bind_sequence(self.input_ids)
             session.sync_chain()
@@ -1136,14 +1190,7 @@ class RealtimeAgent:
             # concurrently with the device computing this chunk
             "future": self._fetcher.submit(_device_get, handles),
         }
-
-        # ---- resolve the PREVIOUS chunk ----
-        if prev_pending is None:
-            if self._out_buffer is not None:
-                emit, self._out_buffer = self._out_buffer, None
-                return self._emit(emit)
-            return self._emit(None)
-        return self._emit(self._resolve_one(prev_pending))
+        return prev_pending
 
     def _emit(self, emit):
         """Shape a pipelined emission: (audio, ids) in self-play mode, audio
@@ -1171,25 +1218,30 @@ class RealtimeAgent:
         out_chunk, out_ids = self._process_chunk_sync(
             pending["audio"], res.user_tokens, False, False, out_prefix=out_prefix
         )
-        # the speculatively dispatched successor (if any) ran halted: fetch
-        # its user tokens, resync the chain, and re-dispatch it for real
-        if self._pending is not None:
-            succ, self._pending = self._pending, None
-            succ_res, _ = self._session.resolve(succ["future"].result())
-            assert succ_res.halted_input
-            session = self._session
-            session.bind_sequence(self.input_ids)
-            session.sync_chain()
-            self._chain_dirty = False
-            handles = session.dispatch_chunk(
-                succ["audio"], user_tokens=succ_res.user_tokens
-            )
-            self._pending = {
-                "audio": succ["audio"],
-                "ids": succ.get("ids"),
-                "future": self._fetcher.submit(_device_get, handles),
-            }
+        self._redispatch_halted_successor()
         return out_chunk, out_ids
+
+    def _redispatch_halted_successor(self):
+        """The speculatively dispatched successor of an event chunk (if any)
+        ran halted: fetch its user tokens, resync the chain, and re-dispatch
+        it for real."""
+        if self._pending is None:
+            return
+        succ, self._pending = self._pending, None
+        succ_res, _ = self._session.resolve(succ["future"].result())
+        assert succ_res.halted_input
+        session = self._session
+        session.bind_sequence(self.input_ids)
+        session.sync_chain()
+        self._chain_dirty = False
+        handles = session.dispatch_chunk(
+            succ["audio"], user_tokens=succ_res.user_tokens
+        )
+        self._pending = {
+            "audio": succ["audio"],
+            "ids": succ.get("ids"),
+            "future": self._fetcher.submit(_device_get, handles),
+        }
 
     def _resolve_pending(self):
         """Drain the in-flight chunk, if any; returns its (audio, ids)."""
@@ -1201,16 +1253,154 @@ class RealtimeAgent:
         return out
 
     def drain_pipeline(self) -> Optional[np.ndarray]:
-        """Flush any in-flight chunk (pipelined mode): returns its audio
-        ((audio, ids) in self-play mode), or the buffered output of a
-        synchronous detour, if any. Call before inspecting transcripts/state
-        at end of session."""
+        """Flush in-flight work (pipelined mode): returns one chunk of output
+        audio ((audio, ids) in self-play mode) per call, or None when fully
+        drained. Call repeatedly before inspecting transcripts/state at end
+        of session; async-detour mode may hold several queued outputs."""
+        if self.config.async_detours and self._detour_pool is not None:
+            while not self._ready and (
+                self._detour_future is not None
+                or self._backlog
+                or self._pending is not None
+            ):
+                if self._detour_future is not None or self._backlog:
+                    self._async_pump(0.0, budget=float("inf"), cap=0)
+                else:
+                    out = self._resolve_pending()
+                    if out is not None:
+                        self._ready.append(out)
+            if not self._ready:
+                return None
+            self.last_emit_was_filler = False
+            out = self._ready.pop(0)
+            return self._emit(out) if self.self_play_mode else out[0]
         out = self._resolve_pending()
         if out is None and self._out_buffer is not None:
             out, self._out_buffer = self._out_buffer, None
         if out is None:
             return None
         return self._emit(out) if self.self_play_mode else out[0]
+
+    # ------------------------------------------------------- async detours
+    def join_detours(self) -> None:
+        """Block until any background detour finishes and bank its outputs."""
+        fut = getattr(self, "_detour_future", None)
+        if fut is not None:
+            prev_emit, this_emit = fut.result()
+            self._detour_future = None
+            if prev_emit is not None:
+                self._ready.append(prev_emit)
+            self._ready.append(this_emit)
+
+    def _process_audio_pipelined_async(self, audio_chunk, audio_chunk_input_ids):
+        """Pipelined stepping that never blocks on heavy detours: arriving
+        chunks enqueue, the pump processes as many as the per-call budget
+        allows (heavy ones on the background pool), and each call emits the
+        oldest queued output — or silence filler while an event resolves.
+        The LM token stream is identical to the blocking pipelined path;
+        only audio emission timing differs (filler + delay instead of a
+        stall + burst)."""
+        t0 = time.perf_counter()
+        self._backlog.append((audio_chunk, audio_chunk_input_ids))
+        self._async_pump(t0)
+        return self._emit_async()
+
+    def _async_pump(self, t0, budget: Optional[float] = None, cap: Optional[int] = None):
+        """Drain the backlog: collect a finished (or, past the fall-behind
+        cap, block on an unfinished) detour, then process chunks in arrival
+        order until the backlog empties or the time budget is spent."""
+        budget = self.config.async_catchup_budget_secs if budget is None else budget
+        cap = self.config.async_max_backlog_chunks if cap is None else cap
+        while True:
+            if self._detour_future is not None:
+                if not self._detour_future.done() and len(self._backlog) < cap:
+                    return
+                self.join_detours()
+            if not self._backlog:
+                return
+            if self._ready and time.perf_counter() - t0 > budget:
+                return
+            chunk, cids = self._backlog.pop(0)
+            self._step_one_async(chunk, cids)
+
+    def _step_one_async(self, audio_chunk, audio_chunk_input_ids):
+        """Process ONE backlogged chunk: fused speculative dispatch when
+        possible, otherwise submit the synchronous detour to the background
+        pool. Mirrors _process_audio_pipelined's decision logic exactly so
+        the token stream matches the blocking pipelined agent."""
+        force_trans = self.should_force_transcription()
+        force_response = self.should_force_response()
+        trim_op = self._trim_op()
+        can_fuse = (
+            not (force_trans or force_response)
+            and self._fused_ready()
+            and all(t > self.end_header_token_id for t in self.input_ids[-2:])
+        )
+        trim_due = False
+        if not self._incremental_trim_active():
+            effective_secs = self.total_secs + (
+                self.config.chunk_size_secs if self._pending is not None else 0.0
+            )
+            trim_due = effective_secs - self.trim_to_secs >= self.config.max_context_secs
+
+        if not can_fuse or trim_due or trim_op is not None:
+            def detour_job():
+                t0 = time.perf_counter()
+                emit = self._resolve_pending()
+                if trim_op == "start":
+                    self._trim_begin()
+                elif trim_op == "swap":
+                    self._trim_swap()
+                self._trim_pump()
+                out = self._process_chunk_sync(
+                    audio_chunk, audio_chunk_input_ids, force_trans, force_response
+                )
+                self._chain_dirty = True
+                dt = time.perf_counter() - t0
+                self.detour_busy_secs += dt
+                self.detour_durations.append(dt)
+                return emit, out
+
+            self._detour_future = self._detour_pool.submit(detour_job)
+            return
+
+        self._trim_pump()
+        prev = self._dispatch_speculative(audio_chunk, audio_chunk_input_ids)
+        if prev is None:
+            return
+        res, _ = self._session.resolve(prev["future"].result())
+        self._fused_user_tokens = res.user_tokens
+        if res.event_frame >= self.chunk_size_frames_per_channel and not res.halted_input:
+            self._ready.append(
+                (self._commit_fused(res, prev["audio"]), list(res.out_tokens))
+            )
+            return
+
+        # event inside the previous chunk: replay it in the background (the
+        # just-dispatched successor ran halted and is re-dispatched there)
+        def replay_job():
+            t0 = time.perf_counter()
+            out_prefix = (
+                self._commit_accepted_frames(res) if not res.halted_input else None
+            )
+            out = self._process_chunk_sync(
+                prev["audio"], res.user_tokens, False, False, out_prefix=out_prefix
+            )
+            self._redispatch_halted_successor()
+            dt = time.perf_counter() - t0
+            self.detour_busy_secs += dt
+            self.detour_durations.append(dt)
+            return None, out
+
+        self._detour_future = self._detour_pool.submit(replay_job)
+
+    def _emit_async(self):
+        if self._ready:
+            self.last_emit_was_filler = False
+            return self._emit(self._ready.pop(0))
+        self.n_filler_emitted += 1
+        self.last_emit_was_filler = True
+        return self._emit(None)
 
     def detokenize_output_chunk(self, out_chunk_input_ids: List[int]) -> np.ndarray:
         """Decode agent tokens -> audio with preroll-aware crossfade joining
@@ -1547,6 +1737,9 @@ class RealtimeAgentMultiprocessing:
                     print(">>> Agent reset! <<<")
 
                 if self.get_info_flag.value:
+                    # snapshot must not race a background detour mutating the
+                    # transcript/sequence; banked outputs emit later as usual
+                    agent.join_detours()
                     self.info_queue.put(
                         RealtimeAgentMultiprocessingInfo(
                             config=agent.config,

@@ -134,11 +134,16 @@ def load_asr(model: Optional[object]) -> Optional[ASRModel]:
     if model is None or isinstance(model, ASRModel):
         return model
     if isinstance(model, str):
+        import logging
+
+        log = logging.getLogger(__name__)
         name = model if "/" in model or os.path.isdir(model) else f"openai/whisper-{model}"
         try:
             return JaxWhisperASR.from_hf_checkpoint(name)
-        except Exception:
-            pass
+        except Exception as ex:
+            # conversion/OOM failures here must not be silent: the session
+            # would quietly fall back to a slower backend
+            log.warning("JaxWhisperASR load failed for %r (%s); trying fallbacks", name, ex)
         try:
             return WhisperCppASR(model)
         except ImportError:

@@ -102,6 +102,23 @@ class RealtimeAgentConfig:
     # synchronous agent would fire it (model-decided events are unaffected).
     # Off by default to preserve the reference's synchronous semantics.
     pipeline_chunks: bool = False
+    # Absorb heavy synchronous detours (inline text events, forced events)
+    # on a background thread instead of stalling the realtime loop: while an
+    # event resolves, process_audio enqueues arriving chunks, emits silence
+    # filler immediately, and catches the backlog up afterwards under a
+    # per-call time budget. The LM token stream is IDENTICAL to the blocking
+    # pipelined path (chunks process in arrival order with the same state);
+    # only the audio emission timing changes — each event inserts a few
+    # filler chunks and delays subsequent audio by that much, instead of the
+    # reference's output stall + burst (realtime_agent_v2.py blocks the loop
+    # for the whole inline generation, :332-372). Requires pipeline_chunks.
+    async_detours: bool = False
+    # fall-behind cap: block once this many chunks are backlogged (a paced
+    # realtime caller never accumulates more than ~detour_secs/chunk_secs)
+    async_max_backlog_chunks: int = 8
+    # per-call catch-up budget: stop draining the backlog once this much time
+    # was spent in the current process_audio call and an output is ready
+    async_catchup_budget_secs: float = 0.06
 
     def __post_init__(self):
         if int(self.chunk_size_secs * 100) % 2 != 0:

@@ -719,6 +719,12 @@ class DuplexLMEngine:
         The finalize-response ratio scores both of its contexts this way —
         one weight read and one device round-trip instead of two (the
         reference pays two aux-LM evals, realtime_agent_v2.py:620-692)."""
+        for ctx, ids in pairs:
+            if len(ctx) < 1:
+                raise ValueError(
+                    "get_logprobs_batch requires a non-empty ctx per pair "
+                    "(an empty ctx would silently score the wrong slice)"
+                )
         seqs = [
             [int(t) for t in ctx] + [int(t) for t in ids] for ctx, ids in pairs
         ]

@@ -462,10 +462,12 @@ def greedy_decode(
     cfg: WhisperConfig,
     max_new_tokens: int,
     suppress_ids: Optional[jnp.ndarray] = None,  # (n_sup,) never sampled
+    begin_suppress_ids: Optional[jnp.ndarray] = None,  # masked at step 0 only
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode as one on-device while_loop. Returns (tokens
     (max_new_tokens,) padded with eos, n_generated). Matches HF greedy
-    (do_sample=False) token-for-token given the same start ids."""
+    (do_sample=False) token-for-token given the same start ids and the
+    checkpoint generation_config's suppress/begin_suppress token lists."""
     dec_cap = int(start_ids.shape[0]) + max_new_tokens
     if dec_cap > cfg.max_target_positions:
         raise ValueError(
@@ -484,13 +486,15 @@ def greedy_decode(
     )
     last = logits[0, -1]
 
-    def pick(logits_row):
+    def pick(logits_row, first: bool = False):
         if suppress_ids is not None and suppress_ids.shape[0] > 0:
             logits_row = logits_row.at[suppress_ids].set(-jnp.inf)
+        if first and begin_suppress_ids is not None and begin_suppress_ids.shape[0] > 0:
+            logits_row = logits_row.at[begin_suppress_ids].set(-jnp.inf)
         return jnp.argmax(logits_row).astype(jnp.int32)
 
     out0 = jnp.full((max_new_tokens,), cfg.eos_token_id, jnp.int32)
-    tok0 = pick(last)
+    tok0 = pick(last, first=True)
     out0 = out0.at[0].set(tok0)
 
     def cond(state):
@@ -521,10 +525,21 @@ class JaxWhisperModel:
     encoder -> greedy while_loop) in three device calls and returns raw token
     ids; text decoding needs a tokenizer (agent/asr.JaxWhisperASR)."""
 
-    def __init__(self, params: Dict, config: WhisperConfig, max_new_tokens: int = 128):
+    def __init__(
+        self,
+        params: Dict,
+        config: WhisperConfig,
+        max_new_tokens: int = 128,
+        suppress_ids: Optional[List[int]] = None,
+        begin_suppress_ids: Optional[List[int]] = None,
+    ):
         self.params = params
         self.config = config
         self.max_new_tokens = max_new_tokens
+        # checkpoint generation_config defaults (HF applies these in generate;
+        # without them transcripts can contain non-speech artifacts)
+        self.default_suppress_ids = list(suppress_ids or [])
+        self.default_begin_suppress_ids = list(begin_suppress_ids or [])
         self.mel_filters = jnp.asarray(
             slaney_mel_filters(
                 config.sample_rate, config.n_fft, config.num_mel_bins,
@@ -535,17 +550,27 @@ class JaxWhisperModel:
         self._mel = jax.jit(lambda a: log_mel_spectrogram(a, self.mel_filters, cfg))
         self._encode = jax.jit(lambda p, m: encode(p, m, cfg))
         self._greedy = jax.jit(
-            lambda p, e, s, sup: greedy_decode(
-                p, e, s, cfg, max_new_tokens, suppress_ids=sup
+            lambda p, e, s, sup, bsup: greedy_decode(
+                p, e, s, cfg, max_new_tokens, suppress_ids=sup,
+                begin_suppress_ids=bsup,
             )
         )
 
     @classmethod
     def from_hf(cls, hf_model, max_new_tokens: int = 128, **config_overrides) -> "JaxWhisperModel":
-        """Convert a transformers WhisperForConditionalGeneration instance."""
+        """Convert a transformers WhisperForConditionalGeneration instance,
+        carrying over the generation_config's suppress/begin_suppress token
+        lists (HF applies them in generate; the reference's whisper.cpp has
+        equivalent defaults)."""
         cfg = whisper_config_from_hf(hf_model.config, **config_overrides)
         params = whisper_params_from_torch(hf_model.state_dict(), cfg)
-        return cls(params, cfg, max_new_tokens=max_new_tokens)
+        gen_cfg = getattr(hf_model, "generation_config", None)
+        sup = list(getattr(gen_cfg, "suppress_tokens", None) or [])
+        bsup = list(getattr(gen_cfg, "begin_suppress_tokens", None) or [])
+        return cls(
+            params, cfg, max_new_tokens=max_new_tokens,
+            suppress_ids=sup, begin_suppress_ids=bsup,
+        )
 
     def features(self, audio: np.ndarray) -> jnp.ndarray:
         """Pad/trim to the fixed window and compute (1, n_mels, frames)."""
@@ -567,11 +592,14 @@ class JaxWhisperModel:
         cfg = self.config
         if start_ids is None:
             start_ids = [cfg.decoder_start_token_id, cfg.no_timestamps_token_id]
+        if suppress_ids is None:
+            suppress_ids = self.default_suppress_ids
         mel = self.features(audio)
         enc_states = self._encode(self.params, mel)
-        sup = jnp.asarray(suppress_ids if suppress_ids else [], jnp.int32)
+        sup = jnp.asarray(suppress_ids or [], jnp.int32)
+        bsup = jnp.asarray(self.default_begin_suppress_ids or [], jnp.int32)
         out, n_gen = self._greedy(
-            self.params, enc_states, jnp.asarray(start_ids, jnp.int32), sup
+            self.params, enc_states, jnp.asarray(start_ids, jnp.int32), sup, bsup
         )
         n = int(n_gen)
         return [int(t) for t in np.asarray(out)[:n]]

@@ -257,9 +257,7 @@ def decode_attention_partials(
     # columns [h*Dh,(h+1)*Dh)
     qf = (qg.astype(jnp.float32) * jnp.float32(scale))
     q_full = jnp.zeros((kh, ROWS_PER_HEAD, kh, dh), jnp.float32)
-    q_full = q_full.at[jnp.arange(kh), :gt, jnp.arange(kh)].set(
-        jnp.swapaxes(qf, 0, 0)
-    )
+    q_full = q_full.at[jnp.arange(kh), :gt, jnp.arange(kh)].set(qf)
     q_full = q_full.reshape(rows, width)
     k2 = k_big.reshape(s, width)
     v2 = v_big.reshape(s, width)

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas_int8(x: jnp.ndarray, n: int) -> bool:
+def _use_pallas_int8(x: jnp.ndarray) -> bool:
     """Route decode-shaped int8 matmuls (rows <= 8: frame scan, gen_until,
     eval_and_sample) to the Pallas fused-dequant kernel. These all sit inside
     lax.scan/while_loop bodies where XLA HOISTS a plain ``astype(bf16)``
@@ -21,7 +21,10 @@ def _use_pallas_int8(x: jnp.ndarray, n: int) -> bool:
     per iteration and int8's bandwidth saving vanishes. The opaque kernel
     keeps the int8 read inside the loop. Wide-row calls (score/prefill run
     once, nothing to hoist across) measured faster on XLA's dequant+dot.
-    RTCA_INT8_PALLAS=0 forces XLA everywhere."""
+    Note the rows<=8 rule also routes the 8-row prefill bucket (a non-loop
+    shape) through the kernel; measured on-chip the difference is noise, and
+    one rule keeps the program count down. RTCA_INT8_PALLAS=0 forces XLA
+    everywhere."""
     if os.environ.get("RTCA_INT8_PALLAS", "1") == "0":
         return False
     if jax.default_backend() != "tpu":
@@ -40,9 +43,12 @@ def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     produced by models/llama.quantize_params_int8 — the TPU counterpart of
     the reference's q8_0 GGUF deployment artifact, prep_test_model.sh:27-31).
     Wide-output decode matmuls dispatch to the Pallas fused-dequant kernel;
-    everything else uses XLA's dequant+dot. Accumulates in f32."""
+    everything else uses XLA's dequant+dot. Accumulates in f32. NOTE: the
+    Pallas kernel casts activations to bf16 while the XLA route keeps them
+    in their input dtype, so logits can differ at bf16-epsilon scale between
+    the two routes (both are valid quantized-inference numerics)."""
     if isinstance(w, dict) and "q" in w:
-        if _use_pallas_int8(x, w["q"].shape[1]):
+        if _use_pallas_int8(x):
             from .int8_matmul import int8_matmul
 
             y = int8_matmul(x, w["q"], w["s"])

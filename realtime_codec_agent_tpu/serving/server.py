@@ -100,12 +100,16 @@ def make_handler(backend: CompletionBackend):
                     data = f"data: {json.dumps(obj)}\n\n".encode()
                     self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
-                for delta in backend.generate(prompt, **kwargs):
-                    send_chunk(_completion_chunk(backend.model_name, delta))
-                send_chunk(_completion_chunk(backend.model_name, "", finish="stop"))
-                done = b"data: [DONE]\n\n"
-                self.wfile.write(f"{len(done):x}\r\n".encode() + done + b"\r\n")
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    for delta in backend.generate(prompt, **kwargs):
+                        send_chunk(_completion_chunk(backend.model_name, delta))
+                    send_chunk(_completion_chunk(backend.model_name, "", finish="stop"))
+                    done = b"data: [DONE]\n\n"
+                    self.wfile.write(f"{len(done):x}\r\n".encode() + done + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    # client went away mid-stream: normal teardown, not an error
+                    self.close_connection = True
             else:
                 text = "".join(backend.generate(prompt, **kwargs))
                 resp = _completion_chunk(
@@ -116,9 +120,23 @@ def make_handler(backend: CompletionBackend):
     return Handler
 
 
+class _QuietServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that treats client disconnects as normal teardown
+    instead of dumping 'Exception occurred during processing of request'
+    tracebacks into the server log."""
+
+    def handle_error(self, request, client_address):
+        import sys
+
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (BrokenPipeError, ConnectionResetError, TimeoutError)):
+            return
+        super().handle_error(request, client_address)
+
+
 class CompletionServer:
     def __init__(self, backend: CompletionBackend, host: str = "0.0.0.0", port: int = 8000):
-        self.httpd = ThreadingHTTPServer((host, port), make_handler(backend))
+        self.httpd = _QuietServer((host, port), make_handler(backend))
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

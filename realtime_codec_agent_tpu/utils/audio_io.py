@@ -66,6 +66,9 @@ def write_wav(path: str, sample_rate: int, audio: np.ndarray) -> None:
     """Write float32/-int16 audio ((T,) or (C, T)) as 16-bit PCM WAV."""
     audio = np.asarray(audio)
     if audio.dtype != np.int16:
+        # NaN survives np.clip and casts to garbage int16 (random-weight codec
+        # output can be non-finite); zero it before quantizing
+        audio = np.nan_to_num(audio, nan=0.0, posinf=1.0, neginf=-1.0)
         audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with wave.open(path, "wb") as w:
