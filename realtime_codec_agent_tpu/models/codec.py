@@ -59,6 +59,13 @@ class CodecConfig:
     frontend: str = "patchify"
     conv_ratios: Tuple[int, ...] = (8, 5, 4, 2)
     conv_base_channels: int = 48
+    # transformer-block flavor knobs for real-checkpoint parity: flash-attn
+    # blocks (which MagiCodec builds on, magicodec_build.sh:13-16) default to
+    # LayerNorm with bias, biased projections, and support both rotary
+    # layouts. Our from-scratch config keeps the leaner RMSNorm/no-bias
+    # flavor; the torch converter flips these to match the checkpoint.
+    norm_type: str = "rms"  # "rms" | "layer"
+    rope_interleaved: bool = False
     compute_dtype: str = "bfloat16"
 
     @property
@@ -207,23 +214,38 @@ def pad_audio(audio: np.ndarray, hop_length: int) -> np.ndarray:
     return np.pad(audio, pad, mode="constant")
 
 
+def _norm(x: jnp.ndarray, w: jnp.ndarray, b, cfg: CodecConfig) -> jnp.ndarray:
+    if cfg.norm_type == "layer":
+        return nn.layer_norm(x, w, b, cfg.rms_eps)
+    return nn.rms_norm(x, w, cfg.rms_eps)
+
+
+def _proj(y: jnp.ndarray, w: jnp.ndarray, b) -> jnp.ndarray:
+    out = jnp.dot(y, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(y.dtype)
+
+
 def _transformer(x: jnp.ndarray, blocks, cfg: CodecConfig) -> jnp.ndarray:
     b, t, h = x.shape
     nh, dh = cfg.num_heads, cfg.head_dim
     positions = jnp.arange(t)
-    cos, sin = nn.rope_cos_sin(positions, dh, cfg.rope_theta)
+    cos, sin = nn.rope_cos_sin(
+        positions, dh, cfg.rope_theta, interleaved=cfg.rope_interleaved
+    )
     for blk in blocks:
         res = x
-        y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q = jnp.dot(y, blk["wq"], preferred_element_type=jnp.float32).astype(y.dtype).reshape(b, t, nh, dh)
-        k = jnp.dot(y, blk["wk"], preferred_element_type=jnp.float32).astype(y.dtype).reshape(b, t, nh, dh)
-        v = jnp.dot(y, blk["wv"], preferred_element_type=jnp.float32).astype(y.dtype).reshape(b, t, nh, dh)
-        q, k = nn.apply_rope(q, k, cos, sin)
+        y = _norm(x, blk["attn_norm"], blk.get("attn_norm_b"), cfg)
+        q = _proj(y, blk["wq"], blk.get("bq")).reshape(b, t, nh, dh)
+        k = _proj(y, blk["wk"], blk.get("bk")).reshape(b, t, nh, dh)
+        v = _proj(y, blk["wv"], blk.get("bv")).reshape(b, t, nh, dh)
+        q, k = nn.apply_rope(q, k, cos, sin, interleaved=cfg.rope_interleaved)
         attn = nn.attention(q, k, v)  # bidirectional
-        attn = jnp.dot(attn.reshape(b, t, h), blk["wo"], preferred_element_type=jnp.float32).astype(y.dtype)
+        attn = _proj(attn.reshape(b, t, h), blk["wo"], blk.get("bo"))
         x = res + attn
         res = x
-        y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
+        y = _norm(x, blk["mlp_norm"], blk.get("mlp_norm_b"), cfg)
         y = nn.gelu_mlp(y, blk["w1"], blk["b1"], blk["w2"], blk["b2"])
         x = res + y
     return x
@@ -291,8 +313,10 @@ def encode_frames(
         frames = audio.reshape(b, t // cfg.hop_length, cfg.hop_length).astype(dtype)
         x = jnp.dot(frames, enc["patch_embed"], preferred_element_type=jnp.float32).astype(dtype) + enc["patch_bias"]
     x = _transformer(x, enc["blocks"], cfg)
-    x = nn.rms_norm(x, enc["out_norm"], cfg.rms_eps)
+    x = _norm(x, enc["out_norm"], enc.get("out_norm_b"), cfg)
     z_e = jnp.dot(x, enc["out_proj"], preferred_element_type=jnp.float32)  # (B, F, d) f32
+    if enc.get("out_proj_b") is not None:
+        z_e = z_e + enc["out_proj_b"].astype(jnp.float32)
     if tables is not None:
         prepared = (tables["cbt"], tables["halfnorm"], cfg.codebook_size)
         codes = nearest_code(z_e.reshape(-1, z_e.shape[-1]), prepared=prepared)
@@ -312,13 +336,15 @@ def decode_frames(
     dec = params["decoder"]
     x = jnp.dot(z_q.astype(dtype), dec["in_proj"], preferred_element_type=jnp.float32).astype(dtype) + dec["in_bias"]
     x = _transformer(x, dec["blocks"], cfg)
-    x = nn.rms_norm(x, dec["out_norm"], cfg.rms_eps)
+    x = _norm(x, dec["out_norm"], dec.get("out_norm_b"), cfg)
     if cfg.frontend == "conv":
         audio = _conv_upsample(
             dec["conv"]["stages"], x, tuple(reversed(cfg.conv_ratios))
         ).astype(jnp.float32)
         return audio[..., 0]
     audio = jnp.dot(x, dec["patch_unembed"], preferred_element_type=jnp.float32)  # (B, F, hop) f32
+    if dec.get("patch_unembed_b") is not None:
+        audio = audio + dec["patch_unembed_b"].astype(jnp.float32)
     b, f, hop = audio.shape
     return audio.reshape(b, f * hop)
 

@@ -202,36 +202,51 @@ _CODEC_KEY_ALIASES = {
     "decoder.in_proj": ("decoder.in_proj.weight", "decoder.patch_embed.weight"),
     "decoder.in_bias": ("decoder.in_proj.bias", "decoder.patch_embed.bias"),
     "encoder.out_proj": ("encoder.out_proj.weight",),
+    "encoder.out_proj_b": ("encoder.out_proj.bias",),
     "decoder.patch_unembed": ("decoder.out_proj.weight", "decoder.patch_unembed.weight"),
+    "decoder.patch_unembed_b": ("decoder.out_proj.bias", "decoder.patch_unembed.bias"),
 }
 
 
-def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
+def codec_params_from_torch(state_dict: Dict, cfg, return_unused: bool = False):
     """MagiCodec-layout torch state_dict -> models/codec.py param pytree.
 
     The mapping covers the module surface the reference exercises
-    (encoder / quantizer.codebook / quantizer.codebook_proj / decoder). Blocks
-    are read as ``{encoder,decoder}.blocks.{i}.{attn_norm,wq,wk,wv,wo,
-    mlp_norm,w1,b1,w2,b2}`` with torch Linear (out,in) transposition;
-    ``*.norm.weight``/``*.mixer.Wqkv``-style fused layouts are split.
+    (encoder / quantizer.codebook / quantizer.codebook_proj / decoder,
+    reference audio_tokenizer.py:189-201). Transformer bodies are read in
+    the flash-attn block convention MagiCodec builds on
+    (magicodec_build.sh:13-16): ``blocks.{i}.norm1/norm2`` (LayerNorm,
+    biases picked up when present), ``mixer.Wqkv``/``mixer.out_proj``
+    (fused QKV split three ways, biases included) and ``mlp.fc1/fc2`` —
+    plus unfused ``wq/wk/wv/wo`` and ``attn.{q,k,v,o}_proj`` aliases.
+    Torch Linear (out,in) weights transpose to (in,out).
+
     Raises KeyError naming the first missing tensor so a mismatched
-    checkpoint fails loudly instead of silently random-initializing.
+    checkpoint fails loudly instead of silently random-initializing. With
+    ``return_unused=True`` also returns the checkpoint keys the map did NOT
+    consume — verify_codec_parity.py fails when any parameter tensor is
+    left over (a leftover means the key map missed part of the model).
     """
     import jax.numpy as jnp
 
     dtype = jnp.dtype(cfg.compute_dtype)
     sd = {k: v for k, v in state_dict.items()}
+    consumed = set()
 
     def pick(*names, required=True):
         for n in names:
             if n in sd:
+                consumed.add(n)
                 return _np(sd[n])
         if required:
             raise KeyError(f"missing codec checkpoint tensor: one of {names}")
         return None
 
-    def alias(canon):
-        return pick(*_CODEC_KEY_ALIASES[canon])
+    def alias(canon, required=True):
+        return pick(*_CODEC_KEY_ALIASES[canon], required=required)
+
+    def maybe(arr, dt):
+        return None if arr is None else jnp.asarray(arr, dt)
 
     def blocks(prefix: str):
         out = []
@@ -239,34 +254,58 @@ def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
         while f"{prefix}.blocks.{i}.attn_norm.weight" in sd or f"{prefix}.blocks.{i}.norm1.weight" in sd:
             b = f"{prefix}.blocks.{i}"
             qkv = pick(f"{b}.mixer.Wqkv.weight", required=False)
+            qkv_b = pick(f"{b}.mixer.Wqkv.bias", required=False)
             if qkv is not None:
                 h = qkv.shape[1]
                 wq, wk, wv = qkv[:h], qkv[h : 2 * h], qkv[2 * h :]
+                bq, bk, bv = (
+                    (qkv_b[:h], qkv_b[h : 2 * h], qkv_b[2 * h :])
+                    if qkv_b is not None
+                    else (None, None, None)
+                )
             else:
                 wq = pick(f"{b}.wq.weight", f"{b}.attn.q_proj.weight")
                 wk = pick(f"{b}.wk.weight", f"{b}.attn.k_proj.weight")
                 wv = pick(f"{b}.wv.weight", f"{b}.attn.v_proj.weight")
-            out.append(
-                {
-                    "attn_norm": jnp.asarray(
-                        pick(f"{b}.attn_norm.weight", f"{b}.norm1.weight"), dtype
+                bq = pick(f"{b}.wq.bias", f"{b}.attn.q_proj.bias", required=False)
+                bk = pick(f"{b}.wk.bias", f"{b}.attn.k_proj.bias", required=False)
+                bv = pick(f"{b}.wv.bias", f"{b}.attn.v_proj.bias", required=False)
+            blk = {
+                "attn_norm": jnp.asarray(
+                    pick(f"{b}.attn_norm.weight", f"{b}.norm1.weight"), dtype
+                ),
+                "attn_norm_b": maybe(
+                    pick(f"{b}.attn_norm.bias", f"{b}.norm1.bias", required=False), dtype
+                ),
+                "wq": jnp.asarray(wq.T, dtype),
+                "wk": jnp.asarray(wk.T, dtype),
+                "wv": jnp.asarray(wv.T, dtype),
+                "bq": maybe(bq, dtype),
+                "bk": maybe(bk, dtype),
+                "bv": maybe(bv, dtype),
+                "wo": jnp.asarray(
+                    pick(f"{b}.wo.weight", f"{b}.attn.o_proj.weight", f"{b}.mixer.out_proj.weight").T,
+                    dtype,
+                ),
+                "bo": maybe(
+                    pick(
+                        f"{b}.wo.bias", f"{b}.attn.o_proj.bias",
+                        f"{b}.mixer.out_proj.bias", required=False,
                     ),
-                    "wq": jnp.asarray(wq.T, dtype),
-                    "wk": jnp.asarray(wk.T, dtype),
-                    "wv": jnp.asarray(wv.T, dtype),
-                    "wo": jnp.asarray(
-                        pick(f"{b}.wo.weight", f"{b}.attn.o_proj.weight", f"{b}.mixer.out_proj.weight").T,
-                        dtype,
-                    ),
-                    "mlp_norm": jnp.asarray(
-                        pick(f"{b}.mlp_norm.weight", f"{b}.norm2.weight"), dtype
-                    ),
-                    "w1": jnp.asarray(pick(f"{b}.w1.weight", f"{b}.mlp.fc1.weight").T, dtype),
-                    "b1": jnp.asarray(pick(f"{b}.b1", f"{b}.mlp.fc1.bias"), dtype),
-                    "w2": jnp.asarray(pick(f"{b}.w2.weight", f"{b}.mlp.fc2.weight").T, dtype),
-                    "b2": jnp.asarray(pick(f"{b}.b2", f"{b}.mlp.fc2.bias"), dtype),
-                }
-            )
+                    dtype,
+                ),
+                "mlp_norm": jnp.asarray(
+                    pick(f"{b}.mlp_norm.weight", f"{b}.norm2.weight"), dtype
+                ),
+                "mlp_norm_b": maybe(
+                    pick(f"{b}.mlp_norm.bias", f"{b}.norm2.bias", required=False), dtype
+                ),
+                "w1": jnp.asarray(pick(f"{b}.w1.weight", f"{b}.mlp.fc1.weight").T, dtype),
+                "b1": jnp.asarray(pick(f"{b}.b1", f"{b}.mlp.fc1.bias"), dtype),
+                "w2": jnp.asarray(pick(f"{b}.w2.weight", f"{b}.mlp.fc2.weight").T, dtype),
+                "b2": jnp.asarray(pick(f"{b}.b2", f"{b}.mlp.fc2.bias"), dtype),
+            }
+            out.append({k: v for k, v in blk.items() if v is not None})
             i += 1
         if not out:
             raise KeyError(f"no transformer blocks found under {prefix}.blocks")
@@ -310,24 +349,44 @@ def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
         "out_norm": jnp.asarray(
             pick("encoder.out_norm.weight", "encoder.norm_f.weight"), dtype
         ),
+        "out_norm_b": maybe(
+            pick("encoder.out_norm.bias", "encoder.norm_f.bias", required=False), dtype
+        ),
         "out_proj": jnp.asarray(alias("encoder.out_proj").T, dtype),
+        "out_proj_b": maybe(alias("encoder.out_proj_b", required=False), dtype),
     }
+    in_proj = alias("decoder.in_proj")
+    in_bias = alias("decoder.in_bias", required=False)
     decoder = {
-        "in_proj": jnp.asarray(alias("decoder.in_proj").T, dtype),
-        "in_bias": jnp.asarray(alias("decoder.in_bias"), dtype),
+        "in_proj": jnp.asarray(in_proj.T, dtype),
+        "in_bias": jnp.asarray(
+            in_bias if in_bias is not None else np.zeros(in_proj.shape[0]), dtype
+        ),
         "blocks": blocks("decoder"),
         "out_norm": jnp.asarray(
             pick("decoder.out_norm.weight", "decoder.norm_f.weight"), dtype
+        ),
+        "out_norm_b": maybe(
+            pick("decoder.out_norm.bias", "decoder.norm_f.bias", required=False), dtype
         ),
     }
     if conv_front:
         encoder["conv"] = {"stages": conv_stages("encoder", transpose_conv=False)}
         decoder["conv"] = {"stages": conv_stages("decoder", transpose_conv=True)}
     else:
-        encoder["patch_embed"] = jnp.asarray(alias("encoder.patch_embed").T, dtype)
-        encoder["patch_bias"] = jnp.asarray(alias("encoder.patch_bias"), dtype)
+        pe = alias("encoder.patch_embed")
+        pb = alias("encoder.patch_bias", required=False)
+        encoder["patch_embed"] = jnp.asarray(pe.T, dtype)
+        encoder["patch_bias"] = jnp.asarray(
+            pb if pb is not None else np.zeros(pe.shape[0]), dtype
+        )
         decoder["patch_unembed"] = jnp.asarray(alias("decoder.patch_unembed").T, dtype)
-    return {
+        decoder["patch_unembed_b"] = maybe(
+            alias("decoder.patch_unembed_b", required=False), jnp.float32
+        )
+    encoder = {k: v for k, v in encoder.items() if v is not None}
+    decoder = {k: v for k, v in decoder.items() if v is not None}
+    params = {
         "encoder": encoder,
         "quantizer": {
             "codebook": jnp.asarray(alias("quantizer.codebook"), jnp.float32),
@@ -336,6 +395,10 @@ def codec_params_from_torch(state_dict: Dict, cfg) -> Dict:
         },
         "decoder": decoder,
     }
+    if return_unused:
+        unused = sorted(k for k in sd.keys() if k not in consumed)
+        return params, unused
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,26 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
     return (xf * weight.astype(jnp.float32)).astype(dtype)
 
 
+def layer_norm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """LayerNorm in f32 (torch.nn.LayerNorm semantics — the norm flavor of
+    flash-attn transformer blocks, which MagiCodec builds on,
+    reference magicodec_build.sh:13-16)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xf * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
 def llama3_scaled_inv_freq(
     inv_freq: jnp.ndarray,
     factor: float,
@@ -97,9 +117,12 @@ def rope_cos_sin(
     head_dim: int,
     theta: float = 10000.0,
     rope_scaling: Optional[Tuple[float, float, float, int]] = None,
+    interleaved: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rotary embedding tables for integer positions ``(...,)`` ->
-    cos/sin of shape ``(..., head_dim)`` (HF Llama half-duplicated layout).
+    cos/sin of shape ``(..., head_dim)``. ``interleaved=False`` duplicates
+    each frequency across the two halves (HF Llama layout);
+    ``interleaved=True`` duplicates adjacently (GPT-J / flash-attn layout).
     ``rope_scaling`` = (factor, low_freq_factor, high_freq_factor,
     original_max_position) enables llama3-style frequency scaling."""
     inv_freq = 1.0 / (
@@ -108,7 +131,10 @@ def rope_cos_sin(
     if rope_scaling is not None and rope_scaling[0] > 0:
         inv_freq = llama3_scaled_inv_freq(inv_freq, *rope_scaling)
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., head_dim/2)
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    if interleaved:
+        emb = jnp.repeat(freqs, 2, axis=-1)
+    else:
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
@@ -118,15 +144,34 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def _rotate_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    """(x0,x1,x2,x3,...) -> (-x1,x0,-x3,x2,...): GPT-J / flash-attn
+    ``interleaved=True`` rotation pairing adjacent dims."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
 def apply_rope(
-    q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    interleaved: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Apply rotary embedding. q/k: (..., T, H, Dh); cos/sin: (..., T, Dh)."""
+    """Apply rotary embedding. q/k: (..., T, H, Dh); cos/sin: (..., T, Dh).
+
+    ``interleaved=False`` is the half-split GPT-NeoX/Llama layout (cos/sin
+    from rope_cos_sin, each frequency duplicated across the two halves);
+    ``interleaved=True`` pairs adjacent dims (GPT-J / flash-attn
+    ``RotaryEmbedding(interleaved=True)``) and expects cos/sin with each
+    frequency duplicated adjacently (rope_cos_sin(..., interleaved=True))."""
+    rot = _rotate_interleaved if interleaved else _rotate_half
     cos = cos[..., :, None, :].astype(jnp.float32)
     sin = sin[..., :, None, :].astype(jnp.float32)
     qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    q_out = qf * cos + _rotate_half(qf) * sin
-    k_out = kf * cos + _rotate_half(kf) * sin
+    q_out = qf * cos + rot(qf) * sin
+    k_out = kf * cos + rot(kf) * sin
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 

@@ -1,0 +1,276 @@
+"""Verify real-MagiCodec checkpoint parity end-to-end.
+
+The reference's codec calls (reference audio_tokenizer.py:189-201, model built
+by magicodec_build.sh:4-16) define the encode/decode semantics this framework
+must match token-exactly. Given a real MagiCodec-50Hz-Base checkpoint this
+harness runs, in order:
+
+1. **Key-map coverage** — convert the torch state_dict through
+   models/convert.codec_params_from_torch and FAIL if any parameter tensor in
+   the checkpoint was not consumed (a leftover key means the map missed part
+   of the model; buffers like rotary inv_freq caches are whitelisted).
+2. **Framerate probe** — encode 10 s of silence and check the frame count
+   yields the advertised framerate (reference audio_tokenizer.py:181-187
+   measures it exactly this way; MagiCodec-50Hz-Base must give 500 frames
+   -> 50.0 Hz).
+3. **Argmax decision-margin audit** — quantizer nearest-code distances are
+   computed in f32 (ops/quantize.py); report the top-2 distance-gap
+   distribution over real audio so bf16-boundary risk (SURVEY §7 hard part 3)
+   is quantified, not assumed.
+4. **Token round-trip** — chunked streaming encode == batch encode, and
+   decode(encode(x)) reconstructs audio with finite values.
+5. **Torch cross-check (when available)** — if the MagiCodec torch package
+   is importable (--magicodec_src adds it to sys.path), encode the same audio
+   with the original model and compare token-for-token; otherwise write our
+   tokens to --tokens_out for offline comparison on a CUDA host.
+
+Usage:
+    python verify_codec_parity.py --checkpoint /path/to/MagiCodec-50Hz-Base.ckpt \
+        [--audio test.wav] [--magicodec_src /path/to/MagiCodec] \
+        [--norm_type layer] [--rope_interleaved] [--tokens_out tokens.npy]
+
+Exit code 0 = every runnable stage passed.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+# torch buffer names that are legitimately not parameters of the compute graph
+_IGNORABLE_KEY_SUBSTRINGS = (
+    "inv_freq", "rotary_emb", "position_ids", "_extra_state", "num_batches_tracked",
+    "running_mean", "running_var",
+)
+
+
+def fail(msg: str) -> None:
+    print(f"FAIL: {msg}")
+    sys.exit(1)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True, help=".ckpt/.pt/.bin torch state_dict")
+    p.add_argument("--audio", default=None, help="test WAV (default: synthetic)")
+    p.add_argument("--magicodec_src", default=None, help="path to the MagiCodec repo for torch cross-check")
+    p.add_argument("--tokens_out", default=None, help="write our encode tokens here (.npy)")
+    p.add_argument("--secs", type=float, default=10.0)
+    p.add_argument("--expect_framerate", type=float, default=50.0)
+    # architecture knobs for the JAX rebuild of the checkpoint's graph
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_layers", type=int, default=8)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--codebook_size", type=int, default=131072)
+    p.add_argument("--codebook_raw_dim", type=int, default=16)
+    p.add_argument("--codebook_dim", type=int, default=16)
+    p.add_argument("--hop_length", type=int, default=320)
+    p.add_argument("--norm_type", default="layer", choices=("rms", "layer"))
+    p.add_argument("--rope_interleaved", action="store_true")
+    p.add_argument("--frontend", default="patchify", choices=("patchify", "conv"))
+    p.add_argument("--allow_unused", action="store_true")
+    args = p.parse_args()
+
+    import torch
+
+    from realtime_codec_agent_tpu.audio_tokenizer import AudioTokenizer
+    from realtime_codec_agent_tpu.models import convert
+    from realtime_codec_agent_tpu.models.codec import CodecConfig, JaxCodecModel
+
+    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+    for wrapper in ("state_dict", "model", "generator"):
+        if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+    sd = {k: v for k, v in sd.items() if hasattr(v, "shape")}
+    print(f"checkpoint: {len(sd)} tensors")
+
+    # infer geometry from the quantizer tensors when present (they are the
+    # best-pinned part of the module tree: reference audio_tokenizer.py:196-201)
+    cb_key = next((k for k in sd if k.endswith("quantizer.codebook.weight")), None)
+    pw_key = next((k for k in sd if k.endswith("quantizer.codebook_proj.weight")), None)
+    if cb_key:
+        args.codebook_size, args.codebook_raw_dim = sd[cb_key].shape
+    if pw_key:
+        args.codebook_dim = sd[pw_key].shape[0]
+    # strip any top-level module prefix so keys start at encoder./quantizer./decoder.
+    prefixes = {k.split(".")[0] for k in sd}
+    if not ({"encoder", "quantizer", "decoder"} & prefixes):
+        first = next(iter(sorted(prefixes)))
+        sd = {k[len(first) + 1:]: v for k, v in sd.items() if k.startswith(first + ".")}
+        print(f"stripped top-level prefix '{first}.'")
+
+    cfg = CodecConfig(
+        hop_length=args.hop_length,
+        codebook_size=args.codebook_size,
+        codebook_dim=args.codebook_dim,
+        codebook_raw_dim=args.codebook_raw_dim,
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        num_heads=args.num_heads,
+        norm_type=args.norm_type,
+        rope_interleaved=args.rope_interleaved,
+        frontend=args.frontend,
+        compute_dtype="float32",  # parity first; bf16 is a perf choice
+    )
+
+    # ---- stage 1: key-map coverage ----
+    params, unused = convert.codec_params_from_torch(sd, cfg, return_unused=True)
+    real_unused = [
+        k for k in unused if not any(s in k for s in _IGNORABLE_KEY_SUBSTRINGS)
+    ]
+    print(f"key map: consumed {len(sd) - len(unused)}/{len(sd)} tensors")
+    if real_unused:
+        print("UNCONSUMED parameter tensors (key map incomplete):")
+        for k in real_unused[:40]:
+            print(f"  {k}  {tuple(sd[k].shape)}")
+        if not args.allow_unused:
+            fail(f"{len(real_unused)} checkpoint tensors not consumed by the converter")
+    model = JaxCodecModel(params, cfg)
+    print("stage 1 OK: converter consumed the checkpoint layout")
+
+    # ---- stage 2: framerate probe ----
+    tok = AudioTokenizer(codec_model=model)
+    if abs(tok.framerate - args.expect_framerate) > 1e-6:
+        fail(f"framerate probe gave {tok.framerate} Hz, expected {args.expect_framerate}")
+    probe_frames = model.encode(np.zeros((1, int(10 * cfg.sample_rate)), np.float32)).shape[-1]
+    print(f"stage 2 OK: framerate {tok.framerate} Hz ({probe_frames} frames / 10 s)")
+
+    # ---- test audio ----
+    if args.audio:
+        from realtime_codec_agent_tpu.utils.audio_io import read_wav
+
+        sr, audio = read_wav(args.audio)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=0)
+        audio = tok._prep_audio_for_tokenization((sr, audio))
+        audio = audio[: int(args.secs * cfg.sample_rate)].astype(np.float32)
+    else:
+        t = np.arange(int(args.secs * cfg.sample_rate)) / cfg.sample_rate
+        rng = np.random.default_rng(0)
+        audio = (
+            0.3 * np.sin(2 * np.pi * 220 * t) * np.clip(np.sin(2 * np.pi * 1.3 * t), 0, 1)
+            + 0.05 * rng.normal(size=t.shape)
+        ).astype(np.float32)
+
+    # ---- stage 3: argmax margin audit (f32) ----
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.models.codec import encode_frames, projected_codebook
+
+    padded = model.pad_audio(audio)[None]
+    enc = params["encoder"]
+    # recompute z_e exactly as encode_frames does, then full f32 distances
+    from realtime_codec_agent_tpu.models.codec import _norm, _transformer
+
+    dtype = jnp.float32
+    frames = jnp.asarray(padded).reshape(1, -1, cfg.hop_length).astype(dtype)
+    x = jnp.dot(frames, enc["patch_embed"]) + enc["patch_bias"] if cfg.frontend == "patchify" else None
+    if x is None:
+        fail("margin audit currently supports the patchify frontend only")
+    x = _transformer(x, enc["blocks"], cfg)
+    x = _norm(x, enc["out_norm"], enc.get("out_norm_b"), cfg)
+    z_e = jnp.dot(x, enc["out_proj"])
+    if enc.get("out_proj_b") is not None:
+        z_e = z_e + enc["out_proj_b"]
+    z = np.asarray(z_e, np.float64).reshape(-1, cfg.codebook_dim)
+    cb = np.asarray(projected_codebook(params), np.float64)
+    d = ((z[:, None, :] - cb[None, :, :]) ** 2).sum(-1) if cb.shape[0] <= 4096 else None
+    if d is None:
+        # blockwise for the full 131k codebook
+        best = np.full(z.shape[0], np.inf)
+        second = np.full(z.shape[0], np.inf)
+        arg = np.zeros(z.shape[0], np.int64)
+        for s in range(0, cb.shape[0], 4096):
+            blk = ((z[:, None, :] - cb[None, s : s + 4096, :]) ** 2).sum(-1)
+            bi = blk.argmin(1)
+            bv = blk[np.arange(len(z)), bi]
+            b2 = np.partition(blk, 1, axis=1)[:, 1] if blk.shape[1] > 1 else np.full_like(bv, np.inf)
+            take = bv < best
+            second = np.minimum(second, np.where(take, np.minimum(best, b2), np.minimum(bv, b2)))
+            arg = np.where(take, s + bi, arg)
+            best = np.minimum(best, bv)
+        gaps = second - best
+    else:
+        part = np.partition(d, 1, axis=1)
+        gaps = part[:, 1] - part[:, 0]
+        arg = d.argmin(1)
+    rel = gaps / np.maximum(np.abs(gaps).max(), 1e-12)
+    risky = float((gaps < 1e-3).mean())
+    print(
+        f"stage 3 OK: argmax margins — min gap {gaps.min():.3e}, "
+        f"p1 {np.percentile(gaps, 1):.3e}, frames with gap<1e-3: {risky*100:.2f}% "
+        "(distances are computed in f32 on-device; tight gaps flag bf16 risk)"
+    )
+
+    # ---- stage 4: streaming == per-chunk trailing-window encode ----
+    # (the codec attends bidirectionally within its window, so chunked
+    # streaming is defined as encoding a rolling max(chunk, context) trailing
+    # window and keeping the new frames — reference audio_tokenizer.py:72-74,
+    # 98-101; pinned for random weights in tests/test_codec.py)
+    from realtime_codec_agent_tpu.audio_tokenizer import AudioTokenizer as _AT
+    from realtime_codec_agent_tpu.units.codes import chars_to_codes
+
+    stream_tok = _AT(codec_model=model, fixed_context=False)
+    chunk_samples = int(0.1 * cfg.sample_rate)
+    ctx_samples = stream_tok.context_samples
+    n_checked = n_bad = 0
+    for start in range(0, len(audio) - chunk_samples + 1, chunk_samples):
+        c = audio[start : start + chunk_samples]
+        streamed = stream_tok.tokenize_audio(c)
+        end = start + chunk_samples
+        window = audio[max(0, end - max(chunk_samples, ctx_samples)) : end]
+        manual = model.encode(window[None, :])[0][-(chunk_samples // cfg.hop_length):]
+        got = chars_to_codes(streamed, 1, cfg.codebook_size)[0]
+        n_checked += len(manual)
+        n_bad += int((np.asarray(got) != np.asarray(manual)).sum())
+    if n_bad:
+        fail(f"streaming vs trailing-window encode: {n_bad}/{n_checked} codes differ")
+    tok.reset_context()
+    (sr_out, recon), _, _ = tok.detokenize_audio(tok.tokenize_audio(audio[: 2 * ctx_samples]))
+    if not np.isfinite(recon).all():
+        fail("decode produced non-finite audio")
+    print(f"stage 4 OK: streaming == trailing-window encode ({n_checked} codes), decode finite")
+
+    our_codes = np.asarray(arg, np.int64)
+    if args.tokens_out:
+        np.save(args.tokens_out, our_codes)
+        print(f"wrote our tokens to {args.tokens_out}")
+
+    # ---- stage 5: torch cross-check ----
+    if args.magicodec_src:
+        sys.path.insert(0, args.magicodec_src)
+    torch_model = None
+    try:
+        from codec.generator import Generator  # MagiCodec public layout
+
+        torch_model = Generator(sample_rate=cfg.sample_rate, token_hz=int(cfg.framerate))
+        torch_model.load_state_dict(torch.load(args.checkpoint, map_location="cpu"), strict=True)
+        torch_model.eval()
+    except Exception as ex:
+        print(
+            f"stage 5 SKIPPED: torch MagiCodec not importable here ({ex}).\n"
+            "  Run on a host with the MagiCodec repo (--magicodec_src) to close the "
+            "loop, or diff --tokens_out against the original encoder offline."
+        )
+    if torch_model is not None:
+        with torch.no_grad():
+            x = torch.from_numpy(model.pad_audio(audio))[None]
+            x = torch_model.pad_audio(x)
+            z_t = torch_model.encoder(x)
+            _, idx = torch_model.quantizer.inference(z_t)
+        ref_codes = idx.reshape(-1).numpy()
+        ours = model.encode(audio[None])[0]
+        n = min(len(ref_codes), len(ours))
+        mismatches = int((ref_codes[:n] != np.asarray(ours)[:n]).sum())
+        print(f"stage 5: token compare over {n} frames -> {mismatches} mismatches")
+        if mismatches:
+            fail("token-exact parity FAILED against torch MagiCodec")
+        print("stage 5 OK: token-exact parity with torch MagiCodec")
+
+    print(json.dumps({"parity_harness": "passed", "frames": int(len(our_codes))}))
+
+
+if __name__ == "__main__":
+    main()
