@@ -18,12 +18,18 @@ The HARD paths are exercised too, not just the hot loop:
   events resolve on a background thread while the agent emits silence
   filler — per-call latencies stay bounded and the detour thread's busy
   time is ADDED to the RTF numerator (nothing is hidden).
-- arrivals are PACED at the 100 ms chunk cadence (default) — the deployment
-  reality; --no-paced submits back-to-back instead.
+Two measured phases over the same scripted session:
+- **throughput** (headline): chunks submitted back-to-back, RTF = wall-clock
+  processing time / audio time, everything drained at the end — nothing
+  overlaps idle gaps, so the number is the honest total-work measure.
+- **latency**: the session re-runs PACED at the real 100 ms cadence (the
+  deployment reality) and per-call latencies are reported by class
+  (fast/event/trim) together with detour resolution times and the audible
+  filler gaps that cover them.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-- value = full-duplex RTF = (foreground processing time + background detour
-  time) / audio_time over ALL chunks (LOWER is better).
+- value = full-duplex RTF = throughput-phase wall time / audio_time (LOWER
+  is better).
 - vs_baseline = 1.0 / value = speedup vs the reference's must-beat 1.0x
   realtime threshold (reference realtime_agent_profiler.py:108; the reference
   publishes no absolute numbers, BASELINE.md).
@@ -51,7 +57,11 @@ def main():
     )
     parser.add_argument(
         "--no-paced", action="store_true",
-        help="submit chunks back-to-back instead of at the realtime cadence",
+        help="skip the paced latency phase (throughput phase only)",
+    )
+    parser.add_argument(
+        "--latency_secs", type=float, default=None,
+        help="audio seconds for the paced latency phase (default: --secs)",
     )
     parser.add_argument(
         "--event_every", type=int, default=75,
@@ -68,8 +78,9 @@ def main():
     )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
+    args.warmup_chunks = max(1, args.warmup_chunks)
     use_async = not args.no_async and not args.no_pipeline
-    paced = not args.no_paced and use_async
+    run_paced_phase = not args.no_paced and use_async
 
     from realtime_codec_agent_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -167,15 +178,18 @@ def main():
         "going with it for a while longer",
         add_special_tokens=False,
     )
-    sched = {}
-    if args.event_every > 0:
-        n_chunks_planned = int(args.secs / config.chunk_size_secs) + args.warmup_chunks
-        kinds_cycle = ["trans", "resp"]
-        k = 0
-        for i in range(args.warmup_chunks, n_chunks_planned):
-            if (i - args.warmup_chunks) % args.event_every == args.event_every - 1:
-                sched[i] = kinds_cycle[k % 2]
-                k += 1
+    def make_sched(secs: float):
+        sched = {}
+        if args.event_every > 0:
+            n_planned = int(secs / config.chunk_size_secs) + args.warmup_chunks
+            k = 0
+            for i in range(args.warmup_chunks, n_planned):
+                if (i - args.warmup_chunks) % args.event_every == args.event_every - 1:
+                    sched[i] = ("trans", "resp")[k % 2]
+                    k += 1
+        return sched
+
+    sched = make_sched(args.secs)
     proc_state = {"i": 0}
     orig_ft = agent.should_force_transcription
     orig_fr = agent.should_force_response
@@ -208,105 +222,135 @@ def main():
     sr = resources.audio_tokenizer.sampling_rate
     chunk = agent.chunk_size_samples
     chunk_secs = config.chunk_size_secs
-    rng = np.random.default_rng(args.seed)
-    t = np.arange(int(args.secs * sr) + args.warmup_chunks * chunk) / sr
-    audio = (
-        0.2 * np.sin(2 * np.pi * 150 * t) * np.clip(np.sin(2 * np.pi * 0.7 * t), 0, 1)
-        + 0.02 * rng.normal(size=t.shape)
-    ).astype(np.float32)
 
-    n_chunks = len(audio) // chunk
-    latencies, kinds, fillers = [], [], []
-    t_warm = time.time()
-    detours_seen = 0
-    busy_at_warmup = 0.0
-    t_pace0 = None
-    for i in range(n_chunks):
-        if paced and t_pace0 is not None:
-            target = t_pace0 + (i - args.warmup_chunks) * chunk_secs
-            now = time.perf_counter()
-            if now < target:
-                time.sleep(target - now)
-        trim_before = agent.trim_to_secs
-        rebuild_before = agent._trim_rebuild is not None
-        detour_before = agent._detour_future is not None
-        t0 = time.perf_counter()
-        agent.process_audio(audio[i * chunk : (i + 1) * chunk])
-        dt = time.perf_counter() - t0
-        if i == args.warmup_chunks - 1:
-            print(
-                f"warmup ({args.warmup_chunks} chunks): {time.time()-t_warm:.1f}s",
-                file=sys.stderr,
-            )
-            busy_at_warmup = agent.detour_busy_secs
-            t_pace0 = time.perf_counter()
-        if i >= args.warmup_chunks:
-            latencies.append(dt)
-            fillers.append(agent.last_emit_was_filler)
-            detour_after = agent._detour_future is not None
-            new_detours = len(agent.detour_durations) - detours_seen
-            if agent.trim_to_secs != trim_before or rebuild_before or (
-                agent._trim_rebuild is not None
-            ):
-                kinds.append("trim")
-            elif sched.get(i) or detour_before or detour_after or new_detours:
-                kinds.append("event")
-            else:
-                kinds.append("fast")
-        detours_seen = len(agent.detour_durations)
-    # flush any tail work so its cost is counted
-    t0 = time.perf_counter()
-    while agent.drain_pipeline() is not None:
-        pass
-    drain_secs = time.perf_counter() - t0
+    def make_audio(secs: float) -> np.ndarray:
+        rng = np.random.default_rng(args.seed)
+        t = np.arange(int(secs * sr) + args.warmup_chunks * chunk) / sr
+        return (
+            0.2 * np.sin(2 * np.pi * 150 * t) * np.clip(np.sin(2 * np.pi * 0.7 * t), 0, 1)
+            + 0.02 * rng.normal(size=t.shape)
+        ).astype(np.float32)
 
-    latencies = np.array(latencies)
-    kinds = np.array(kinds)
-    audio_secs = len(latencies) * chunk_secs
-    detour_busy = agent.detour_busy_secs - busy_at_warmup
-    busy = float(latencies.sum()) + detour_busy + drain_secs
-    rtf = busy / audio_secs
-    p50 = float(np.percentile(latencies, 50) * 1000)
-    p99 = float(np.percentile(latencies, 99) * 1000)
+    def run_session(audio: np.ndarray, paced: bool, label: str):
+        """Feed the audio chunkwise (paced at the chunk cadence, or
+        back-to-back) and collect wall time + per-call latencies by class."""
+        proc_state["i"] = 0
+        agent.reset()
+        n_chunks = len(audio) // chunk
+        latencies, kinds, fillers = [], [], []
+        t_warm = time.time()
+        detours_seen = 0
+        durs_at_warmup = 0
+        t_pace0 = None
+        t_timed0 = None
+        for i in range(n_chunks):
+            if paced and t_pace0 is not None:
+                target = t_pace0 + (i - args.warmup_chunks) * chunk_secs
+                now = time.perf_counter()
+                if now < target:
+                    time.sleep(target - now)
+            trim_before = agent.trim_to_secs
+            rebuild_before = agent._trim_rebuild is not None
+            detour_before = agent._detour_future is not None
+            t0 = time.perf_counter()
+            agent.process_audio(audio[i * chunk : (i + 1) * chunk])
+            dt = time.perf_counter() - t0
+            if i == args.warmup_chunks - 1:
+                print(
+                    f"[{label}] warmup ({args.warmup_chunks} chunks): "
+                    f"{time.time()-t_warm:.1f}s",
+                    file=sys.stderr,
+                )
+                durs_at_warmup = len(agent.detour_durations)
+                t_pace0 = t_timed0 = time.perf_counter()
+            if i >= args.warmup_chunks:
+                latencies.append(dt)
+                fillers.append(agent.last_emit_was_filler)
+                new_detours = len(agent.detour_durations) - detours_seen
+                if agent.trim_to_secs != trim_before or rebuild_before or (
+                    agent._trim_rebuild is not None
+                ):
+                    kinds.append("trim")
+                elif sched.get(i) or detour_before or (
+                    agent._detour_future is not None
+                ) or new_detours:
+                    kinds.append("event")
+                else:
+                    kinds.append("fast")
+            detours_seen = len(agent.detour_durations)
+        # flush tail work; its wall time counts
+        while agent.drain_pipeline() is not None:
+            pass
+        wall = time.perf_counter() - t_timed0
+        if paced:
+            # wall time of a paced run is just the cadence; it is not a
+            # throughput measure, so only latencies are meaningful here
+            wall = None
+        return {
+            "latencies": np.array(latencies),
+            "kinds": np.array(kinds),
+            "fillers": fillers,
+            "wall": wall,
+            "detour_durs": np.array(agent.detour_durations[durs_at_warmup:]),
+            "transcript_entries": len(agent.transcript),
+        }
+
+    # ---- phase 1: throughput (headline) — back-to-back, wall-clocked ----
+    audio = make_audio(args.secs)
+    res_t = run_session(audio, paced=False, label="throughput")
+    audio_secs = len(res_t["latencies"]) * chunk_secs
+    rtf = float(res_t["wall"]) / audio_secs
     print(
-        f"chunks={len(latencies)} rtf={rtf:.4f} (fg {latencies.sum():.1f}s + "
-        f"bg {detour_busy:.1f}s + drain {drain_secs:.1f}s over {audio_secs:.0f}s audio) "
-        f"call p50={p50:.1f}ms p99={p99:.1f}ms max={latencies.max()*1000:.1f}ms "
-        f"(chunk budget {chunk_secs*1000:.0f}ms)",
+        f"[throughput] {audio_secs:.0f}s audio processed in {res_t['wall']:.1f}s "
+        f"wall -> rtf={rtf:.4f} (transcript entries: {res_t['transcript_entries']})",
         file=sys.stderr,
     )
-    for kind in ("fast", "event", "trim"):
-        sel = latencies[kinds == kind] * 1000
-        if len(sel):
-            print(
-                f"  {kind:5s}: n={len(sel):4d} p50={np.percentile(sel,50):7.1f}ms "
-                f"p99={np.percentile(sel,99):7.1f}ms max={sel.max():7.1f}ms",
-                file=sys.stderr,
-            )
-    durs = np.array(agent.detour_durations) * 1000 if agent.detour_durations else np.zeros(0)
-    if len(durs):
+
+    # ---- phase 2: latency — paced at the realtime cadence ----
+    if run_paced_phase:
+        lat_secs = args.latency_secs if args.latency_secs is not None else args.secs
+        res_l = run_session(make_audio(lat_secs), paced=True, label="latency")
+        lat = res_l["latencies"]
+        kinds = res_l["kinds"]
         print(
-            f"  detour resolutions: n={len(durs)} p50={np.percentile(durs,50):.1f}ms "
-            f"max={durs.max():.1f}ms (background; audio filler covers them)",
+            f"[latency] chunks={len(lat)} call p50={np.percentile(lat,50)*1000:.1f}ms "
+            f"p99={np.percentile(lat,99)*1000:.1f}ms max={lat.max()*1000:.1f}ms "
+            f"(chunk budget {chunk_secs*1000:.0f}ms)",
             file=sys.stderr,
         )
-    n_filler = int(np.sum(fillers))
-    max_run = run = 0
-    for f in fillers:
-        run = run + 1 if f else 0
-        max_run = max(max_run, run)
-    print(
-        f"filler chunks emitted: {n_filler} (max consecutive {max_run} = "
-        f"{max_run * chunk_secs * 1000:.0f}ms audible gap)",
-        file=sys.stderr,
-    )
-    print(f"transcript entries: {len(agent.transcript)}", file=sys.stderr)
+        for kind in ("fast", "event", "trim"):
+            sel = lat[kinds == kind] * 1000
+            if len(sel):
+                print(
+                    f"  {kind:5s}: n={len(sel):4d} p50={np.percentile(sel,50):7.1f}ms "
+                    f"p99={np.percentile(sel,99):7.1f}ms max={sel.max():7.1f}ms",
+                    file=sys.stderr,
+                )
+        durs = res_l["detour_durs"] * 1000
+        if len(durs):
+            print(
+                f"  detour resolutions: n={len(durs)} p50={np.percentile(durs,50):.1f}ms "
+                f"max={durs.max():.1f}ms (background; audio filler covers them)",
+                file=sys.stderr,
+            )
+        n_filler = int(np.sum(res_l["fillers"]))
+        max_run = run = 0
+        for f in res_l["fillers"]:
+            run = run + 1 if f else 0
+            max_run = max(max_run, run)
+        print(
+            f"  filler chunks emitted: {n_filler} (max consecutive {max_run} = "
+            f"{max_run * chunk_secs * 1000:.0f}ms audible gap); "
+            f"transcript entries: {res_l['transcript_entries']}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
                 "metric": "full_duplex_rtf",
                 "value": round(rtf, 4),
-                "unit": "x_realtime (processing_time/audio_time, lower is better)",
+                "unit": "x_realtime (wall processing_time/audio_time, lower is better)",
                 "vs_baseline": round(1.0 / rtf, 3),
             }
         )

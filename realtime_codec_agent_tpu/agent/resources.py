@@ -126,9 +126,20 @@ class RealtimeAgentResources:
 
     def _load_checkpoint(self, path: str):
         """Load LM weights from an orbax checkpoint dir (written by our
-        trainer) or an HF Llama checkpoint dir (config.json + safetensors,
-        via models/convert.load_hf_llama — the reference's GGUF deployment
-        input, prep_test_model.sh:19-26)."""
+        trainer), an HF Llama checkpoint dir (config.json + safetensors,
+        via models/convert.load_hf_llama), or the reference's shipped GGUF
+        artifact itself (F16/q8_0, prep_test_model.sh:27-34, via
+        models/gguf.load_gguf_llama)."""
+        if path.endswith(".gguf"):
+            from ..models.gguf import load_gguf_llama
+
+            params, cfg = load_gguf_llama(
+                path,
+                max_context=self.llm_n_ctx,
+                codec_vocab_start=self.lm_config.codec_vocab_start,
+            )
+            self.lm_config = cfg
+            return params
         if os.path.isdir(path) and os.path.exists(os.path.join(path, "config.json")):
             from ..models.convert import load_hf_llama
 

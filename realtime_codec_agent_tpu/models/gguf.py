@@ -1,0 +1,234 @@
+"""Read-only GGUF loader: the reference's shipped deployment artifact.
+
+The reference's published model is a GGUF conversion of the trained HF
+checkpoint (reference prep_test_model.sh:27-34: convert_hf_to_gguf.py F16 /
+q8_0 / F32, then llama-quantize). This module lets that exact artifact load
+directly into the TPU engine: the GGUF container is parsed with numpy (no
+llama.cpp dependency), llama-arch tensors map onto the models/llama.py
+pytree, and q8_0 blocks dequantize to float (optionally re-quantized to the
+engine's per-channel int8 layout afterwards — models/llama.quantize_params_int8).
+
+Format reference: the GGUF v2/v3 container spec (ggml project). Supported
+tensor encodings: F32, F16, Q8_0 (32-element blocks of fp16 scale + int8).
+Everything else raises with the tensor name so unsupported quantizations fail
+loudly.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Any, BinaryIO, Dict, Tuple
+
+import numpy as np
+
+GGUF_MAGIC = 0x46554747  # "GGUF" little-endian
+
+# ggml tensor encodings
+GGML_F32 = 0
+GGML_F16 = 1
+GGML_Q8_0 = 8
+
+_VALUE_READERS = {}
+
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    data = f.read(n)
+    if len(data) != n:
+        raise EOFError(f"truncated GGUF file (wanted {n} bytes, got {len(data)})")
+    return data
+
+
+def _scalar(fmt: str):
+    size = struct.calcsize(fmt)
+
+    def read(f):
+        return struct.unpack(fmt, _read_exact(f, size))[0]
+
+    return read
+
+
+_VALUE_READERS = {
+    0: _scalar("<B"),   # uint8
+    1: _scalar("<b"),   # int8
+    2: _scalar("<H"),   # uint16
+    3: _scalar("<h"),   # int16
+    4: _scalar("<I"),   # uint32
+    5: _scalar("<i"),   # int32
+    6: _scalar("<f"),   # float32
+    7: lambda f: bool(_read_exact(f, 1)[0]),  # bool
+    10: _scalar("<Q"),  # uint64
+    11: _scalar("<q"),  # int64
+    12: _scalar("<d"),  # float64
+}
+
+
+def _read_string(f: BinaryIO) -> str:
+    n = struct.unpack("<Q", _read_exact(f, 8))[0]
+    return _read_exact(f, n).decode("utf-8", errors="replace")
+
+
+def _read_value(f: BinaryIO, vtype: int) -> Any:
+    if vtype == 8:
+        return _read_string(f)
+    if vtype == 9:  # array: elem type + count + elems
+        elem_type = struct.unpack("<I", _read_exact(f, 4))[0]
+        count = struct.unpack("<Q", _read_exact(f, 8))[0]
+        return [_read_value(f, elem_type) for _ in range(count)]
+    reader = _VALUE_READERS.get(vtype)
+    if reader is None:
+        raise ValueError(f"unsupported GGUF metadata value type {vtype}")
+    return reader(f)
+
+
+def _dequant_q8_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """Q8_0: blocks of [fp16 scale][32 x int8] -> float32 (n_elems,)."""
+    block_bytes = 2 + 32
+    n_blocks = raw.size // block_bytes
+    blocks = raw.reshape(n_blocks, block_bytes)
+    scales = blocks[:, :2].copy().view(np.float16).astype(np.float32)  # (n_blocks, 1)
+    qs = blocks[:, 2:].view(np.int8).astype(np.float32)  # (n_blocks, 32)
+    out = (qs * scales).reshape(-1)
+    return out[:n_elems]
+
+
+def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
+    """Parse a GGUF file -> (metadata dict, {tensor name: numpy array}).
+
+    Tensors come back in ggml's row-major orientation: a 2D tensor with
+    ggml dims [ne0, ne1] is returned with numpy shape (ne1, ne0) — for
+    llama-arch Linear weights that is torch's (out, in)."""
+    metadata: Dict[str, Any] = {}
+    infos = []
+    with open(path, "rb") as f:
+        magic, version = struct.unpack("<II", _read_exact(f, 8))
+        if magic != GGUF_MAGIC:
+            raise ValueError(f"not a GGUF file: {path}")
+        if version < 2:
+            raise ValueError(f"GGUF version {version} unsupported (need >= 2)")
+        n_tensors, n_kv = struct.unpack("<QQ", _read_exact(f, 16))
+        for _ in range(n_kv):
+            key = _read_string(f)
+            vtype = struct.unpack("<I", _read_exact(f, 4))[0]
+            metadata[key] = _read_value(f, vtype)
+        for _ in range(n_tensors):
+            name = _read_string(f)
+            n_dims = struct.unpack("<I", _read_exact(f, 4))[0]
+            dims = struct.unpack(f"<{n_dims}Q", _read_exact(f, 8 * n_dims))
+            ggml_type = struct.unpack("<I", _read_exact(f, 4))[0]
+            offset = struct.unpack("<Q", _read_exact(f, 8))[0]
+            infos.append((name, dims, ggml_type, offset))
+        alignment = int(metadata.get("general.alignment", 32))
+        data_start = f.tell()
+        data_start += (-data_start) % alignment
+
+        tensors: Dict[str, np.ndarray] = {}
+        for name, dims, ggml_type, offset in infos:
+            n_elems = int(np.prod(dims))
+            np_shape = tuple(reversed(dims))  # ggml ne[0] is fastest
+            f.seek(data_start + offset)
+            if ggml_type == GGML_F32:
+                arr = np.frombuffer(_read_exact(f, 4 * n_elems), np.float32)
+            elif ggml_type == GGML_F16:
+                arr = np.frombuffer(_read_exact(f, 2 * n_elems), np.float16).astype(
+                    np.float32
+                )
+            elif ggml_type == GGML_Q8_0:
+                n_blocks = -(-n_elems // 32)
+                raw = np.frombuffer(_read_exact(f, n_blocks * 34), np.uint8)
+                arr = _dequant_q8_0(raw, n_elems)
+            else:
+                raise ValueError(
+                    f"tensor {name}: unsupported ggml type {ggml_type} "
+                    "(supported: F32, F16, Q8_0)"
+                )
+            tensors[name] = arr.reshape(np_shape)
+    return metadata, tensors
+
+
+def gguf_to_lm_config(metadata: Dict[str, Any], **overrides):
+    """GGUF llama-arch metadata -> DuplexLMConfig."""
+    from .llama import DuplexLMConfig
+
+    def m(key, default=None):
+        return metadata.get(f"llama.{key}", default)
+
+    n_heads = int(m("attention.head_count"))
+    hidden = int(m("embedding_length"))
+    fields = dict(
+        vocab_size=int(metadata.get("llama.vocab_size", 0)),
+        hidden_size=hidden,
+        intermediate_size=int(m("feed_forward_length")),
+        num_layers=int(m("block_count")),
+        num_heads=n_heads,
+        num_kv_heads=int(m("attention.head_count_kv", n_heads)),
+        head_dim=int(m("rope.dimension_count", hidden // n_heads)),
+        rope_theta=float(m("rope.freq_base", 10000.0)),
+        rms_eps=float(m("attention.layer_norm_rms_epsilon", 1e-5)),
+    )
+    # llama.cpp encodes llama3 rope scaling as scaling.type == "yarn"/"linear"
+    # or via the original metadata; convert_hf_to_gguf writes the llama3
+    # parameters through rope.scaling.* when present
+    if m("rope.scaling.type") == "llama3" or m("rope.scaling.factor") is not None:
+        fields.update(
+            rope_scaling_factor=float(m("rope.scaling.factor", 32.0)),
+            rope_scaling_low_freq=float(m("rope.scaling.low_freq_factor", 1.0)),
+            rope_scaling_high_freq=float(m("rope.scaling.high_freq_factor", 4.0)),
+            rope_scaling_original_max_position=int(
+                m("rope.scaling.original_context_length", 8192)
+            ),
+        )
+    fields.update(overrides)
+    return DuplexLMConfig(**fields)
+
+
+def load_gguf_llama(path: str, dtype=None, max_context: int = 16384, **config_overrides):
+    """Load a llama-arch GGUF file -> (params pytree, DuplexLMConfig).
+
+    The GGUF tensor names (token_embd / blk.N.attn_q / ffn_gate / output ...)
+    rename onto the HF layout and flow through the verified HF converter
+    (models/convert.lm_params_from_hf), so GGUF and safetensors checkpoints
+    share one numeric path."""
+    from .convert import lm_params_from_hf
+
+    metadata, tensors = read_gguf(path)
+    arch = metadata.get("general.architecture")
+    if arch not in (None, "llama"):
+        raise ValueError(f"unsupported GGUF architecture: {arch}")
+
+    rename = {
+        "token_embd.weight": "embed_tokens.weight",
+        "output_norm.weight": "norm.weight",
+        "output.weight": "lm_head.weight",
+    }
+    per_layer = {
+        "attn_norm.weight": "input_layernorm.weight",
+        "attn_q.weight": "self_attn.q_proj.weight",
+        "attn_k.weight": "self_attn.k_proj.weight",
+        "attn_v.weight": "self_attn.v_proj.weight",
+        "attn_output.weight": "self_attn.o_proj.weight",
+        "ffn_norm.weight": "post_attention_layernorm.weight",
+        "ffn_gate.weight": "mlp.gate_proj.weight",
+        "ffn_up.weight": "mlp.up_proj.weight",
+        "ffn_down.weight": "mlp.down_proj.weight",
+    }
+    state_dict: Dict[str, np.ndarray] = {}
+    for name, arr in tensors.items():
+        if name in rename:
+            state_dict[rename[name]] = arr
+        elif name.startswith("blk."):
+            _, idx, rest = name.split(".", 2)
+            hf_rest = per_layer.get(rest)
+            if hf_rest is None:
+                raise ValueError(f"unrecognized GGUF tensor: {name}")
+            state_dict[f"layers.{idx}.{hf_rest}"] = arr
+        else:
+            raise ValueError(f"unrecognized GGUF tensor: {name}")
+
+    vocab = state_dict["embed_tokens.weight"].shape[0]
+    cfg = gguf_to_lm_config(
+        metadata,
+        vocab_size=vocab,
+        max_context=max_context,
+        tie_embeddings="lm_head.weight" not in state_dict,
+        **config_overrides,
+    )
+    return lm_params_from_hf(state_dict, cfg, dtype=dtype), cfg

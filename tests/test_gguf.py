@@ -1,0 +1,204 @@
+"""GGUF ingestion: the reference's shipped deployment artifact loads directly.
+
+A synthetic llama-arch GGUF file (written here with a minimal spec-conformant
+writer) must parse, map onto the pytree, and match the HF-layout conversion
+of the same weights numerically — for F32, F16 and Q8_0 encodings
+(reference prep_test_model.sh:27-34 ships exactly these).
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from realtime_codec_agent_tpu.models.gguf import (
+    GGML_F16,
+    GGML_F32,
+    GGML_Q8_0,
+    load_gguf_llama,
+    read_gguf,
+)
+
+H, LAYERS, HEADS, KV, DH, FFN, VOCAB = 16, 2, 4, 2, 4, 32, 96
+
+
+def _quant_q8_0(arr: np.ndarray) -> bytes:
+    flat = arr.reshape(-1).astype(np.float32)
+    pad = (-len(flat)) % 32
+    flat = np.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, 32)
+    scales = np.abs(blocks).max(axis=1) / 127.0
+    scales = np.maximum(scales, 1e-12)
+    qs = np.clip(np.round(blocks / scales[:, None]), -127, 127).astype(np.int8)
+    out = bytearray()
+    for s, q in zip(scales.astype(np.float16), qs):
+        out += s.tobytes() + q.tobytes()
+    return bytes(out)
+
+
+def write_gguf(path, metadata, tensors, encodings):
+    """Minimal GGUF v3 writer for tests: scalar/string metadata, F32/F16/Q8_0."""
+
+    def w_str(s):
+        b = s.encode()
+        return struct.pack("<Q", len(b)) + b
+
+    def w_value(v):
+        if isinstance(v, bool):
+            return struct.pack("<I", 7) + struct.pack("<B", int(v))
+        if isinstance(v, int):
+            return struct.pack("<I", 4) + struct.pack("<I", v)
+        if isinstance(v, float):
+            return struct.pack("<I", 6) + struct.pack("<f", v)
+        if isinstance(v, str):
+            return struct.pack("<I", 8) + w_str(v)
+        raise TypeError(type(v))
+
+    header = struct.pack("<IIQQ", 0x46554747, 3, len(tensors), len(metadata))
+    kv = b"".join(w_str(k) + w_value(v) for k, v in metadata.items())
+
+    infos = b""
+    blobs = []
+    offset = 0
+    align = 32
+    for name, arr in tensors.items():
+        enc = encodings.get(name, GGML_F32)
+        dims = tuple(reversed(arr.shape))  # ggml ne[0] fastest
+        infos += (
+            w_str(name)
+            + struct.pack("<I", len(dims))
+            + struct.pack(f"<{len(dims)}Q", *dims)
+            + struct.pack("<I", enc)
+            + struct.pack("<Q", offset)
+        )
+        if enc == GGML_F32:
+            blob = arr.astype(np.float32).tobytes()
+        elif enc == GGML_F16:
+            blob = arr.astype(np.float16).tobytes()
+        elif enc == GGML_Q8_0:
+            blob = _quant_q8_0(arr)
+        else:
+            raise ValueError(enc)
+        pad = (-len(blob)) % align
+        blobs.append(blob + b"\x00" * pad)
+        offset += len(blob) + pad
+
+    body = header + kv + infos
+    data_pad = (-len(body)) % align
+    with open(path, "wb") as f:
+        f.write(body + b"\x00" * data_pad + b"".join(blobs))
+
+
+def _weights(rng):
+    t = {
+        "token_embd.weight": rng.normal(size=(VOCAB, H)).astype(np.float32) * 0.05,
+        "output_norm.weight": np.ones(H, np.float32),
+        "output.weight": rng.normal(size=(VOCAB, H)).astype(np.float32) * 0.05,
+    }
+    for i in range(LAYERS):
+        t[f"blk.{i}.attn_norm.weight"] = np.ones(H, np.float32)
+        t[f"blk.{i}.attn_q.weight"] = rng.normal(size=(HEADS * DH, H)).astype(np.float32) * 0.1
+        t[f"blk.{i}.attn_k.weight"] = rng.normal(size=(KV * DH, H)).astype(np.float32) * 0.1
+        t[f"blk.{i}.attn_v.weight"] = rng.normal(size=(KV * DH, H)).astype(np.float32) * 0.1
+        t[f"blk.{i}.attn_output.weight"] = rng.normal(size=(H, HEADS * DH)).astype(np.float32) * 0.1
+        t[f"blk.{i}.ffn_norm.weight"] = np.ones(H, np.float32)
+        t[f"blk.{i}.ffn_gate.weight"] = rng.normal(size=(FFN, H)).astype(np.float32) * 0.1
+        t[f"blk.{i}.ffn_up.weight"] = rng.normal(size=(FFN, H)).astype(np.float32) * 0.1
+        t[f"blk.{i}.ffn_down.weight"] = rng.normal(size=(H, FFN)).astype(np.float32) * 0.1
+    return t
+
+
+_META = {
+    "general.architecture": "llama",
+    "general.alignment": 32,
+    "llama.embedding_length": H,
+    "llama.block_count": LAYERS,
+    "llama.attention.head_count": HEADS,
+    "llama.attention.head_count_kv": KV,
+    "llama.feed_forward_length": FFN,
+    "llama.rope.dimension_count": DH,
+    "llama.rope.freq_base": 500000.0,
+    "llama.attention.layer_norm_rms_epsilon": 1e-5,
+    "llama.vocab_size": VOCAB,
+    "llama.rope.scaling.type": "llama3",
+    "llama.rope.scaling.factor": 32.0,
+    "llama.rope.scaling.low_freq_factor": 1.0,
+    "llama.rope.scaling.high_freq_factor": 4.0,
+    "llama.rope.scaling.original_context_length": 8192,
+}
+
+
+def test_read_gguf_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    tensors = _weights(rng)
+    path = tmp_path / "tiny.gguf"
+    write_gguf(path, _META, tensors, {})
+    meta, loaded = read_gguf(str(path))
+    assert meta["general.architecture"] == "llama"
+    assert meta["llama.rope.scaling.factor"] == 32.0
+    assert set(loaded) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(loaded[k], tensors[k])
+
+
+@pytest.mark.parametrize("enc", [GGML_F32, GGML_F16, GGML_Q8_0])
+def test_gguf_llama_matches_hf_path(tmp_path, enc):
+    """The GGUF load must produce the same logits as converting the same
+    weights through the (numerically verified) HF path — exactly for F32,
+    within quantization error for F16/Q8_0."""
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.models.convert import lm_params_from_hf
+    from realtime_codec_agent_tpu.models.gguf import gguf_to_lm_config
+    from realtime_codec_agent_tpu.models.llama import forward, logits_from_hidden
+
+    rng = np.random.default_rng(1)
+    tensors = _weights(rng)
+    path = tmp_path / f"tiny_{enc}.gguf"
+    encodings = {k: enc for k in tensors if k.endswith(".weight") and "norm" not in k}
+    write_gguf(path, _META, tensors, encodings)
+
+    params, cfg = load_gguf_llama(str(path), dtype="float32", max_context=64)
+    assert cfg.vocab_size == VOCAB and cfg.num_layers == LAYERS
+    assert cfg.rope_scaling_factor == 32.0
+
+    hf_sd = {
+        "embed_tokens.weight": tensors["token_embd.weight"],
+        "norm.weight": tensors["output_norm.weight"],
+        "lm_head.weight": tensors["output.weight"],
+    }
+    per = {
+        "attn_q": "self_attn.q_proj", "attn_k": "self_attn.k_proj",
+        "attn_v": "self_attn.v_proj", "attn_output": "self_attn.o_proj",
+        "ffn_gate": "mlp.gate_proj", "ffn_up": "mlp.up_proj",
+        "ffn_down": "mlp.down_proj", "attn_norm": "input_layernorm",
+        "ffn_norm": "post_attention_layernorm",
+    }
+    for i in range(LAYERS):
+        for g, h in per.items():
+            hf_sd[f"layers.{i}.{h}.weight"] = tensors[f"blk.{i}.{g}.weight"]
+    ref_params = lm_params_from_hf(hf_sd, cfg, dtype="float32")
+
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(1, 12)))
+    got = logits_from_hidden(params, forward(params, ids, cfg)[0], cfg)
+    want = logits_from_hidden(ref_params, forward(ref_params, ids, cfg)[0], cfg)
+    tol = {GGML_F32: 1e-6, GGML_F16: 2e-2, GGML_Q8_0: 2e-1}[enc]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=tol, rtol=tol)
+    if enc == GGML_F32:
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gguf_loads_through_resources(tmp_path):
+    """RealtimeAgentResources accepts a .gguf llm_model_path directly (the
+    reference's deployment artifact, prep_test_model.sh:27-34)."""
+    from realtime_codec_agent_tpu.agent.resources import RealtimeAgentResources
+
+    rng = np.random.default_rng(2)
+    path = tmp_path / "model.gguf"
+    write_gguf(path, _META, _weights(rng), {})
+    res = RealtimeAgentResources(
+        llm_model_path=str(path), tiny=True, whisper_model=None, llm_n_ctx=64
+    )
+    assert res.lm_config.vocab_size == VOCAB
+    res.llm.init_sampler_for_generate(temp=0.0)
+    res.llm.eval([1, 2, 3])
+    assert isinstance(res.llm.eval_and_sample([4]), int)
