@@ -9,6 +9,13 @@
                              duplex chunk program (config 3)
 4. self_play_rtf           — two full agents cross-feeding on one chip
                              (config 5)
+5. decode_eff_gbps         — effective HBM bandwidth of the jitted AR decode
+                             step (weights + KV traffic / measured time,
+                             throughput mode: 32 sequential steps per program)
+6. train_step_tok_s /      — one-chip SPMD training throughput at full scale
+   train_mfu                 (remat on, dual-route codec embeddings) and the
+                             model-FLOPs utilization it implies
+                             (reference trains via train_vanilla_latest.py)
 
 ``python bench.py`` remains the headline full-duplex metric (config 4).
 """
@@ -29,9 +36,15 @@ def main():
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument(
         "--skip", nargs="+", default=[],
-        choices=["codec", "encode", "ar", "selfplay", "batched"],
+        choices=["codec", "encode", "ar", "selfplay", "batched", "bandwidth", "train"],
     )
     parser.add_argument("--serving_batch", type=int, default=8)
+    parser.add_argument("--train_seq_len", type=int, default=2048)
+    parser.add_argument("--train_steps", type=int, default=5)
+    parser.add_argument(
+        "--peak_tflops", type=float, default=None,
+        help="peak bf16 TFLOP/s for MFU (default: inferred from device kind)",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -123,6 +136,138 @@ def main():
             f"aggregate tokens/second, {args.serving_batch} concurrent streams (higher is better)",
         )
         del beng, lparams
+
+    # ---- 5. decode effective bandwidth ---------------------------------------
+    if "bandwidth" not in args.skip:
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+        from realtime_codec_agent_tpu.models.llama import (
+            fuse_lm_params_for_decode, init_lm_params, llama32_1b_config,
+            tiny_lm_config,
+        )
+        from realtime_codec_agent_tpu.tokenization import CodecTextTokenizer
+
+        tok = CodecTextTokenizer(codebook_size=ccfg.codebook_size)
+        vocab = ((max(tok.vocab_size, 128512 + ccfg.codebook_size) + 7) // 8) * 8
+        make_cfg = tiny_lm_config if args.tiny else llama32_1b_config
+        lcfg = make_cfg(vocab_size=vocab)
+        lparams = _jax.jit(fuse_lm_params_for_decode)(
+            init_lm_params(_jax.random.PRNGKey(0), lcfg)
+        )
+        eng = DuplexLMEngine(lparams, lcfg)
+        eng.init_sampler_for_generate(temp=1.0, seed=0)
+        ctx = min(4000, lcfg.max_context - 200)
+        eng.eval([10 + (i % 1000) for i in range(ctx)])
+        # weight bytes actually read per decode step (every matmul weight)
+        def leaf_bytes(x):
+            if isinstance(x, dict) and "q" in x:
+                return x["q"].size + 4 * x["s"].size
+            return x.size * x.dtype.itemsize
+        layer_bytes = sum(
+            leaf_bytes(w) for blk in lparams["layers"] for w in blk.values()
+        )
+        head_bytes = leaf_bytes(lparams.get("lm_head", lparams["embed_tokens"]))
+        kv_bytes_per_tok = (
+            2 * lcfg.num_layers * lcfg.num_kv_heads * lcfg.head_dim
+            * jnp.dtype(lcfg.compute_dtype).itemsize
+        )
+        steps_per_call = 32
+        eng.generate_until(11, stop_id=0, max_n=steps_per_call)  # warmup/compile
+        n_calls = 4
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            eng.generate_until(11, stop_id=0, max_n=steps_per_call)
+        dt = time.perf_counter() - t0
+        n_steps = n_calls * steps_per_call
+        step_ms = dt / n_steps * 1000
+        bytes_per_step = layer_bytes + head_bytes + eng.n_tokens * kv_bytes_per_tok
+        emit(
+            "decode_step_ms", step_ms, "ms per AR decode step (throughput mode)",
+            context_tokens=int(eng.n_tokens),
+        )
+        emit(
+            "decode_eff_gbps", bytes_per_step / (dt / n_steps) / 1e9,
+            "effective GB/s (weights + KV read per step / step time)",
+        )
+        del eng, lparams
+
+    # ---- 6. training throughput + MFU ----------------------------------------
+    if "train" not in args.skip:
+        import jax as _jax
+
+        from realtime_codec_agent_tpu.models.llama import (
+            init_lm_params, llama32_1b_config, tiny_lm_config,
+        )
+        from realtime_codec_agent_tpu.tokenization import CodecTextTokenizer
+        from realtime_codec_agent_tpu.train.trainer import (
+            TrainConfig, Trainer, pad_batch,
+        )
+
+        tok = CodecTextTokenizer(codebook_size=ccfg.codebook_size)
+        vocab = ((max(tok.vocab_size, 128512 + ccfg.codebook_size) + 7) // 8) * 8
+        make_cfg = tiny_lm_config if args.tiny else llama32_1b_config
+        lcfg = make_cfg(
+            vocab_size=vocab,
+            codec_vocab_start=tok.codec_vocab_start,
+            codebook_size=ccfg.codebook_size,
+        )
+        params = init_lm_params(
+            _jax.random.PRNGKey(0), lcfg, with_codec_embed=True
+        )
+        n_matmul = sum(
+            x.size for blk in params["layers"] for x in _jax.tree_util.tree_leaves(blk)
+        ) + params.get("lm_head", params["embed_tokens"]).size
+        seq_len = args.train_seq_len if not args.tiny else 256
+        done = False
+        while not done and seq_len >= 256:
+            try:
+                trainer = Trainer(
+                    params, lcfg,
+                    TrainConfig(max_seq_len=seq_len, remat=True, max_steps=10**9),
+                )
+                rng2 = np.random.default_rng(0)
+                seqs = [
+                    list(rng2.integers(0, vocab, size=seq_len)) for _ in range(1)
+                ]
+                batch, labels = pad_batch(seqs, seq_len, pad_id=0)
+                trainer.train_batch(batch, labels)  # compile + warmup
+                t0 = time.perf_counter()
+                for _ in range(args.train_steps):
+                    m = trainer.train_batch(batch, labels)
+                dt = time.perf_counter() - t0
+                done = True
+            except Exception as ex:  # OOM at full seq len: halve and retry
+                if "RESOURCE_EXHAUSTED" not in str(ex) and "Out of memory" not in str(ex):
+                    raise
+                print(f"# train seq_len {seq_len} OOM; retrying at {seq_len//2}", file=sys.stderr)
+                seq_len //= 2
+        tok_s = args.train_steps * batch.shape[0] * seq_len / dt
+        emit(
+            "train_step_tok_s", tok_s,
+            f"training tokens/second (B={batch.shape[0]}, T={seq_len}, remat, dual-route codec embed)",
+            loss=round(m["loss"], 3),
+        )
+        peak = args.peak_tflops
+        if peak is None:
+            kind = _jax.devices()[0].device_kind.lower()
+            if "v5 lite" in kind or "v5e" in kind:
+                peak = 197.0
+            elif "v4" in kind:
+                peak = 275.0
+            elif "v5p" in kind or "v5" in kind:
+                peak = 459.0
+        if peak:
+            # standard model-FLOPs convention: 6 * N_matmul * tokens
+            # (remat recompute is extra hardware work, not model FLOPs)
+            mfu = 6.0 * n_matmul * tok_s / (peak * 1e12)
+            emit(
+                "train_mfu", mfu,
+                f"model FLOPs utilization vs {peak:.0f} bf16 TFLOP/s "
+                f"(6*N*tok/s, N={n_matmul/1e9:.2f}B matmul params)",
+            )
+        del trainer, params
 
     # ---- 3/4. full-agent metrics (shared resources) --------------------------
     need_agent = "ar" not in args.skip or "selfplay" not in args.skip

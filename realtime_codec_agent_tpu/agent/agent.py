@@ -725,40 +725,62 @@ class RealtimeAgent:
                 if event_tok is None:
                     continue  # scanned frames done; loop handles any rest
                 presampled = event_tok  # event at frame i, token presampled
+            # Inner loop: resolve ONE frame. Each pass either accepts an
+            # audio token (paired with the incoming user token) or advances
+            # the <|end_audio|> -> speaker -> inline-text -> <|audio|> event
+            # protocol. The token-level dance is the parity spec (a model
+            # trained on the reference's sequences expects exactly it; see
+            # the reference frame loop, realtime_agent_v2.py:343-372) — the
+            # code here is structured around our acquisition helpers.
             while True:
                 audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
                 if presampled is not None:
-                    next_token = presampled
-                    presampled = None
+                    next_token, presampled = presampled, None
                 elif audio_mode and (force_trans or force_response):
-                    # inject a forced event: append end_audio + chosen speaker
-                    self.input_ids.append(self.end_audio_token_id)
-                    llm.eval(self.input_ids[-3:])
-                    next_token = (
-                        self.user_speaker_token_id if force_trans else self.agent_speaker_token_id
-                    )
+                    next_token = self._inject_forced_event(as_transcription=force_trans)
                     force_trans = force_response = False
                 else:
-                    last_n = 2 if audio_mode else 1
-                    if suppress_end_audio:
-                        self.set_sampler(suppress_end_audio=True)
-                    next_token = llm.eval_and_sample(self.input_ids[-last_n:])
-                    if suppress_end_audio:
-                        self.set_sampler()
-                        suppress_end_audio = False
+                    next_token = self._sample_frame_token(audio_mode, suppress_end_audio)
+                    suppress_end_audio = False
                 self.input_ids.append(next_token)
                 if next_token > self.end_header_token_id:
-                    # audio token: pair with the incoming user token
+                    # audio accepted: pair with the incoming user token
                     self.input_ids.append(audio_chunk_input_ids[i])
                     self.audio_tokens_idx.extend([len(self.input_ids) - 2, len(self.input_ids) - 1])
                     out_chunk_input_ids[i] = next_token
                     break
-                elif self.input_ids[-2] == self.end_audio_token_id and next_token != self.agent_speaker_token_id:
-                    suppress_end_audio = not self.generate_for_trans()
-                elif self.input_ids[-2] == self.end_audio_token_id and next_token == self.agent_speaker_token_id:
-                    suppress_end_audio = not self.generate_for_response()
+                if self.input_ids[-2] == self.end_audio_token_id:
+                    # speaker token after <|end_audio|>: run the matching
+                    # inline generator; a suppressed (rolled-back) event
+                    # re-samples this frame with <|end_audio|> biased away
+                    if next_token == self.agent_speaker_token_id:
+                        suppress_end_audio = not self.generate_for_response()
+                    else:
+                        suppress_end_audio = not self.generate_for_trans()
             i += 1
         return out_chunk_input_ids
+
+    def _inject_forced_event(self, as_transcription: bool) -> int:
+        """Force an event mid-frame: append + eval <|end_audio|> ourselves and
+        hand the loop the chosen speaker token as if the LM had sampled it."""
+        self.input_ids.append(self.end_audio_token_id)
+        self.resources.llm.eval(self.input_ids[-3:])
+        return (
+            self.user_speaker_token_id if as_transcription else self.agent_speaker_token_id
+        )
+
+    def _sample_frame_token(self, audio_mode: bool, suppress_end_audio: bool) -> int:
+        """One fused eval+sample against the pending tail (the (agent, user)
+        pair in audio mode, the single trailing token otherwise), optionally
+        with <|end_audio|> bias-suppressed for this sample only."""
+        llm = self.resources.llm
+        tail = self.input_ids[-2:] if audio_mode else self.input_ids[-1:]
+        if not suppress_end_audio:
+            return llm.eval_and_sample(tail)
+        self.set_sampler(suppress_end_audio=True)
+        token = llm.eval_and_sample(tail)
+        self.set_sampler()
+        return token
 
     def process_tts_input_ids(
         self, tts_chunk_input_ids: Optional[List[int]], out_chunk_input_ids: List[int]
@@ -1445,54 +1467,120 @@ class RealtimeAgent:
         return out_chunk
 
     # ------------------------------------------------------------ transcript
+    #
+    # Timing semantics below are PART OF THE PARITY SPEC: transcript
+    # start/end seconds feed the external-LLM message builder, response
+    # finalization windows, and the whisper transcription window, so a model
+    # trained against the reference's bookkeeping (realtime_agent_v2.py:581-618)
+    # only behaves identically if these rules match observably. The
+    # expression is ours; the rules are the reference's.
+
+    def _marked_event_text(
+        self, text_start_pos: int, external_pos_ranges: List[Tuple[int, int]]
+    ) -> str:
+        """Decode the freshly generated event span (speaker token through the
+        last text token), bracketing externally sourced id ranges with the
+        marker character so the UI can distinguish native paralinguistics
+        from external-LLM sentences."""
+        ids = list(self.input_ids[text_start_pos:-1])
+        marker = self.external_marker_token_id
+        # later ranges first so earlier insertion points stay valid
+        for start_pos, end_pos in sorted(external_pos_ranges, reverse=True):
+            ids.insert(end_pos - text_start_pos, marker)
+            ids.insert(start_pos - text_start_pos, marker)
+        return self.resources.tokenizer.decode(ids, skip_special_tokens=False)
+
+    def _user_entry_window(self) -> Tuple[float, float]:
+        """Timing rule for a user transcription entry: it ends NOW and starts
+        at the later of (a) where the previous transcription ended and (b)
+        the amplitude-VAD activity onset — unless the VAD never saw activity
+        inside this utterance, in which case only (a) applies."""
+        prev = self.last_transcription
+        prev_end = prev["end_secs"] if prev is not None else 0.0
+        utterance_began = self.total_secs - self.ch2_inactivity_elapsed_secs
+        start = (
+            max(self.ch2_activity_start_secs, prev_end)
+            if self.ch2_activity_start_secs < utterance_began
+            else prev_end
+        )
+        return start, self.total_secs
+
     def update_transcript(
         self, text_start_pos: int, external_pos_ranges: List[Tuple[int, int]] = []
     ) -> None:
-        """Parse newly generated text into transcript entries with timing
-        (reference realtime_agent_v2.py:581-618)."""
+        """Parse a completed inline-text event into transcript entries.
+
+        Agent-response entries open at the current clock with no end (the
+        end lands when finalize_last_response observes the speech stop);
+        user-transcription entries get the VAD-derived window. An agent
+        entry also (re)arms the external TTS stream with its text."""
         if text_start_pos is None:
             warn("No text start position found; skipping transcript update.")
             return
-        decode_input_ids = list(self.input_ids[text_start_pos:-1])
-        for start_pos, end_pos in reversed(external_pos_ranges):
-            decode_input_ids.insert(end_pos - text_start_pos, self.external_marker_token_id)
-            decode_input_ids.insert(start_pos - text_start_pos, self.external_marker_token_id)
-        text_str = self.resources.tokenizer.decode(decode_input_ids, skip_special_tokens=False)
-        for speaker, sp_text in TRANSCRIPT_REGEX.findall(text_str):
-            sp_text_marked = sp_text.lstrip()
-            sp_text = sp_text_marked.replace(self.config.external_marker_token, "").lstrip()
-            if speaker != self.config.agent_identity:
-                last_trans = self.last_transcription
-                last_end = last_trans["end_secs"] if last_trans is not None else 0.0
-                start_secs = (
-                    max(self.ch2_activity_start_secs, last_end)
-                    if self.ch2_activity_start_secs
-                    < self.total_secs - self.ch2_inactivity_elapsed_secs
-                    else last_end
-                )
-                end_secs = self.total_secs
-            else:
-                start_secs = self.total_secs
-                end_secs = None
+        text_str = self._marked_event_text(text_start_pos, external_pos_ranges)
+        for speaker, span in TRANSCRIPT_REGEX.findall(text_str):
+            marked = span.lstrip()
+            clean = marked.replace(self.config.external_marker_token, "").lstrip()
+            if speaker == self.config.agent_identity:
+                start_secs, end_secs = self.total_secs, None
                 if self.config.use_external_tts:
-                    self.tts_client.prep_stream(sp_text)
+                    self.tts_client.prep_stream(clean)
                     self.tts_interrupted_chunk_input_ids = None
+            else:
+                start_secs, end_secs = self._user_entry_window()
             self.transcript.append(
                 {
                     "speaker": speaker,
-                    "text": sp_text,
+                    "text": clean,
                     "start_secs": start_secs,
                     "end_secs": end_secs,
                     "text_start_pos": text_start_pos,
-                    "text_with_external_markers": sp_text_marked,
+                    "text_with_external_markers": marked,
                 }
             )
         self.transcript.sort(key=lambda x: x["start_secs"])
 
+    def _mini_header_ids(self, mode_token: str, suffix: str = "") -> List[int]:
+        """A fresh two-speaker header in the given interleave mode — the
+        scoring contexts below are independent mini-documents, not slices of
+        the live sequence."""
+        c = self.config
+        return self.resources.tokenizer.encode(
+            mode_token
+            + c.header_speaker_token
+            + f" {c.agent_identity}"
+            + c.header_speaker_token
+            + f" {c.user_identity}"
+            + c.end_header_token
+            + suffix
+        )
+
+    @staticmethod
+    def _improbable_run_cut(probs_ratio: np.ndarray, tolerance: int) -> int:
+        """How many leading tokens to keep: everything before the first run
+        of more than ``tolerance`` consecutive positions whose audio-first
+        likelihood trails text-only (ratio < 1). Vectorized run-length test:
+        a position's run length is its distance from the last good one."""
+        n = len(probs_ratio)
+        good = probs_ratio >= 1.0
+        last_good = np.maximum.accumulate(np.where(good, np.arange(n), -1))
+        run_len = np.arange(n) - last_good
+        over = np.nonzero(run_len > tolerance)[0]
+        return n if len(over) == 0 else int(last_good[over[0]]) + 1
+
     def finalize_last_response(self) -> None:
-        """Trim the planned response to what was actually spoken, scored by the
-        audio-first vs text-only logprob ratio (reference realtime_agent_v2.py:620-692).
-        Runs on the SAME engine weights via the cacheless scoring path."""
+        """Trim the planned response to what was actually spoken.
+
+        Semantic contract (the scoring rule is the parity spec — reference
+        realtime_agent_v2.py:620-692): each planned text token is scored
+        under two fresh contexts, (a) audio-first: the response audio that
+        actually played followed by "<|end_audio|> A:", and (b) text-only:
+        just " A:". Tokens the audio no longer supports (ratio < 1 for a run
+        longer than the tolerance) are cut; an empty cut becomes
+        " [silence]"; the live sequence is spliced to the surviving text and
+        the KV suffix rebuilt. Runs on the SAME engine weights via the
+        cacheless scoring path, both contexts in ONE batched forward (the
+        reference pays two aux-LM evals)."""
         last_response = self.last_response
         if last_response is None or last_response.get("planned_text"):
             return
@@ -1502,69 +1590,35 @@ class RealtimeAgent:
         last_response["end_secs"] = end_secs
         if end_secs == start_secs:
             return
-        response_audio_ids = self.get_audio_tokens(start_secs, end_secs)
         c = self.config
         tok = self.resources.tokenizer
-        af_ctx = "".join(
-            [
-                c.header_audio_first_token,
-                c.header_speaker_token,
-                f" {c.agent_identity}",
-                c.header_speaker_token,
-                f" {c.user_identity}",
-                c.end_header_token,
-            ]
+        af_ctx_ids = self._mini_header_ids(c.header_audio_first_token)
+        af_ctx_ids += self.get_audio_tokens(start_secs, end_secs)
+        af_ctx_ids += [self.end_audio_token_id, self.agent_speaker_token_id]
+        af_ctx_ids += tok.encode(":", add_special_tokens=False)
+        to_ctx_ids = self._mini_header_ids(
+            c.header_text_only_token, suffix=f" {c.agent_identity}:"
         )
-        af_ctx_ids = tok.encode(af_ctx)
-        af_ctx_ids.extend(
-            response_audio_ids
-            + [self.end_audio_token_id, self.agent_speaker_token_id]
-            + tok.encode(":", add_special_tokens=False)
-        )
-        to_ctx = "".join(
-            [
-                c.header_text_only_token,
-                c.header_speaker_token,
-                f" {c.agent_identity}",
-                c.header_speaker_token,
-                f" {c.user_identity}",
-                c.end_header_token,
-                f" {c.agent_identity}:",
-            ]
-        )
-        to_ctx_ids = tok.encode(to_ctx)
         txt_ids = tok.encode(" " + last_response["text"], add_special_tokens=False)
 
-        # both contexts score in ONE batched forward: same weight read, one
-        # device round-trip (the reference runs two aux-LM evals here)
         af_lps, to_lps = self.resources.aux_llm.get_logprobs_batch(
             [(af_ctx_ids, txt_ids), (to_ctx_ids, txt_ids)]
         )
-        probs_ratio = np.exp(af_lps) / np.exp(to_lps)
-
-        counter = 0
-        i = len(probs_ratio) - 1
-        for i, ratio in enumerate(probs_ratio):
-            if ratio >= 1.0:
-                counter = 0
-            else:
-                counter += 1
-            if counter > c.finalize_response_improbable_token_tolerance:
-                i -= counter
-                break
-        final_ids = txt_ids[: i + 1]
-        if len(final_ids) == len(txt_ids):
+        keep = self._improbable_run_cut(
+            np.exp(af_lps) / np.exp(to_lps),
+            c.finalize_response_improbable_token_tolerance,
+        )
+        if keep == len(txt_ids):
             return
-        if len(final_ids) == 0:
-            final_ids = tok.encode(" [silence]", add_special_tokens=False)
+        final_ids = txt_ids[:keep] or tok.encode(" [silence]", add_special_tokens=False)
         last_response["text"] = tok.decode(final_ids, skip_special_tokens=False).lstrip()
-        # splice the sequence and rebuild the KV suffix
+        # splice the live sequence to the surviving text + rebuild KV suffix;
+        # audio-token indices after the splice shift by the length change
         text_start_pos = last_response["text_start_pos"] + 2
         text_end_pos = text_start_pos + len(txt_ids)
-        prev_len = len(self.input_ids)
-        self.input_ids = self.input_ids[:text_start_pos] + final_ids + self.input_ids[text_end_pos:]
+        diff = len(final_ids) - len(txt_ids)
+        self.input_ids[text_start_pos:text_end_pos] = final_ids
         self.recompute_kv_cache(text_start_pos, text_end_pos)
-        diff = len(self.input_ids) - prev_len
         if diff != 0:
             for j in range(self.total_frames - 1, -1, -1):
                 if self.audio_tokens_idx[j] <= text_end_pos:
