@@ -73,6 +73,11 @@ def main():
         help="int8 decode weights (the reference's q8_0 deployment artifact)",
     )
     parser.add_argument(
+        "--whisper", action="store_true",
+        help="run on-TPU Whisper transcription inside scripted trans events "
+             "(random small.en-geometry weights; decode text is canned)",
+    )
+    parser.add_argument(
         "--no-prewarm", action="store_true",
         help="skip cold-path shape prewarming during setup",
     )
@@ -90,12 +95,38 @@ def main():
     from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
 
     t_setup = time.time()
+    whisper = None
+    if args.whisper:
+        import jax as _jax
+
+        from realtime_codec_agent_tpu.agent.asr import JaxWhisperASR
+        from realtime_codec_agent_tpu.models.whisper import (
+            JaxWhisperModel, WhisperConfig, init_whisper_params,
+            tiny_whisper_config,
+        )
+
+        class _CannedWhisperTokenizer:
+            """Random weights produce junk ids; a canned decode keeps the
+            post-ASR agent machinery (splice, constrained close, transcript)
+            on a realistic path while the DEVICE cost stays real."""
+
+            def decode(self, ids, skip_special_tokens=True):
+                return "okay that sounds good"
+
+        wcfg = tiny_whisper_config() if args.tiny else WhisperConfig()
+        whisper = JaxWhisperASR(
+            JaxWhisperModel(
+                init_whisper_params(_jax.random.PRNGKey(0), wcfg), wcfg,
+                max_new_tokens=16, window_secs=[5.0, 10.0],
+            ),
+            _CannedWhisperTokenizer(),
+        )
     resources = RealtimeAgentResources(
-        tiny=args.tiny, whisper_model=None, quantize_int8=args.int8
+        tiny=args.tiny, whisper_model=whisper, quantize_int8=args.int8
     )
     config = RealtimeAgentConfig(
         seed=args.seed,
-        use_whisper=False,
+        use_whisper=args.whisper,
         force_trans_after_inactivity_secs=0.0,
         force_response_after_inactivity_secs=0.0,
         agent_opening_text=None,
@@ -148,6 +179,13 @@ def main():
             setattr(agent, patch, lambda: True)
             agent.process_audio(warm_chunk)
             setattr(agent, patch, keep)
+        if args.whisper:
+            # compile every whisper window bucket now (mid-run utterances
+            # grow past the small buckets)
+            for secs in (1.0, 6.0, 12.0):
+                whisper.transcribe(
+                    np.zeros(int(secs * whisper._model.config.sample_rate), np.float32)
+                )
         agent.config.pipeline_chunks = was_pipelined
         agent.config.async_detours = was_async
         agent.reset()

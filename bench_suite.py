@@ -36,7 +36,10 @@ def main():
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument(
         "--skip", nargs="+", default=[],
-        choices=["codec", "encode", "ar", "selfplay", "batched", "bandwidth", "train"],
+        choices=[
+            "codec", "encode", "ar", "selfplay", "batched", "bandwidth",
+            "train", "whisper",
+        ],
     )
     parser.add_argument("--serving_batch", type=int, default=8)
     parser.add_argument("--train_seq_len", type=int, default=2048)
@@ -221,7 +224,7 @@ def main():
         ) + params.get("lm_head", params["embed_tokens"]).size
         seq_len = args.train_seq_len if not args.tiny else 256
         done = False
-        while not done and seq_len >= 256:
+        while not done and seq_len >= 128:
             try:
                 trainer = Trainer(
                     params, lcfg,
@@ -239,35 +242,80 @@ def main():
                 dt = time.perf_counter() - t0
                 done = True
             except Exception as ex:  # OOM at full seq len: halve and retry
-                if "RESOURCE_EXHAUSTED" not in str(ex) and "Out of memory" not in str(ex):
+                msg = f"{type(ex).__name__}: {ex}"
+                if "RESOURCE_EXHAUSTED" not in msg and "emory" not in msg:
                     raise
-                print(f"# train seq_len {seq_len} OOM; retrying at {seq_len//2}", file=sys.stderr)
+                print(
+                    f"# train seq_len {seq_len} OOM; retrying at {seq_len//2}",
+                    file=sys.stderr,
+                )
                 seq_len //= 2
-        tok_s = args.train_steps * batch.shape[0] * seq_len / dt
-        emit(
-            "train_step_tok_s", tok_s,
-            f"training tokens/second (B={batch.shape[0]}, T={seq_len}, remat, dual-route codec embed)",
-            loss=round(m["loss"], 3),
-        )
-        peak = args.peak_tflops
-        if peak is None:
-            kind = _jax.devices()[0].device_kind.lower()
-            if "v5 lite" in kind or "v5e" in kind:
-                peak = 197.0
-            elif "v4" in kind:
-                peak = 275.0
-            elif "v5p" in kind or "v5" in kind:
-                peak = 459.0
-        if peak:
-            # standard model-FLOPs convention: 6 * N_matmul * tokens
-            # (remat recompute is extra hardware work, not model FLOPs)
-            mfu = 6.0 * n_matmul * tok_s / (peak * 1e12)
+                # the donated/partial state must go before the retry allocates
+                trainer = None
+                import gc
+
+                gc.collect()
+        if not done:
+            print("# train section skipped: OOM at every seq_len", file=sys.stderr)
+        else:
+            tok_s = args.train_steps * batch.shape[0] * seq_len / dt
             emit(
-                "train_mfu", mfu,
-                f"model FLOPs utilization vs {peak:.0f} bf16 TFLOP/s "
-                f"(6*N*tok/s, N={n_matmul/1e9:.2f}B matmul params)",
+                "train_step_tok_s", tok_s,
+                f"training tokens/second (B={batch.shape[0]}, T={seq_len}, remat, dual-route codec embed)",
+                loss=round(m["loss"], 3),
             )
-        del trainer, params
+            peak = args.peak_tflops
+            if peak is None:
+                kind = _jax.devices()[0].device_kind.lower()
+                if "v5 lite" in kind or "v5e" in kind:
+                    peak = 197.0
+                elif "v4" in kind:
+                    peak = 275.0
+                elif "v5p" in kind or "v5" in kind:
+                    peak = 459.0
+            if peak:
+                # standard model-FLOPs convention: 6 * N_matmul * tokens
+                # (remat recompute is extra hardware work, not model FLOPs)
+                mfu = 6.0 * n_matmul * tok_s / (peak * 1e12)
+                emit(
+                    "train_mfu", mfu,
+                    f"model FLOPs utilization vs {peak:.0f} bf16 TFLOP/s "
+                    f"(6*N*tok/s, N={n_matmul/1e9:.2f}B matmul params)",
+                )
+            trainer = None
+        params = None
+
+    # ---- 7. on-TPU Whisper transcription latency -----------------------------
+    if "whisper" not in args.skip:
+        import jax as _jax
+
+        from realtime_codec_agent_tpu.models.whisper import (
+            JaxWhisperModel, WhisperConfig, init_whisper_params, tiny_whisper_config,
+        )
+
+        wcfg = tiny_whisper_config() if args.tiny else WhisperConfig()
+        wparams = init_whisper_params(_jax.random.PRNGKey(0), wcfg)
+        # the agent transcribes 1-10 s utterance tails
+        # (realtime_agent_v2.py:415-430 pads to >= 1.2 s); measure the fixed
+        # 30 s canonical window vs bucketed short windows
+        utt = (0.1 * rng.normal(size=int(2.0 * wcfg.sample_rate))).astype(np.float32)
+        buckets = [5.0, 10.0] if not args.tiny else []
+        for label, windows in [("full", None)] + [(f"{int(w)}s", [w]) for w in buckets]:
+            model = JaxWhisperModel(
+                wparams, wcfg, max_new_tokens=32, window_secs=windows
+            )
+            model.transcribe_ids(utt)  # compile + warmup
+            n = 5
+            t0 = time.perf_counter()
+            for _ in range(n):
+                model.transcribe_ids(utt)
+            dt = (time.perf_counter() - t0) / n
+            emit(
+                f"whisper_transcribe_ms_{label}", dt * 1000,
+                "ms per 2s-utterance transcription (greedy, small.en geometry)"
+                + ("" if windows else " — canonical 30s window"),
+            )
+        del wparams
 
     # ---- 3/4. full-agent metrics (shared resources) --------------------------
     need_agent = "ar" not in args.skip or "selfplay" not in args.skip

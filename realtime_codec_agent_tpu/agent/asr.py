@@ -59,10 +59,17 @@ class JaxWhisperASR(ASRModel):
 
     @classmethod
     def from_hf_checkpoint(
-        cls, model_name_or_path: str, local_files_only: bool = True, max_new_tokens: int = 128
+        cls,
+        model_name_or_path: str,
+        local_files_only: bool = True,
+        max_new_tokens: int = 128,
+        window_secs=None,
     ) -> "JaxWhisperASR":
         """Build from a local HF Whisper checkpoint: torch weights convert to
-        the JAX pytree once at load; torch is not used at inference."""
+        the JAX pytree once at load; torch is not used at inference.
+        ``window_secs`` (e.g. [5, 10, 30]) enables bucketed encoder windows —
+        short transcriptions pad to the smallest bucket instead of the
+        canonical 30 s, cutting encode cost ~proportionally."""
         from transformers import WhisperForConditionalGeneration, WhisperTokenizer
 
         from ..models.whisper import JaxWhisperModel
@@ -73,7 +80,12 @@ class JaxWhisperASR(ASRModel):
         tokenizer = WhisperTokenizer.from_pretrained(
             model_name_or_path, local_files_only=local_files_only
         )
-        return cls(JaxWhisperModel.from_hf(hf_model, max_new_tokens=max_new_tokens), tokenizer)
+        return cls(
+            JaxWhisperModel.from_hf(
+                hf_model, max_new_tokens=max_new_tokens, window_secs=window_secs
+            ),
+            tokenizer,
+        )
 
     def transcribe(self, audio: np.ndarray, temperature: float = 0.0) -> str:
         # greedy decode regardless of temperature (the reference calls

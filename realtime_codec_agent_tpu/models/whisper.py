@@ -532,6 +532,7 @@ class JaxWhisperModel:
         max_new_tokens: int = 128,
         suppress_ids: Optional[List[int]] = None,
         begin_suppress_ids: Optional[List[int]] = None,
+        window_secs: Optional[List[float]] = None,
     ):
         self.params = params
         self.config = config
@@ -540,6 +541,27 @@ class JaxWhisperModel:
         # without them transcripts can contain non-speech artifacts)
         self.default_suppress_ids = list(suppress_ids or [])
         self.default_begin_suppress_ids = list(begin_suppress_ids or [])
+        # Bucketed encoder windows: Whisper's canonical window is a fixed
+        # 30 s (audio is zero-padded to it; the encoder attends the padding),
+        # which costs the full 1500-position encoder pass even for a 2 s
+        # utterance. window_secs=[5, 10, 30] pads to the smallest bucket
+        # instead — the encoder's sinusoidal/learned positions slice to the
+        # shorter length (same as HF's encoder for short inputs), trading the
+        # exact padded-window semantics for a ~6x cheaper encode on short
+        # transcriptions. None = always the canonical full window (the
+        # reference's whisper.cpp behavior, realtime_agent_v2.py:415-430).
+        if window_secs is not None:
+            window_secs = sorted(window_secs)
+            full = config.n_audio_samples / config.sample_rate
+            self.window_samples = [
+                min(int(w * config.sample_rate), config.n_audio_samples)
+                for w in window_secs
+            ]
+            if self.window_samples[-1] < config.n_audio_samples:
+                self.window_samples.append(config.n_audio_samples)
+            del full
+        else:
+            self.window_samples = [config.n_audio_samples]
         self.mel_filters = jnp.asarray(
             slaney_mel_filters(
                 config.sample_rate, config.n_fft, config.num_mel_bins,
@@ -557,7 +579,10 @@ class JaxWhisperModel:
         )
 
     @classmethod
-    def from_hf(cls, hf_model, max_new_tokens: int = 128, **config_overrides) -> "JaxWhisperModel":
+    def from_hf(
+        cls, hf_model, max_new_tokens: int = 128,
+        window_secs: Optional[List[float]] = None, **config_overrides,
+    ) -> "JaxWhisperModel":
         """Convert a transformers WhisperForConditionalGeneration instance,
         carrying over the generation_config's suppress/begin_suppress token
         lists (HF applies them in generate; the reference's whisper.cpp has
@@ -569,14 +594,18 @@ class JaxWhisperModel:
         bsup = list(getattr(gen_cfg, "begin_suppress_tokens", None) or [])
         return cls(
             params, cfg, max_new_tokens=max_new_tokens,
-            suppress_ids=sup, begin_suppress_ids=bsup,
+            suppress_ids=sup, begin_suppress_ids=bsup, window_secs=window_secs,
         )
 
     def features(self, audio: np.ndarray) -> jnp.ndarray:
-        """Pad/trim to the fixed window and compute (1, n_mels, frames)."""
-        cfg = self.config
+        """Pad/trim to the smallest window bucket and compute
+        (1, n_mels, frames). With the default single full-size bucket this is
+        the canonical 30 s pad."""
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-        n = cfg.n_audio_samples
+        n = next(
+            (w for w in self.window_samples if audio.shape[0] <= w),
+            self.window_samples[-1],
+        )
         if audio.shape[0] < n:
             audio = np.pad(audio, (0, n - audio.shape[0]))
         else:

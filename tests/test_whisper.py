@@ -179,3 +179,34 @@ def test_jax_whisper_asr_wrapper():
     rng = np.random.default_rng(5)
     text = asr.transcribe((rng.normal(size=8000) * 0.05).astype(np.float32))
     assert isinstance(text, str)
+
+
+def test_bucketed_windows_encode_and_transcribe():
+    """window_secs buckets: short audio pads to the smallest bucket (not the
+    canonical full window), the encoder slices its positions, and audio at
+    exactly the full window matches the canonical model token-for-token."""
+    import jax
+
+    from realtime_codec_agent_tpu.models.whisper import (
+        JaxWhisperModel, init_whisper_params, tiny_whisper_config,
+    )
+
+    cfg = tiny_whisper_config()
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    full = JaxWhisperModel(params, cfg, max_new_tokens=8)
+    small = float(cfg.n_audio_samples) / cfg.sample_rate / 2
+    bucketed = JaxWhisperModel(
+        params, cfg, max_new_tokens=8, window_secs=[small]
+    )
+
+    short = np.zeros(int(small * cfg.sample_rate) // 2, np.float32)
+    mel_b = bucketed.features(short)
+    mel_f = full.features(short)
+    assert mel_b.shape[-1] == mel_f.shape[-1] // 2  # half-size bucket window
+    ids = bucketed.transcribe_ids(short)
+    assert isinstance(ids, list)
+
+    # at the full window length the bucketed model falls through to the
+    # canonical window and must match exactly
+    long = np.random.default_rng(0).normal(size=cfg.n_audio_samples).astype(np.float32) * 0.1
+    assert bucketed.transcribe_ids(long) == full.transcribe_ids(long)
