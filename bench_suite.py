@@ -27,6 +27,15 @@ import time
 import numpy as np
 
 
+def release_device_memory():
+    """Drop dead device buffers between sections: each section allocates
+    multi-GB params/caches and the next one needs the HBM back (del alone
+    leaves buffers to the garbage collector)."""
+    import gc
+
+    gc.collect()
+
+
 def emit(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit, **extra}))
 
@@ -139,6 +148,7 @@ def main():
             f"aggregate tokens/second, {args.serving_batch} concurrent streams (higher is better)",
         )
         del beng, lparams
+        release_device_memory()
 
     # ---- 5. decode effective bandwidth ---------------------------------------
     if "bandwidth" not in args.skip:
@@ -195,6 +205,7 @@ def main():
             "effective GB/s (weights + KV read per step / step time)",
         )
         del eng, lparams
+        release_device_memory()
 
     # ---- 6. training throughput + MFU ----------------------------------------
     if "train" not in args.skip:
@@ -211,17 +222,35 @@ def main():
         tok = CodecTextTokenizer(codebook_size=ccfg.codebook_size)
         vocab = ((max(tok.vocab_size, 128512 + ccfg.codebook_size) + 7) // 8) * 8
         make_cfg = tiny_lm_config if args.tiny else llama32_1b_config
+        # deployment-realistic codec boundary: full Llama-3 text vocab +
+        # specials below it, the 131k codec region above
+        cvs = vocab - ccfg.codebook_size
         lcfg = make_cfg(
             vocab_size=vocab,
-            codec_vocab_start=tok.codec_vocab_start,
+            codec_vocab_start=cvs,
             codebook_size=ccfg.codebook_size,
         )
         params = init_lm_params(
             _jax.random.PRNGKey(0), lcfg, with_codec_embed=True
         )
+        # Dual-route training never gathers embed rows >= codec_vocab_start
+        # (codec ids take the frozen-table+projector path), so the codec
+        # region of the input embedding is dead weight: trimming it saves
+        # ~1 GB of params and ~2 GB of AdamW state on one chip. The
+        # reference keeps those rows allocated-but-unused
+        # (codec_llama.py:107-112 + resize_token_embeddings); persist
+        # re-materializes them at deployment time.
+        params["embed_tokens"] = params["embed_tokens"][:cvs]
         n_matmul = sum(
             x.size for blk in params["layers"] for x in _jax.tree_util.tree_leaves(blk)
         ) + params.get("lm_head", params["embed_tokens"]).size
+        # stack to the trainer's scan-over-layers layout HERE so the unrolled
+        # originals are released before the optimizer state allocates (holding
+        # both layouts costs an extra ~2 GB at this scale)
+        from realtime_codec_agent_tpu.models.llama import stack_layer_params
+
+        params = stack_layer_params(params)
+        release_device_memory()
         seq_len = args.train_seq_len if not args.tiny else 256
         done = False
         while not done and seq_len >= 128:
@@ -236,9 +265,13 @@ def main():
                 ]
                 batch, labels = pad_batch(seqs, seq_len, pad_id=0)
                 trainer.train_batch(batch, labels)  # compile + warmup
+                # dispatch-first (steps chain on device), one metrics fetch
+                # at the end — per-step fetches pay the tunnel's completion
+                # fee and serialize ~5x slower than the device step
                 t0 = time.perf_counter()
                 for _ in range(args.train_steps):
-                    m = trainer.train_batch(batch, labels)
+                    m_dev = trainer.train_batch_async(batch, labels)
+                m = {k: float(v) for k, v in m_dev.items()}
                 dt = time.perf_counter() - t0
                 done = True
             except Exception as ex:  # OOM at full seq len: halve and retry
@@ -284,6 +317,7 @@ def main():
                 )
             trainer = None
         params = None
+        release_device_memory()
 
     # ---- 7. on-TPU Whisper transcription latency -----------------------------
     if "whisper" not in args.skip:
@@ -316,6 +350,7 @@ def main():
                 + ("" if windows else " — canonical 30s window"),
             )
         del wparams
+        release_device_memory()
 
     # ---- 3/4. full-agent metrics (shared resources) --------------------------
     need_agent = "ar" not in args.skip or "selfplay" not in args.skip

@@ -76,10 +76,18 @@ def _layer_specs() -> Dict[str, P]:
 
 
 def lm_param_specs(params) -> Dict:
-    """PartitionSpec pytree matching models/llama.py's param layout."""
+    """PartitionSpec pytree matching models/llama.py's param layout (both the
+    unrolled list-of-dicts and the stacked scan-over-layers layouts: stacked
+    tensors carry a leading replicated layer axis)."""
+    if isinstance(params["layers"], dict):
+        layer_specs = {
+            k: P(None, *spec) for k, spec in _layer_specs().items()
+        }
+    else:
+        layer_specs = [_layer_specs() for _ in params["layers"]]
     specs = {
         "embed_tokens": P("tp", "fsdp"),
-        "layers": [_layer_specs() for _ in params["layers"]],
+        "layers": layer_specs,
         "final_norm": P(),
     }
     if "lm_head" in params:

@@ -92,9 +92,22 @@ def load_params(path: str, lm_config=None, target=None):
         if os.path.isdir(state_path):
             with ocp.StandardCheckpointer() as ckptr:
                 restored = ckptr.restore(state_path)
-            return restored["params"]
+            params = restored["params"]
+            if isinstance(params.get("layers"), dict):
+                from ..models.llama import unstack_layer_params
+
+                params = unstack_layer_params(params)
+            return params
         raise FileNotFoundError(f"No params/ or state/ checkpoint under {path}")
     with ocp.StandardCheckpointer() as ckptr:
         if target is not None:
-            return ckptr.restore(params_path, target)
-        return ckptr.restore(params_path)
+            restored = ckptr.restore(params_path, target)
+        else:
+            restored = ckptr.restore(params_path)
+    if isinstance(restored.get("layers"), dict):
+        # trainer checkpoints use the stacked scan-over-layers layout;
+        # inference wants the unrolled per-layer list
+        from ..models.llama import unstack_layer_params
+
+        restored = unstack_layer_params(restored)
+    return restored

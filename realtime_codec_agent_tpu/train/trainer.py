@@ -22,7 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.llama import DuplexLMConfig, forward, logits_from_hidden
+from ..models.llama import (
+    DuplexLMConfig,
+    forward,
+    logits_from_hidden,
+    stack_layer_params,
+    unstack_layer_params,
+)
 from ..parallel import mesh as mesh_lib
 
 
@@ -125,6 +131,11 @@ class Trainer:
             )
         self.tx = tx
 
+        # stacked scan-over-layers layout: one compiled layer body, O(10)
+        # param leaves instead of O(10*L) — dispatch- and compile-time win
+        # (models/llama.stack_layer_params); checkpoints store this layout
+        # and export_params()/load_params unstack for inference
+        params = stack_layer_params(params)
         # shard params + opt state over the mesh
         self.param_specs = mesh_lib.lm_param_specs(params)
         self.params = mesh_lib.shard_params(params, self.mesh)
@@ -156,15 +167,29 @@ class Trainer:
 
         return train_step
 
+    def export_params(self):
+        """Params in the inference layout (unrolled per-layer list)."""
+        return unstack_layer_params(self.params)
+
     # -- steps ----------------------------------------------------------------
-    def train_batch(self, batch: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+    def train_batch_async(self, batch: np.ndarray, labels: np.ndarray) -> Dict:
+        """Dispatch one train step and return DEVICE metric handles without
+        waiting. On dispatch-oriented backends (the axon tunnel) fetching an
+        execution output costs a large fixed completion-wait fee, so per-step
+        synchronous metric reads serialize training ~5x slower than the
+        device step itself — the train loop fetches metrics only at log
+        points (the steps in between just chain on device)."""
         batch = jax.device_put(batch, self._batch_sharding)
         labels = jax.device_put(labels, self._batch_sharding)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, batch, labels
         )
         self.step += 1
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics
+
+    def train_batch(self, batch: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+        """Synchronous step: dispatch + fetch the metrics (tests, small runs)."""
+        return {k: float(v) for k, v in self.train_batch_async(batch, labels).items()}
 
     def eval_batches(self, batches) -> Dict[str, float]:
         total_loss = total_acc = total_n = 0.0
@@ -207,13 +232,16 @@ class Trainer:
                 batch, labels = next(train_iter)
             except StopIteration:
                 break
-            metrics = self.train_batch(batch, labels)
-            last_metrics = metrics
+            # dispatch-first: steps chain on device; metrics only sync at
+            # log/eval/save points (per-step fetches serialize ~5x slower
+            # on the device tunnel)
+            metrics_dev = self.train_batch_async(batch, labels)
             if self.step % self.tc.log_every == 0:
+                last_metrics = {k: float(v) for k, v in metrics_dev.items()}
                 rate = self.step / max(time.time() - t0, 1e-9)
                 log_fn(
-                    f"step {self.step}: loss={metrics['loss']:.4f} "
-                    f"acc={metrics['accuracy']:.4f} ({rate:.2f} it/s)"
+                    f"step {self.step}: loss={last_metrics['loss']:.4f} "
+                    f"acc={last_metrics['accuracy']:.4f} ({rate:.2f} it/s)"
                 )
             if eval_batches_fn and self.step % self.tc.eval_every == 0:
                 log_fn(f"eval @ {self.step}: {self.eval_batches(eval_batches_fn())}")

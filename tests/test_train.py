@@ -55,13 +55,13 @@ def test_pad_batch_labels():
 def test_train_step_runs_and_updates(cfg, mesh, tmp_path):
     tr = make_trainer(cfg, mesh, tmp_path)
     batch, labels = rand_batch(cfg)
-    before = np.asarray(jax.device_get(tr.params["layers"][0]["wq"]))
+    before = np.asarray(jax.device_get(tr.params["layers"]["wq"][0]))
     frozen_before = np.asarray(jax.device_get(tr.params["codec_embed"]["table"]))
     m1 = tr.train_batch(batch, labels)
     assert np.isfinite(m1["loss"]) and 0.0 <= m1["accuracy"] <= 1.0
     # first step's lr is 0 (linear warmup); the second step must move params
     tr.train_batch(batch, labels)
-    after = np.asarray(jax.device_get(tr.params["layers"][0]["wq"]))
+    after = np.asarray(jax.device_get(tr.params["layers"]["wq"][0]))
     assert not np.array_equal(before, after)
     # frozen codec table untouched
     frozen_after = np.asarray(jax.device_get(tr.params["codec_embed"]["table"]))
@@ -91,13 +91,13 @@ def test_checkpoint_save_resume(cfg, mesh, tmp_path):
     tr.train_batch(batch, labels)
     tr.train_batch(batch, labels)
     ckpt.save(str(tmp_path), tr)
-    saved_wq = np.asarray(jax.device_get(tr.params["layers"][0]["wq"]))
+    saved_wq = np.asarray(jax.device_get(tr.params["layers"]["wq"][0]))
 
     tr2 = make_trainer(cfg, mesh, tmp_path)
     assert ckpt.restore_latest(str(tmp_path), tr2)
     assert tr2.step == 2
     np.testing.assert_array_equal(
-        np.asarray(jax.device_get(tr2.params["layers"][0]["wq"])), saved_wq
+        np.asarray(jax.device_get(tr2.params["layers"]["wq"][0])), saved_wq
     )
 
 
@@ -238,3 +238,32 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
     for ga, gb in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)
+
+
+def test_stacked_layers_match_unrolled():
+    """stack_layer_params + the scan-over-layers forward must be numerically
+    identical to the unrolled list-of-dicts forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.models.llama import (
+        forward, init_lm_params, logits_from_hidden, stack_layer_params,
+        tiny_lm_config, unstack_layer_params,
+    )
+
+    cfg = tiny_lm_config(vocab_size=512, compute_dtype="float32")
+    params = init_lm_params(jax.random.PRNGKey(0), cfg)
+    stacked = stack_layer_params(params)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 512, size=(2, 16)))
+    h_list, _ = forward(params, ids, cfg)
+    h_scan, _ = forward(stacked, ids, cfg)
+    np.testing.assert_allclose(np.asarray(h_scan), np.asarray(h_list), rtol=2e-5, atol=2e-5)
+    lo = logits_from_hidden(params, h_list, cfg)
+    ls = logits_from_hidden(stacked, h_scan, cfg)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lo), rtol=2e-4, atol=2e-4)
+    # round trip restores the original structure and values
+    back = unstack_layer_params(stacked)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(back), jax.tree_util.tree_leaves(params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
