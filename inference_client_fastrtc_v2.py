@@ -110,6 +110,8 @@ CONFIG_CONTROLS = [
     ("finalize_response_improbable_token_tolerance", "number", {}),
     ("use_whisper", "checkbox", {}),
     ("pipeline_chunks", "checkbox", {}),
+    ("async_detours", "checkbox", {}),
+    ("incremental_trim", "checkbox", {}),
     ("use_external_llm", "checkbox", {}),
     ("external_llm_base_url", "text", {}),
     ("external_llm_model", "text", {}),
@@ -137,16 +139,21 @@ def main():
             "or inference_client_self_play.py instead."
         )
 
-    # live deployment default: pipelined fused chunks (one chunk of added
-    # response latency; the tunnel fetch fee overlaps compute — see
-    # RealtimeAgentConfig.pipeline_chunks)
+    # live deployment defaults: pipelined fused chunks (one chunk of added
+    # response latency; the tunnel fetch fee overlaps compute), background
+    # event resolution with silence filler, and incremental trim rebuilds —
+    # no chunk call blocks past the budget (see RealtimeAgentConfig)
     agent = RealtimeAgentMultiprocessing(
-        config=RealtimeAgentConfig(pipeline_chunks=True),
+        config=RealtimeAgentConfig(
+            pipeline_chunks=True, async_detours=True, incremental_trim=True
+        ),
         llm_model_path=args.llm_model_path,
         tiny=args.tiny,
     )
     handler = AgentHandler(agent)
-    defaults = RealtimeAgentConfig(pipeline_chunks=True)
+    defaults = RealtimeAgentConfig(
+        pipeline_chunks=True, async_detours=True, incremental_trim=True
+    )
 
     with gr.Blocks() as ui:
         controls = {}
