@@ -35,6 +35,17 @@ def _np(t) -> np.ndarray:
     return t.detach().to("cpu").float().numpy()
 
 
+def _np_native(t) -> np.ndarray:
+    """Like _np but KEEPS the checkpoint dtype when numpy can express it
+    (f16/f32 stay as-is — upload bytes matter at full scale); torch bf16
+    still upcasts to f32 (numpy has no native bf16)."""
+    if isinstance(t, np.ndarray):
+        return t
+    if hasattr(t, "dtype") and "bfloat16" in str(t.dtype):
+        return t.detach().to("cpu").float().numpy()
+    return t.detach().to("cpu").numpy()
+
+
 # ---------------------------------------------------------------------------
 # HF Llama -> models/llama.py pytree
 # ---------------------------------------------------------------------------
@@ -74,46 +85,57 @@ def lm_params_from_hf(state_dict: Dict, cfg: DuplexLMConfig, dtype=None) -> Dict
     """HF LlamaForCausalLM state_dict -> models/llama.py param pytree.
 
     Accepts torch tensors or numpy arrays. Linear weights are stored (out,in)
-    by torch and transposed here to (in,out). Keys may carry the ``model.``
+    by torch and transposed to (in,out). Keys may carry the ``model.``
     prefix (LlamaForCausalLM) or not (LlamaModel).
+
+    Arrays upload to the device in their checkpoint dtype and transpose/cast
+    THERE: a 1B F16 artifact then moves ~2 GB over the host link instead of
+    ~8 GB of f32 host copies (measured ~2x faster full-scale load over the
+    device tunnel).
     """
+    import jax
     import jax.numpy as jnp
 
     dtype = jnp.dtype(dtype or cfg.compute_dtype)
+    cast = jax.jit(lambda x: x.astype(dtype))            # caches per shape/dtype
+    cast_t = jax.jit(lambda x: x.T.astype(dtype))
 
     def get(key: str) -> np.ndarray:
         for k in (key, f"model.{key}"):
             if k in state_dict:
-                return _np(state_dict[k])
+                return _np_native(state_dict[k])
         raise KeyError(f"missing checkpoint tensor: {key}")
 
+    def dev(key: str) -> "jnp.ndarray":
+        return cast(jnp.asarray(get(key)))
+
     def lin(key: str) -> "jnp.ndarray":
-        return jnp.asarray(get(key).T, dtype)
+        return cast_t(jnp.asarray(get(key)))
 
     layers = []
     for i in range(cfg.num_layers):
         p = f"layers.{i}."
         layers.append(
             {
-                "attn_norm": jnp.asarray(get(p + "input_layernorm.weight"), dtype),
+                "attn_norm": dev(p + "input_layernorm.weight"),
                 "wq": lin(p + "self_attn.q_proj.weight"),
                 "wk": lin(p + "self_attn.k_proj.weight"),
                 "wv": lin(p + "self_attn.v_proj.weight"),
                 "wo": lin(p + "self_attn.o_proj.weight"),
-                "mlp_norm": jnp.asarray(get(p + "post_attention_layernorm.weight"), dtype),
+                "mlp_norm": dev(p + "post_attention_layernorm.weight"),
                 "w_gate": lin(p + "mlp.gate_proj.weight"),
                 "w_up": lin(p + "mlp.up_proj.weight"),
                 "w_down": lin(p + "mlp.down_proj.weight"),
             }
         )
     params = {
-        "embed_tokens": jnp.asarray(get("embed_tokens.weight"), dtype),
+        "embed_tokens": dev("embed_tokens.weight"),
         "layers": layers,
-        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+        "final_norm": dev("norm.weight"),
     }
     has_head = "lm_head.weight" in state_dict
     if has_head and not cfg.tie_embeddings:
-        params["lm_head"] = jnp.asarray(_np(state_dict["lm_head.weight"]).T, dtype)
+        params["lm_head"] = cast_t(jnp.asarray(_np_native(state_dict["lm_head.weight"])))
     elif not cfg.tie_embeddings:
         # tied checkpoint loaded into an untied config: materialize the head
         params["lm_head"] = jnp.asarray(params["embed_tokens"].T)

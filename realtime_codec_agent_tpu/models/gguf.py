@@ -128,9 +128,9 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
             if ggml_type == GGML_F32:
                 arr = np.frombuffer(_read_exact(f, 4 * n_elems), np.float32)
             elif ggml_type == GGML_F16:
-                arr = np.frombuffer(_read_exact(f, 2 * n_elems), np.float16).astype(
-                    np.float32
-                )
+                # keep f16: the converter uploads checkpoint-native dtypes and
+                # casts on device, halving full-scale load transfer bytes
+                arr = np.frombuffer(_read_exact(f, 2 * n_elems), np.float16)
             elif ggml_type == GGML_Q8_0:
                 n_blocks = -(-n_elems // 32)
                 raw = np.frombuffer(_read_exact(f, n_blocks * 34), np.uint8)

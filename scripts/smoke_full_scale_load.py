@@ -194,13 +194,16 @@ def main():
         eng.eval(list(range(100, 1100)))  # 1000-token prefill
         tok = eng.eval_and_sample([5])
         t_prefill = time.time() - t0
+        # throughput-mode decode: generate_until runs 32 sequential decode
+        # steps per device program (per-call sync timing is RTT-dominated
+        # garbage on the tunnel)
+        eng.generate_until(tok, stop_id=0, max_n=32)  # warmup/compile
+        n_calls = max(1, args.decode_tokens // 32)
         t0 = time.time()
-        for _ in range(args.decode_tokens):
-            tok = eng.eval_and_sample([tok])
-        # one sync at the end: throughput-mode timing
-        _ = eng.get_last_logits()
+        for _ in range(n_calls):
+            eng.generate_until(tok, stop_id=0, max_n=32)
         t_decode = time.time() - t0
-        tok_s = args.decode_tokens / t_decode
+        tok_s = n_calls * 32 / t_decode
         mem = None
         try:
             stats = jax.devices()[0].memory_stats()
