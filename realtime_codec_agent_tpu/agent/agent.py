@@ -854,7 +854,25 @@ class RealtimeAgent:
             else:
                 self.prob_event_speaker_token_id = None
             return
-        (end_audio_prob,) = self.resources.llm.last_probs([self.end_audio_token_id])
+        llm = self.resources.llm
+        if hasattr(llm, "event_probs"):
+            # one read-only program: P(end_audio) + the speaker lookahead in
+            # a single device round trip (the stepwise dance below costs 3)
+            p_end, (agent_prob, user_prob) = llm.event_probs(
+                self.end_audio_token_id,
+                [self.agent_speaker_token_id, self.user_speaker_token_id],
+            )
+            self.stats.event_prob.add_value(p_end)
+            if self.stats.event_prob.last_zscore >= 0.0:
+                self.prob_event_speaker_token_id = (
+                    self.agent_speaker_token_id
+                    if agent_prob > user_prob
+                    else self.user_speaker_token_id
+                )
+            else:
+                self.prob_event_speaker_token_id = None
+            return
+        (end_audio_prob,) = llm.last_probs([self.end_audio_token_id])
         self.stats.event_prob.add_value(float(end_audio_prob))
         if self.stats.event_prob.last_zscore >= 0.0:
             self.prob_event_speaker_token_id = self.get_probable_event_speaker()

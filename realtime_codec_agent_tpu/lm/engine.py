@@ -163,6 +163,21 @@ class DuplexLMEngine:
         def probs_of(logits, ids):
             return jax.nn.softmax(logits)[ids]
 
+        @jax.jit
+        def event_probe(params, k, v, n_tokens, last_logits, probe_ids, pick_ids):
+            """P(probe trigger) at the last evaled position PLUS a speculative
+            one-token lookahead (what follows if probe_ids were appended) in
+            ONE read-only program: the cache is NOT donated and the new K/V is
+            dropped, so no commit/rollback bookkeeping exists to undo."""
+            p_now = jax.nn.softmax(last_logits)[probe_ids[0]]
+            hidden, _, _ = forward_decode(
+                params, probe_ids[None, :], cfg, k, v, n_tokens[None],
+                cache_valid=n_tokens,
+            )
+            logits2 = logits_from_hidden(params, hidden[:, -1], cfg)[0]
+            p_next = jax.nn.softmax(logits2)[pick_ids]
+            return jnp.concatenate([p_now[None], p_next])
+
         @functools.partial(
             jax.jit, donate_argnums=(1, 2), static_argnames=("top_k", "max_n")
         )
@@ -338,6 +353,7 @@ class DuplexLMEngine:
         self._resample_fn = resample
         self._score_fn = score
         self._probs_fn = probs_of
+        self._event_probe_fn = event_probe
         self._gen_until_fn = gen_until
         self._frames_fn = frames_until_event
 
@@ -751,6 +767,30 @@ class DuplexLMEngine:
         return outs
 
     # ------------------------------------------------------------ logit taps
+    def event_probs(
+        self, trigger_id: int, next_ids: Sequence[int]
+    ) -> Tuple[float, List[float]]:
+        """P(trigger) at the last evaled position + P(each of next_ids |
+        trigger appended), in ONE device round trip. Read-only: nothing
+        commits and no rollback is needed — the equivalent
+        last_probs + eval + last_probs + n_tokens-rollback dance costs three
+        round trips (the agent's event-probability monitor, reference
+        realtime_agent_v2.py:448-466)."""
+        if self._last_logits is None:
+            raise RuntimeError("no logits available")
+        out = np.asarray(
+            self._event_probe_fn(
+                self.params,
+                self._k,
+                self._v,
+                jnp.int32(self._n_tokens),
+                self._last_logits,
+                jnp.asarray([int(trigger_id)], jnp.int32),
+                jnp.asarray(np.array(next_ids, np.int32)),
+            )
+        )
+        return float(out[0]), [float(x) for x in out[1:]]
+
     def last_probs(self, token_ids: Sequence[int]) -> np.ndarray:
         """Softmax probabilities of selected tokens at the last evaled position
         (device-side softmax; only the selected scalars transfer to host)."""
