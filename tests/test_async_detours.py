@@ -177,3 +177,63 @@ def test_async_filler_counter(resources):
     run_and_collect(asyn, chunks(8, seed=7))
     # at least the priming chunk of the pipeline is filler
     assert asyn.n_filler_emitted >= 1
+
+
+def test_async_with_external_llm(resources):
+    """Async detours compose with the external-LLM response path: the event
+    (including the network round trip to the response server) resolves on
+    the background thread; tokens and transcript match the sync agent."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from tests.test_serving import _FakeOpenAIHandler
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _FakeOpenAIHandler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        llm_kw = dict(
+            use_external_llm=True,
+            external_llm_base_url=f"http://127.0.0.1:{httpd.server_address[1]}/v1",
+            external_llm_model="fake-model",
+            external_llm_api_key="k",
+        )
+        sync = make_agent(resources, "sync", **llm_kw)
+        asyn = make_agent(resources, "async", **llm_kw)
+
+        def force_resp_once(agent, at_secs=0.3):
+            fired = {"done": False}
+            orig = agent.should_force_response
+
+            def f():
+                if not fired["done"] and agent.total_secs >= at_secs:
+                    fired["done"] = True
+                    return True
+                return orig()
+
+            agent.should_force_response = f
+
+        force_resp_once(sync)
+        force_resp_once(asyn)
+        audio = chunks(8, seed=9)
+        for c in audio:
+            sync.process_audio(c)
+        run_and_collect(asyn, audio)
+
+        # With random weights the constrained native gen yields <2 tokens so
+        # the event is suppressed-and-rolled-back on BOTH paths (the
+        # scripted-LM tests in test_external_agent_paths pin the completed
+        # path); what this pins is that the whole external round trip ran on
+        # the DETOUR THREAD without deadlock and the agents end in the same
+        # suppressed state.
+        assert len(asyn.detour_durations) >= 1
+        assert [t["text"] for t in asyn.transcript] == [
+            t["text"] for t in sync.transcript
+        ]
+        assert asyn.resources.llm.n_tokens > 0
+        assert asyn.llm_client is not None and sync.llm_client is not None
+        # the agent stays live after the event
+        out = asyn.process_audio(chunks(1, seed=10)[0])
+        assert out.shape == (1600,)
+        asyn.drain_pipeline()
+    finally:
+        httpd.shutdown()
