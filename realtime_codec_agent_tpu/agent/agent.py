@@ -1323,14 +1323,31 @@ class RealtimeAgent:
 
     # ------------------------------------------------------- async detours
     def join_detours(self) -> None:
-        """Block until any background detour finishes and bank its outputs."""
+        """Block until any background detour finishes and bank its outputs.
+
+        A detour that DIED (transient device/tunnel error mid-event) must not
+        wedge the whole session: the failure is logged loudly, the device
+        chain is marked dirty (the next dispatch resyncs from the host
+        mirror, which the engine setters keep consistent), and a silence
+        chunk stands in for the lost output — the same keep-running posture
+        as the reference's agent child loop (realtime_agent_v2.py:891-894)."""
         fut = getattr(self, "_detour_future", None)
-        if fut is not None:
+        if fut is None:
+            return
+        self._detour_future = None
+        try:
             prev_emit, this_emit = fut.result()
-            self._detour_future = None
-            if prev_emit is not None:
-                self._ready.append(prev_emit)
-            self._ready.append(this_emit)
+        except Exception as ex:
+            warn(f"background detour failed ({type(ex).__name__}: {ex}); "
+                 "resyncing the device chain and emitting silence for the lost chunk")
+            self._chain_dirty = True
+            self._pending = None
+            silence = np.zeros(self.chunk_size_samples, np.float32)
+            self._ready.append((silence, None))
+            return
+        if prev_emit is not None:
+            self._ready.append(prev_emit)
+        self._ready.append(this_emit)
 
     def _process_audio_pipelined_async(self, audio_chunk, audio_chunk_input_ids):
         """Pipelined stepping that never blocks on heavy detours: arriving

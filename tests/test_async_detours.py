@@ -237,3 +237,42 @@ def test_async_with_external_llm(resources):
         asyn.drain_pipeline()
     finally:
         httpd.shutdown()
+
+
+def test_detour_failure_does_not_wedge_session(resources):
+    """A detour job that raises (transient device error) must not deadlock or
+    crash subsequent process_audio calls: the chain resyncs and a silence
+    chunk stands in for the lost output."""
+    import warnings
+
+    asyn = make_agent(resources, "async")
+    audio = chunks(6, seed=12)
+    asyn.process_audio(audio[0])
+    asyn.drain_pipeline()
+
+    # sabotage exactly one detour: force an event whose sync processing raises
+    orig_sync = asyn._process_chunk_sync
+    blew = {"done": False}
+
+    def exploding(*a, **kw):
+        if not blew["done"]:
+            blew["done"] = True
+            raise RuntimeError("injected transient device failure")
+        return orig_sync(*a, **kw)
+
+    asyn._process_chunk_sync = exploding
+    force_trans_once(asyn, at_secs=0.0)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        outs = [asyn.process_audio(c) for c in audio[1:]]
+        while asyn.drain_pipeline() is not None:
+            pass
+    assert any("background detour failed" in str(w.message) for w in caught)
+    for o in outs:
+        assert o.shape == (1600,)
+    # the session keeps processing real chunks afterwards
+    out = asyn.process_audio(chunks(1, seed=13)[0])
+    assert out.shape == (1600,)
+    asyn.drain_pipeline()
+    assert asyn.total_secs > 0.2
