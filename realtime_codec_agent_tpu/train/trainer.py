@@ -226,6 +226,7 @@ class Trainer:
                 log_fn(f"Resumed from checkpoint at step {self.step}")
 
         last_metrics: Dict[str, float] = {}
+        metrics_dev = None
         t0 = time.time()
         while self.step < self.tc.max_steps:
             try:
@@ -247,6 +248,9 @@ class Trainer:
                 log_fn(f"eval @ {self.step}: {self.eval_batches(eval_batches_fn())}")
             if self.step % self.tc.save_every == 0:
                 ckpt.save(self.tc.output_dir, self)
+        if metrics_dev is not None:
+            # final-step metrics (the loop may end between log points)
+            last_metrics = {k: float(v) for k, v in metrics_dev.items()}
         ckpt.save(self.tc.output_dir, self)
         if eval_batches_fn:
             last_metrics.update(self.eval_batches(eval_batches_fn()))
