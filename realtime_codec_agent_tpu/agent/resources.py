@@ -49,6 +49,12 @@ class RealtimeAgentResources:
         quantize_int8: bool = False,
         _shared_lm_params=None,
     ):
+        # every entrypoint that builds resources gets the persistent compile
+        # cache (idempotent config update): a cold single-process client
+        # otherwise recompiles the full program set on every launch
+        from ..utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.quantize_int8 = quantize_int8
         self.llm_model_path = llm_model_path
         self.llm_model_dir = os.path.dirname(llm_model_path) if llm_model_path else None
