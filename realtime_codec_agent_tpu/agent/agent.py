@@ -354,7 +354,10 @@ class RealtimeAgent:
         the rebuild spreads across chunks into a shadow cache."""
         if self._incremental_trim_active():
             return
-        if self.total_secs - self.trim_to_secs >= self.config.max_context_secs:
+        if (
+            self.total_secs - self.trim_to_secs >= self.config.max_context_secs
+            or self._occupancy_trim_due(pending_tokens=0)
+        ):
             self.trim_to_secs += self.config.trim_by_secs
             self.recompute_kv_cache(0)
 
@@ -362,6 +365,28 @@ class RealtimeAgent:
         return self.config.incremental_trim and hasattr(
             self.resources.llm, "rebuild_begin"
         )
+
+    def _occupancy_trim_due(self, pending_tokens: Optional[int] = None) -> bool:
+        """Emergency trim trigger: the cache is running out of slots (the
+        time-based policy bounds audio only; inline text is unbounded). The
+        margin leaves room for the rebuild window's growth plus one prefill
+        bucket. Deterministic across execution paths: occupancy counts the
+        in-flight pipelined chunk exactly like effective_secs does."""
+        llm = self.resources.llm
+        if not hasattr(llm, "_k"):
+            return False  # scripted fakes have no real cache
+        cache_len = llm._k.shape[2]
+        margin = self.config.trim_occupancy_margin
+        if margin is None:
+            margin = max(1024, min(3072, cache_len // 4))
+        if pending_tokens is None:
+            pending_tokens = (
+                2 * self.chunk_size_frames_per_channel if self._pending is not None else 0
+            )
+        if llm.n_tokens + pending_tokens < cache_len - margin:
+            return False
+        # an evictable trim_by window of audio must exist beyond the trim point
+        return self.total_secs - self.trim_to_secs > self.config.trim_by_secs
 
     def _trim_op(self) -> Optional[str]:
         """Per-chunk incremental-trim decision: "start" begins a shadow
@@ -374,7 +399,10 @@ class RealtimeAgent:
             effective_secs = self.total_secs + (
                 self.config.chunk_size_secs if self._pending is not None else 0.0
             )
-            if effective_secs - self.trim_to_secs >= self.config.max_context_secs:
+            if (
+                effective_secs - self.trim_to_secs >= self.config.max_context_secs
+                or self._occupancy_trim_due()
+            ):
                 return "start"
             return None
         if self.resources.llm.rebuild_remaining() == 0:
@@ -1182,7 +1210,10 @@ class RealtimeAgent:
             effective_secs = self.total_secs + (
                 self.config.chunk_size_secs if self._pending is not None else 0.0
             )
-            trim_due = effective_secs - self.trim_to_secs >= self.config.max_context_secs
+            trim_due = (
+                effective_secs - self.trim_to_secs >= self.config.max_context_secs
+                or self._occupancy_trim_due()
+            )
         if not can_fuse or trim_due or trim_op is not None:
             emit = self._resolve_pending()
             if emit is None and self._out_buffer is not None:
@@ -1398,7 +1429,10 @@ class RealtimeAgent:
             effective_secs = self.total_secs + (
                 self.config.chunk_size_secs if self._pending is not None else 0.0
             )
-            trim_due = effective_secs - self.trim_to_secs >= self.config.max_context_secs
+            trim_due = (
+                effective_secs - self.trim_to_secs >= self.config.max_context_secs
+                or self._occupancy_trim_due()
+            )
 
         if not can_fuse or trim_due or trim_op is not None:
             def detour_job():

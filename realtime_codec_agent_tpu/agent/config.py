@@ -49,6 +49,14 @@ class RealtimeAgentConfig:
     # preserve the reference's blocking-trim semantics exactly.
     incremental_trim: bool = False
     trim_rebuild_slice_tokens: int = 256
+    # Emergency occupancy trim: ALSO trigger a trim when the KV cache has
+    # fewer than this many free slots (None = max(1024, cache_len/4, one
+    # prefill bucket)). The time-based 80 s policy bounds AUDIO tokens only —
+    # a text-heavy session could otherwise overflow the cache and crash
+    # (the reference has the same latent risk against its n_ctx=16384). This
+    # guard makes a policy-derived smaller cache safe, which in turn shrinks
+    # the per-frame attention read.
+    trim_occupancy_margin: Optional[int] = None
     target_volume_rms: float = 0.0
     # turn-taking timers
     force_trans_after_inactivity_secs: float = 0.5

@@ -38,7 +38,16 @@ class RealtimeAgentResources:
     def __init__(
         self,
         llm_model_path: Optional[str] = None,
-        llm_n_ctx: int = 16384,
+        # Default sized to the agent's context POLICY, not llama.cpp headroom:
+        # 80 s max audio (8,000 stereo tokens) + header + generous inline-text
+        # budget + the incremental-rebuild window fits well under 12k, and the
+        # agent's occupancy-triggered emergency trim guarantees no overflow
+        # even in text-heavy sessions. The per-frame decode attention streams
+        # the WHOLE static cache, so rightsizing it (12288+2048 slack vs the
+        # reference's 16384+2048, realtime_agent_resources.py:13) cuts that
+        # read ~22% for identical tokens. Pass 16384 for reference-exact
+        # headroom (the serving server does).
+        llm_n_ctx: int = 12288,
         codec_model=None,
         codec_config: Optional[CodecConfig] = None,
         lm_config: Optional[DuplexLMConfig] = None,

@@ -170,7 +170,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     resources = RealtimeAgentResources(
-        llm_model_path=args.llm_model_path, tiny=args.tiny, whisper_model=None
+        llm_model_path=args.llm_model_path, tiny=args.tiny, whisper_model=None,
+        # completions serving keeps the reference's full 16k context headroom
+        # (the realtime agent's policy-sized default doesn't apply here)
+        llm_n_ctx=16384,
     )
     if args.batch_size > 1:
         from ..lm.batched_engine import BatchedDecodeEngine

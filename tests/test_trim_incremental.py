@@ -187,3 +187,35 @@ def test_incremental_vs_blocking_both_valid(resources):
         assert agent._fused_ready()
         llm = agent.resources.llm
         assert llm.n_tokens == agent.cache_pos(len(agent.input_ids) - 2)
+
+
+def test_occupancy_emergency_trim(resources):
+    """The cache-occupancy guard triggers a trim long before the time-based
+    policy would (text-heavy sessions must never overflow the cache), and
+    sync/pipelined stay token-identical."""
+    def occ_agent(pipeline):
+        a = make_agent(resources, pipeline=pipeline, incremental=True, slice_tokens=48)
+        a.config.max_context_secs = 100.0   # time trigger never fires here
+        a.config.trim_by_secs = 0.5
+        cache_len = a.resources.llm._k.shape[2]
+        a.config.trim_occupancy_margin = cache_len - 280
+        return a
+
+    sync = occ_agent(False)
+    pipe = occ_agent(True)
+    for c in chunks(24, seed=4):
+        sync.process_audio(c)
+        pipe.process_audio(c)
+    pipe.drain_pipeline()
+
+    assert sync.trim_to_secs >= 0.5, "occupancy trigger never fired"
+    assert pipe.trim_to_secs == sync.trim_to_secs
+    assert pipe.input_ids == sync.input_ids
+    assert sync.resources.llm.n_tokens == pipe.resources.llm.n_tokens
+
+    # blocking mode fires it too
+    blocking = occ_agent(False)
+    blocking.config.incremental_trim = False
+    for c in chunks(24, seed=4):
+        blocking.process_audio(c)
+    assert blocking.trim_to_secs >= 0.5
