@@ -726,21 +726,34 @@ class RealtimeAgent:
             self.trim_sequences()
             suppress_end_audio = False
             presampled = None
-            # multi-frame continuation: all remaining audio-mode frames run
+            # multi-frame continuation: the remaining audio-mode frames run
             # as ONE device program with on-device event exit (token-exact
             # with the stepwise loop below) — the sync/event path otherwise
-            # pays a full host round-trip per frame
+            # pays a full host round-trip per frame. Two entry states:
+            # - a pending (agent, user) PAIR (mid-chunk audio mode);
+            # - a single pending <|audio|> (right after an event close or
+            #   the session header): the program re-evals the last already-
+            #   evaled id alongside it (pending_evaled=1), so the separate
+            #   single-token eval+sample round trip disappears.
+            pending_evaled = None
             if (
                 not force_trans
                 and not force_response
-                and n_frames - i >= 2
                 and hasattr(llm, "eval_and_sample_frames")
-                and all(t > self.end_header_token_id for t in self.input_ids[-2:])
             ):
+                tail = self.input_ids[-2:]
+                if n_frames - i >= 2 and all(
+                    t > self.end_header_token_id for t in tail
+                ):
+                    pending_evaled = 0
+                elif len(self.input_ids) >= 2 and tail[-1] == self.start_audio_token_id:
+                    pending_evaled = 1
+            if pending_evaled is not None:
                 # the scan program holds up to 8 frames; longer chunk
                 # configurations simply loop (another scan picks up the rest)
                 accepted, event_tok = llm.eval_and_sample_frames(
-                    self.input_ids[-2:], audio_chunk_input_ids[i : i + 8]
+                    self.input_ids[-2:], audio_chunk_input_ids[i : i + 8],
+                    pending_evaled=pending_evaled,
                 )
                 for a in accepted:
                     self.input_ids.append(a)
@@ -760,6 +773,7 @@ class RealtimeAgent:
             # trained on the reference's sequences expects exactly it; see
             # the reference frame loop, realtime_agent_v2.py:343-372) — the
             # code here is structured around our acquisition helpers.
+            frame_done = True
             while True:
                 audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
                 if presampled is not None:
@@ -785,7 +799,18 @@ class RealtimeAgent:
                         suppress_end_audio = not self.generate_for_response()
                     else:
                         suppress_end_audio = not self.generate_for_trans()
-            i += 1
+                    if (
+                        not suppress_end_audio
+                        and self.input_ids[-1] == self.start_audio_token_id
+                        and hasattr(llm, "eval_and_sample_frames")
+                    ):
+                        # completed event: the rest of the chunk (this frame
+                        # included) resumes via the one-program continuation's
+                        # pending-<|audio|> arm above
+                        frame_done = False
+                        break
+            if frame_done:
+                i += 1
         return out_chunk_input_ids
 
     def _inject_forced_event(self, as_transcription: bool) -> int:

@@ -590,7 +590,7 @@ class DuplexLMEngine:
 
     def eval_and_sample_frames(
         self, pending_pair: Sequence[int], user_tokens: Sequence[int],
-        max_frames: int = 8,
+        max_frames: int = 8, pending_evaled: int = 0,
     ) -> Tuple[List[int], Optional[int]]:
         """Duplex audio-frame continuation in ONE device call: token-exact
         equivalent of
@@ -604,17 +604,30 @@ class DuplexLMEngine:
             return toks, None
 
         including PRNG/penalty-window/KV/step bookkeeping. ``pending_pair``
-        must be the two appended-not-evaled ids; on return the engine state
+        holds the ids the first frame evals; on return the engine state
         matches the loop above exactly (the final sampled token — audio or
-        event — is NOT evaled)."""
+        event — is NOT evaled).
+
+        ``pending_evaled=1`` serves the post-event epilogue where only ONE
+        appended id (<|audio|>) is unevaled: the pair's first slot must then
+        be the LAST ALREADY-EVALED id. The program re-evals it at its own
+        position with the cache bound pulled one back — bit-identical K/V
+        overwrite themselves, the second slot's logits equal a T=1 eval, and
+        the separate eval_and_sample round trip disappears."""
         assert len(pending_pair) == 2
+        assert pending_evaled in (0, 1)
         assert 1 <= len(user_tokens) <= max_frames
+        if pending_evaled:
+            assert self._input_ids and self._input_ids[-1] == int(pending_pair[0]), (
+                "pending_evaled=1 requires pending_pair[0] == the last evaled id"
+            )
         end_header = getattr(self, "_end_header_token_id", None)
         if end_header is None:
             raise RuntimeError(
                 "eval_and_sample_frames needs set_end_header_token_id() first"
             )
-        ids = self._input_ids + [int(t) for t in pending_pair]
+        new_ids = [int(t) for t in pending_pair[pending_evaled:]]
+        ids = self._input_ids + new_ids
         tail = ids[-PENALTY_WINDOW:]
         window = np.zeros((PENALTY_WINDOW,), np.int32)
         if tail:
@@ -626,7 +639,7 @@ class DuplexLMEngine:
             self.params,
             self._k,
             self._v,
-            jnp.int32(self._n_tokens),
+            jnp.int32(self._n_tokens - pending_evaled),
             jnp.asarray(np.array(pending_pair, np.int32)),
             jnp.asarray(ut),
             self._base_key,
@@ -645,7 +658,7 @@ class DuplexLMEngine:
         n_evaled = int(n_evaled)
         hit_event = int(out[n_evaled - 1]) < 0 if n_evaled else False
         accepted = [int(t) for t in out[: n_evaled - 1 if hit_event else n_evaled]]
-        evaled = [int(t) for t in pending_pair]
+        evaled = list(new_ids)
         for j in range(n_evaled - 1):
             evaled += [accepted[j], int(ut[j])]
         self._input_ids.extend(evaled)
