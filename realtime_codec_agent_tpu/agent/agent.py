@@ -118,6 +118,15 @@ class RealtimeAgent:
         self.external_marker_token_id = tok.encode(config.external_marker_token, add_special_tokens=False)[0]
         self.agent_speaker_token_id = tok.encode(f" {config.agent_identity}", add_special_tokens=False)[0]
         self.user_speaker_token_id = tok.encode(f" {config.user_identity}", add_special_tokens=False)[0]
+        if hasattr(self.resources.llm, "set_probe_token_ids"):
+            # the frames program then returns the end-of-chunk event
+            # probability + speaker lookahead with its result — no separate
+            # probe forward on stepwise-processed chunks
+            self.resources.llm.set_probe_token_ids(
+                self.end_audio_token_id,
+                self.agent_speaker_token_id,
+                self.user_speaker_token_id,
+            )
 
         if self.llm_client is not None:
             self.llm_client.close_stream(blocking=True)
@@ -908,6 +917,24 @@ class RealtimeAgent:
                 self.prob_event_speaker_token_id = None
             return
         llm = self.resources.llm
+        frame_probs = (
+            llm.consume_frame_probs() if hasattr(llm, "consume_frame_probs") else None
+        )
+        if frame_probs is not None:
+            # the probe rode the chunk's final frames program: zero extra
+            # device calls (invalidated automatically if anything moved the
+            # position since — TTS substitution, suppressed events, ...)
+            p_end, agent_prob, user_prob = frame_probs
+            self.stats.event_prob.add_value(p_end)
+            if self.stats.event_prob.last_zscore >= 0.0:
+                self.prob_event_speaker_token_id = (
+                    self.agent_speaker_token_id
+                    if agent_prob > user_prob
+                    else self.user_speaker_token_id
+                )
+            else:
+                self.prob_event_speaker_token_id = None
+            return
         if hasattr(llm, "event_probs"):
             # one read-only program: P(end_audio) + the speaker lookahead in
             # a single device round trip (the stepwise dance below costs 3)

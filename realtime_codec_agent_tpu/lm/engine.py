@@ -73,6 +73,8 @@ class DuplexLMEngine:
         self._input_ids: List[int] = []
         self._n_tokens = 0
         self._last_logits = None  # device (V,) f32, logits at the last evaled position
+        self._probe_token_ids = None  # (end_audio, agent_speaker, user_speaker)
+        self._frame_probs = None  # (p_end, p_agent, p_user) from the last frames call
         self.settings = SamplerSettings(seed=seed)
         self._base_key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._step = 0
@@ -265,7 +267,7 @@ class DuplexLMEngine:
         def frames_until_event(
             params, k, v, n_tokens, prev_pair, user_tokens, base_key, step0,
             scalars, bias_ids, bias_vals, window_ids, window_count,
-            end_header, n_limit, top_k, max_frames,
+            end_header, n_limit, probe_ids, top_k, max_frames,
         ):
             """Audio-frame continuation as ONE program: repeatedly eval the
             pending (agent, user) pair and sample the next agent token,
@@ -275,7 +277,14 @@ class DuplexLMEngine:
             pair evaled at the event frame still commits (the event sample is
             part of the sequence). The duplex agent uses this to finish a
             chunk's remaining frames after an inline event without one host
-            round-trip per frame."""
+            round-trip per frame.
+
+            The event-probability probe rides each step as a causally-
+            isolated THIRD token (probe_ids[0] = <|end_audio|>, same trick as
+            the fused chunk program): its K/V never commit and the last
+            active step's P(end_audio) + speaker lookahead come back with the
+            result — the agent's end-of-chunk monitor needs no extra
+            forward."""
             cache_len = k.shape[2]
             trash = cache_len - 4
             kv_shape = (cfg.num_layers, 1, 2 * max_frames, cfg.num_kv_heads, cfg.head_dim)
@@ -288,24 +297,38 @@ class DuplexLMEngine:
 
             def body(carry):
                 (i, small_k, small_v, small_pos, n, prev, wids, wcount,
-                 out_tokens, last_logits, event_tok, done) = carry
-                positions = n + jnp.arange(2)
+                 out_tokens, last_logits, event_tok, probs3, done) = carry
+                positions = n + jnp.arange(3)
                 wmask = (
                     jnp.arange(PENALTY_WINDOW) >= PENALTY_WINDOW - wcount
                 ).astype(jnp.float32)
+                ids3 = jnp.concatenate([prev, probe_ids[:1]])
                 hidden, nk, nv = forward_decode(
-                    params, prev[None, :], cfg, k, v, positions,
+                    params, ids3[None, :], cfg, k, v, positions,
                     cache_valid=n_tokens,
                     extra_kv=(small_k, small_v), extra_pos=small_pos,
                 )
-                logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
+                logits2 = logits_from_hidden(params, hidden[0, 1:3], cfg)
+                logits = logits2[0]
+                nk = nk[:, :, :2]
+                nv = nv[:, :, :2]
+                positions = positions[:2]
                 key = jax.random.fold_in(base_key, step0 + i)
                 a = sample_token(
                     logits, key, scalars, bias_ids, bias_vals, wids, wmask,
                     top_k=top_k,
                 )
+                # probe scalars for this step: P(end_audio | sample row) and
+                # P(speaker | probe row); kept while the scan is active
+                sample_probs = jax.nn.softmax(logits)
+                probe_probs = jax.nn.softmax(logits2[1])
+                new3 = jnp.stack(
+                    [sample_probs[probe_ids[0]], probe_probs[probe_ids[1]],
+                     probe_probs[probe_ids[2]]]
+                )
+                probs3 = jnp.where(done, probs3, new3)
                 # the evaled pair ALWAYS commits (stepwise eval_and_sample
-                # writes K/V before sampling)
+                # writes K/V before sampling); the probe row never does
                 small_k = jax.lax.dynamic_update_slice(small_k, nk, (0, 0, 2 * i, 0, 0))
                 small_v = jax.lax.dynamic_update_slice(small_v, nv, (0, 0, 2 * i, 0, 0))
                 small_pos = jax.lax.dynamic_update_slice(small_pos, positions, (2 * i,))
@@ -323,7 +346,7 @@ class DuplexLMEngine:
                 done = event_now | (i + 1 >= n_limit)
                 return (
                     i + 1, small_k, small_v, small_pos, n + 2, prev, wids,
-                    wcount, out_tokens, logits, event_tok, done,
+                    wcount, out_tokens, logits, event_tok, probs3, done,
                 )
 
             init = (
@@ -338,15 +361,16 @@ class DuplexLMEngine:
                 jnp.full((max_frames,), -2, jnp.int32),
                 jnp.zeros((cfg.vocab_size,), jnp.float32),
                 jnp.int32(-1),
+                jnp.zeros((3,), jnp.float32),
                 n_limit <= 0,
             )
             (
                 i_final, small_k, small_v, small_pos, n_final, prev, wids,
-                wcount, out_tokens, last_logits, event_tok, done,
+                wcount, out_tokens, last_logits, event_tok, probs3, done,
             ) = jax.lax.while_loop(cond, body, init)
             target_idx = jnp.where(small_pos < rejected, small_pos, trash)
             k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
-            return out_tokens, i_final, event_tok, last_logits, k, v
+            return out_tokens, i_final, event_tok, last_logits, probs3, k, v
 
         self._prefill_fn = prefill
         self._decode_fn = decode_step
@@ -375,6 +399,7 @@ class DuplexLMEngine:
         self._n_tokens = 0
         self._input_ids = []
         self._last_logits = None
+        self._frame_probs = None
         self.rebuild_abort()
 
     def commit_external_eval(self, tokens: Sequence[int]) -> None:
@@ -383,6 +408,7 @@ class DuplexLMEngine:
         tokens = [int(t) for t in tokens]
         self._input_ids.extend(tokens)
         self._n_tokens += len(tokens)
+        self._frame_probs = None
 
     # -------------------------------------------- incremental cache rebuild
     # Context trims shift RoPE positions (post-trim tokens re-land right
@@ -455,6 +481,7 @@ class DuplexLMEngine:
         self._input_ids = list(self._rb_tokens)
         self._n_tokens = len(self._rb_tokens)
         self._last_logits = self._rb_logits
+        self._frame_probs = None
         self._rb_tokens = None
         self._rb_progress = 0
         self._rb_logits = None
@@ -538,6 +565,7 @@ class DuplexLMEngine:
             self._input_ids.extend(chunk)
             self._n_tokens += len(chunk)
             pos += len(chunk)
+        self._frame_probs = None
 
     def sample(self, idx: Optional[int] = None) -> int:
         """Sample from the logits at the last evaled position."""
@@ -586,6 +614,7 @@ class DuplexLMEngine:
         self._last_logits = logits
         self._input_ids.extend(tokens)
         self._n_tokens += len(tokens)
+        self._frame_probs = None
         return int(token)
 
     def eval_and_sample_frames(
@@ -634,8 +663,12 @@ class DuplexLMEngine:
             window[-len(tail):] = tail
         ut = np.zeros((max_frames,), np.int32)
         ut[: len(user_tokens)] = [int(t) for t in user_tokens]
+        # the riding probe reports on (end_audio, agent, user); without a
+        # registration the program still runs (the probe row costs no extra
+        # weight reads) but its scalars are not exposed
+        probe = self._probe_token_ids or (end_header, 0, 0)
         scalars, (bias_ids, bias_vals) = self._device_settings()
-        out, n_evaled, event_tok, last_logits, self._k, self._v = self._frames_fn(
+        out, n_evaled, event_tok, last_logits, probs3, self._k, self._v = self._frames_fn(
             self.params,
             self._k,
             self._v,
@@ -651,10 +684,13 @@ class DuplexLMEngine:
             jnp.int32(len(tail)),
             jnp.int32(end_header),
             jnp.int32(len(user_tokens)),
+            jnp.asarray(np.array(probe, np.int32)),
             self.settings.top_k,
             max_frames,
         )
-        out, n_evaled, event_tok = jax.device_get((out, n_evaled, event_tok))
+        out, n_evaled, event_tok, probs3 = jax.device_get(
+            (out, n_evaled, event_tok, probs3)
+        )
         n_evaled = int(n_evaled)
         hit_event = int(out[n_evaled - 1]) < 0 if n_evaled else False
         accepted = [int(t) for t in out[: n_evaled - 1 if hit_event else n_evaled]]
@@ -665,12 +701,28 @@ class DuplexLMEngine:
         self._n_tokens += len(evaled)
         self._step += n_evaled
         self._last_logits = last_logits
+        self._frame_probs = (
+            tuple(float(x) for x in probs3)
+            if self._probe_token_ids is not None
+            else None
+        )
         return accepted, (int(event_tok) if hit_event else None)
 
     def set_end_header_token_id(self, token_id: int) -> None:
         """Register the audio/event boundary id (tokens > this are codec
         audio) for eval_and_sample_frames."""
         self._end_header_token_id = int(token_id)
+
+    def set_probe_token_ids(self, end_audio_id: int, agent_id: int, user_id: int) -> None:
+        """Register the ids the riding event probe reports on (the frames
+        program then returns P(end_audio) + speaker lookahead for free)."""
+        self._probe_token_ids = (int(end_audio_id), int(agent_id), int(user_id))
+
+    def consume_frame_probs(self):
+        """(p_end, p_agent, p_user) from the most recent frames program IF
+        nothing has moved the position since; None otherwise. One-shot."""
+        probs, self._frame_probs = self._frame_probs, None
+        return probs
 
     def generate_until(
         self, first_token: int, stop_id: int, max_n: int = 64,
@@ -718,6 +770,7 @@ class DuplexLMEngine:
         self._n_tokens += len(evaled)
         self._step += len(toks)
         self._last_logits = last_logits
+        self._frame_probs = None
         return toks, bool(hit)
 
     def generate(
