@@ -162,6 +162,7 @@ def main():
         eng.init_sampler_for_generate(temp=0.0)
         eng.eval_and_sample([1])                     # decode T=1 / T=2
         eng.eval_and_sample([1, 2])
+        eng.event_probs(1, [2, 3])                   # fallback probe program
         eng.reset()
     agent = RealtimeAgent(resources=resources, config=config)
     if not args.no_prewarm:

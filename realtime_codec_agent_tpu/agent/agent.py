@@ -751,9 +751,7 @@ class RealtimeAgent:
                 and hasattr(llm, "eval_and_sample_frames")
             ):
                 tail = self.input_ids[-2:]
-                if n_frames - i >= 2 and all(
-                    t > self.end_header_token_id for t in tail
-                ):
+                if all(t > self.end_header_token_id for t in tail):
                     pending_evaled = 0
                 elif len(self.input_ids) >= 2 and tail[-1] == self.start_audio_token_id:
                     pending_evaled = 1
