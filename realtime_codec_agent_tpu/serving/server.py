@@ -167,10 +167,15 @@ def main(argv=None):
              "jitted decode step (the concurrency the reference got from vLLM)",
     )
     parser.add_argument("--serving_context", type=int, default=4096)
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 decode weights (serve the reference's q8_0-parity artifact)",
+    )
     args = parser.parse_args(argv)
 
     resources = RealtimeAgentResources(
         llm_model_path=args.llm_model_path, tiny=args.tiny, whisper_model=None,
+        quantize_int8=args.int8,
         # completions serving keeps the reference's full 16k context headroom
         # (the realtime agent's policy-sized default doesn't apply here)
         llm_n_ctx=16384,
