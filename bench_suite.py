@@ -29,11 +29,50 @@ import numpy as np
 
 def release_device_memory():
     """Drop dead device buffers between sections: each section allocates
-    multi-GB params/caches and the next one needs the HBM back (del alone
-    leaves buffers to the garbage collector)."""
+    multi-GB params/caches and the next one needs the HBM back. gc alone is
+    not enough — jitted programs capture params as constants and the global
+    executable cache keeps those buffers alive until the cache is cleared."""
     import gc
 
+    import jax
+
     gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
+
+# Section groups that each allocate multi-GB of HBM. Run in one process they
+# starve each other even with release_device_memory() (measured: the train
+# section OOMed at every seq_len after the inference sections ran first), so
+# the full suite runs each group in its own subprocess with a fresh device.
+SECTIONS = ["codec", "encode", "ar", "selfplay", "batched", "bandwidth", "train", "whisper"]
+GROUPS = [
+    ["codec", "encode"],
+    ["batched"],
+    ["bandwidth"],
+    ["train"],
+    ["whisper"],
+    ["ar", "selfplay"],
+]
+
+
+def run_groups(args, extra_argv):
+    """Re-invoke this script once per section group (subprocess isolation)."""
+    import subprocess
+
+    rc = 0
+    for group in GROUPS:
+        wanted = [s for s in group if s not in args.skip]
+        if not wanted:
+            continue
+        skip = [s for s in SECTIONS if s not in wanted]
+        cmd = [sys.executable, __file__, "--inproc", "--skip", *skip, *extra_argv]
+        print(f"# --- suite group: {'+'.join(wanted)} ---", file=sys.stderr)
+        r = subprocess.run(cmd)
+        if r.returncode != 0:
+            print(f"# group {'+'.join(wanted)} failed (rc={r.returncode})", file=sys.stderr)
+            rc = 1
+    return rc
 
 
 def emit(metric, value, unit, **extra):
@@ -43,6 +82,10 @@ def emit(metric, value, unit, **extra):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument(
+        "--inproc", action="store_true",
+        help="run all requested sections in this process (no subprocess isolation)",
+    )
     parser.add_argument(
         "--skip", nargs="+", default=[],
         choices=[
@@ -59,6 +102,17 @@ def main():
     )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
+
+    if not args.inproc and not args.tiny:
+        extra = [
+            "--serving_batch", str(args.serving_batch),
+            "--train_seq_len", str(args.train_seq_len),
+            "--train_steps", str(args.train_steps),
+            "--seed", str(args.seed),
+        ]
+        if args.peak_tflops is not None:
+            extra += ["--peak_tflops", str(args.peak_tflops)]
+        sys.exit(run_groups(args, extra))
 
     from realtime_codec_agent_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -90,6 +144,8 @@ def main():
             (_, out), _, _ = at.detokenize_audio(s)
         dt = time.perf_counter() - t0
         emit("codec_roundtrip_rtf", dt / (n * 0.1), "x_realtime (lower is better)")
+        del at
+        release_device_memory()
 
     # ---- 2. batched corpus encode throughput --------------------------------
     if "encode" not in args.skip:
@@ -106,6 +162,8 @@ def main():
             "batch_encode_xrt", secs / dt, "x_realtime audio-seconds/second (higher is better)",
             frames=int(codes.shape[-1]),
         )
+        del enc
+        release_device_memory()
 
     # ---- 2b. batched serving throughput --------------------------------------
     if "batched" not in args.skip:
@@ -129,23 +187,25 @@ def main():
             beng.set_row_sampler(row, temp=1.0)
             beng.prefill_row(row, list(range(10, 200 + row)))
         active = [True] * args.serving_batch
-        for _ in range(5):
-            beng.step(active, top_k=100)
-        n_steps = 50
-        # dispatch-first (the serving loop's pattern): fetch of step k
-        # overlaps compute of step k+1
+        spd = 8  # BatchedCompletionBackend's steps_per_dispatch default
+        for _ in range(2):
+            beng.step(active, top_k=100, steps=spd)
+        n_disp = 12
+        # the serving loop's pattern: S tokens per program, dispatch-first so
+        # the fetch of dispatch k overlaps the compute of dispatch k+1
         t0 = time.perf_counter()
-        pending = beng.step_async(active, top_k=100)
-        for _ in range(n_steps - 1):
-            nxt = beng.step_async(active, top_k=100)
+        pending = beng.step_async(active, top_k=100, steps=spd)
+        for _ in range(n_disp - 1):
+            nxt = beng.step_async(active, top_k=100, steps=spd)
             beng.resolve(pending)
             pending = nxt
         beng.resolve(pending)
         dt = time.perf_counter() - t0
         emit(
             "batched_serving_tok_s",
-            n_steps * args.serving_batch / dt,
-            f"aggregate tokens/second, {args.serving_batch} concurrent streams (higher is better)",
+            n_disp * spd * args.serving_batch / dt,
+            f"aggregate tokens/second, {args.serving_batch} concurrent streams, "
+            f"{spd} tokens/dispatch (higher is better)",
         )
         del beng, lparams
         release_device_memory()
@@ -334,9 +394,12 @@ def main():
         # 30 s canonical window vs bucketed short windows
         utt = (0.1 * rng.normal(size=int(2.0 * wcfg.sample_rate))).astype(np.float32)
         buckets = [5.0, 10.0] if not args.tiny else []
+        # the decoder start sequence occupies a few target positions; keep
+        # max_new inside max_target_positions (the tiny config has only 24)
+        max_new = min(32, wcfg.max_target_positions - 8)
         for label, windows in [("full", None)] + [(f"{int(w)}s", [w]) for w in buckets]:
             model = JaxWhisperModel(
-                wparams, wcfg, max_new_tokens=32, window_secs=windows
+                wparams, wcfg, max_new_tokens=max_new, window_secs=windows
             )
             model.transcribe_ids(utt)  # compile + warmup
             n = 5

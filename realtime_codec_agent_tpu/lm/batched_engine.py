@@ -124,59 +124,78 @@ class BatchedDecodeEngine:
             }
             return k, v, dstate
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("top_k",))
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2), static_argnames=("top_k", "steps")
+        )
         def step(
-            params, k, v, dstate, active, row_keys, scalars, top_k,
+            params, k, v, dstate, active, row_keys, scalars, top_k, steps=1,
         ):
-            """One token for every row: eval the pending tokens at per-row
-            offsets, sample per-row, and advance the device-carried state for
-            active rows. Inactive rows commit to a trash slot and freeze."""
-            b = active.shape[0]
+            """``steps`` tokens for every row in ONE program: each scan
+            iteration evals the pending tokens at per-row offsets, samples
+            per-row, and advances the device-carried state for active rows
+            (inactive rows commit to a trash slot and freeze). steps=1 is the
+            classic single step; steps=S is token-identical to S consecutive
+            single steps with the same active mask (the per-token PRNG/penalty
+            schedule is per-row state, not per-dispatch) but pays the tunnel's
+            fixed per-fetch fee once per S tokens — the serving loop's
+            throughput is fetch-fee-bound at steps=1."""
             cache_len = k.shape[2]
             trash = cache_len - 1
-            offsets = dstate["off"]
-            tokens = dstate["last"][:, None]
-            positions = offsets[:, None]  # (B,1)
-            hidden, nk, nv = forward_decode(
-                params, tokens, cfg, k, v, positions, cache_valid=offsets
-            )
-            logits = logits_from_hidden(params, hidden[:, -1], cfg)  # (B,V)
-
-            wmask = (
-                jnp.arange(PENALTY_WINDOW)[None, :]
-                >= PENALTY_WINDOW - dstate["wcount"][:, None]
-            ).astype(jnp.float32)
-            keys = jax.vmap(jax.random.fold_in)(row_keys, dstate["step"])
             zero_bias = jnp.zeros((4,), jnp.int32)
             zero_vals = jnp.zeros((4,), jnp.float32)
-            next_tokens = jax.vmap(
-                lambda lg, key, sc, wi, wm: sample_token(
-                    lg, key, sc, zero_bias, zero_vals, wi, wm, top_k=top_k
+
+            def body(carry, _):
+                k, v, dstate = carry
+                offsets = dstate["off"]
+                tokens = dstate["last"][:, None]
+                positions = offsets[:, None]  # (B,1)
+                hidden, nk, nv = forward_decode(
+                    params, tokens, cfg, k, v, positions, cache_valid=offsets
                 )
-            )(logits, keys, scalars, dstate["win"], wmask)
+                logits = logits_from_hidden(params, hidden[:, -1], cfg)  # (B,V)
 
-            commit_off = jnp.where(active, offsets, trash)
-            k, v = commit_kv_rows(k, v, nk, nv, commit_off)
+                wmask = (
+                    jnp.arange(PENALTY_WINDOW)[None, :]
+                    >= PENALTY_WINDOW - dstate["wcount"][:, None]
+                ).astype(jnp.float32)
+                keys = jax.vmap(jax.random.fold_in)(row_keys, dstate["step"])
+                next_tokens = jax.vmap(
+                    lambda lg, key, sc, wi, wm: sample_token(
+                        lg, key, sc, zero_bias, zero_vals, wi, wm, top_k=top_k
+                    )
+                )(logits, keys, scalars, dstate["win"], wmask)
 
-            # chain the per-row state (frozen for inactive rows): the sampled
-            # token becomes pending and joins the penalty window — matching
-            # the sequential engine's make_window over mirror+pending
-            rolled = jnp.concatenate(
-                [dstate["win"][:, 1:], next_tokens[:, None]], axis=1
+                commit_off = jnp.where(active, offsets, trash)
+                k, v = commit_kv_rows(k, v, nk, nv, commit_off)
+
+                # chain the per-row state (frozen for inactive rows): the
+                # sampled token becomes pending and joins the penalty window —
+                # matching the sequential engine's make_window over
+                # mirror+pending
+                rolled = jnp.concatenate(
+                    [dstate["win"][:, 1:], next_tokens[:, None]], axis=1
+                )
+                act = active
+                dstate = {
+                    "last": jnp.where(act, next_tokens, dstate["last"]),
+                    "off": jnp.where(act, offsets + 1, offsets),
+                    "step": jnp.where(act, dstate["step"] + 1, dstate["step"]),
+                    "win": jnp.where(act[:, None], rolled, dstate["win"]),
+                    "wcount": jnp.where(
+                        act,
+                        jnp.minimum(dstate["wcount"] + 1, PENALTY_WINDOW),
+                        dstate["wcount"],
+                    ),
+                }
+                return (k, v, dstate), next_tokens
+
+            if steps == 1:
+                (k, v, dstate), toks = body((k, v, dstate), None)
+                return toks, dstate, k, v
+            (k, v, dstate), toks = jax.lax.scan(
+                body, (k, v, dstate), None, length=steps
             )
-            act = active
-            dstate = {
-                "last": jnp.where(act, next_tokens, dstate["last"]),
-                "off": jnp.where(act, offsets + 1, offsets),
-                "step": jnp.where(act, dstate["step"] + 1, dstate["step"]),
-                "win": jnp.where(act[:, None], rolled, dstate["win"]),
-                "wcount": jnp.where(
-                    act,
-                    jnp.minimum(dstate["wcount"] + 1, PENALTY_WINDOW),
-                    dstate["wcount"],
-                ),
-            }
-            return next_tokens, dstate, k, v
+            return jnp.swapaxes(toks, 0, 1), dstate, k, v  # (B, steps)
 
         self._prefill_fn = prefill_row
         self._step_fn = step
@@ -234,11 +253,13 @@ class BatchedDecodeEngine:
         self.offsets[row] = len(head)
 
     # ------------------------------------------------------------------ steps
-    def step_async(self, active: Sequence[bool], top_k: int = 0):
-        """Dispatch one batched step against the device-carried state and
-        return the sampled-token handles WITHOUT fetching. Consecutive
-        dispatches chain on device; fetch with ``resolve`` one step later so
-        the tunnel's per-fetch fee overlaps the next step's compute."""
+    def step_async(self, active: Sequence[bool], top_k: int = 0, steps: int = 1):
+        """Dispatch one batched ``steps``-token program against the
+        device-carried state and return the sampled-token handles WITHOUT
+        fetching ((B,) for steps=1, (B, steps) otherwise). Consecutive
+        dispatches chain on device; fetch with ``resolve`` one dispatch later
+        so the tunnel's per-fetch fee overlaps the next program's compute (and
+        amortizes over ``steps`` tokens)."""
         active_arr = np.asarray(active, dtype=bool)
         tokens, self.dstate, self._k, self._v = self._step_fn(
             self.params,
@@ -248,14 +269,17 @@ class BatchedDecodeEngine:
             jnp.asarray(active_arr),
             jnp.asarray(self._row_keys.astype(np.uint32)),
             jnp.asarray(self.scalars),
-            int(top_k) if top_k else 1024,
+            top_k=int(top_k) if top_k else 1024,
+            steps=int(steps),
         )
-        self.offsets[active_arr] += 1  # mirror (content arrives at resolve)
+        self.offsets[active_arr] += steps  # mirror (content arrives at resolve)
         return tokens
 
-    def resolve(self, handles) -> List[int]:
-        return [int(t) for t in np.asarray(jax.device_get(handles))]
+    def resolve(self, handles):
+        """Fetch dispatched tokens: List[int] for a steps=1 dispatch,
+        List[List[int]] (rows × steps) for a multi-step dispatch."""
+        return np.asarray(jax.device_get(handles)).tolist()
 
-    def step(self, active: Sequence[bool], top_k: int = 0) -> List[int]:
+    def step(self, active: Sequence[bool], top_k: int = 0, steps: int = 1):
         """Synchronous convenience: dispatch + immediate resolve."""
-        return self.resolve(self.step_async(active, top_k=top_k))
+        return self.resolve(self.step_async(active, top_k=top_k, steps=steps))

@@ -43,10 +43,17 @@ class BatchedCompletionBackend:
         engine: BatchedDecodeEngine,
         tokenizer: CodecTextTokenizer,
         model_name: str = "rtca-tpu-duplex-lm",
+        steps_per_dispatch: int = 8,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
+        # tokens decoded per device program: the tunnel's fixed per-fetch fee
+        # (~25-30 ms) dominates a single ~7 ms batched step, so fetching once
+        # per S tokens multiplies aggregate throughput. Rows that finish
+        # mid-program decode junk for the remainder (discarded on the host);
+        # stop/EOS latency granularity becomes S tokens.
+        self.steps = max(1, int(steps_per_dispatch))
         self._waiting: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * engine.batch
         self._wake = threading.Event()
@@ -81,8 +88,14 @@ class BatchedCompletionBackend:
                 f"prompt too long for the serving cache "
                 f"({len(prompt_ids)} > {self.engine.max_prompt_len()} tokens)"
             )
+        # reserve 2*steps cache slots for the junk tokens a finished row
+        # decodes while its final program(s) are in flight
         max_tokens = max(
-            1, min(max_tokens, self.engine.max_context - 2 - len(prompt_ids))
+            1,
+            min(
+                max_tokens,
+                self.engine.max_context - 2 - len(prompt_ids) - 2 * self.steps,
+            ),
         )
         req = _Request(
             prompt_ids=prompt_ids,
@@ -155,7 +168,7 @@ class BatchedCompletionBackend:
             req.emitted = safe
         if (
             len(req.out_ids) >= req.max_tokens
-            or self.engine.row_capacity_left(row) <= 1
+            or self.engine.row_capacity_left(row) <= self.steps + 1
         ):
             self._finish(row, "length")
 
@@ -207,7 +220,9 @@ class BatchedCompletionBackend:
             if any(active):
                 # per-request top_k rides the per-row sampler scalars; the
                 # static lax.top_k bound stays fixed (no recompiles)
-                handles = self.engine.step_async(active, top_k=1024)
+                handles = self.engine.step_async(
+                    active, top_k=1024, steps=self.steps
+                )
                 this = (handles, list(active))
             else:
                 this = None
@@ -215,17 +230,26 @@ class BatchedCompletionBackend:
             if pending is not None:
                 handles, was_active = pending
                 tokens = self.engine.resolve(handles)
-                for row, (is_active, token) in enumerate(zip(was_active, tokens)):
+                if self.steps == 1:
+                    tokens = [[t] for t in tokens]
+                for row, (is_active, row_tokens) in enumerate(
+                    zip(was_active, tokens)
+                ):
                     if draining[row]:
-                        # the speculative token of a finished request: discard
-                        # and free the slot
+                        # the speculative tokens of a finished request:
+                        # discard and free the slot
                         draining[row] = False
                         self._slots[row] = None
-                    elif is_active and self._slots[row] is not None:
+                        continue
+                    if not is_active:
+                        continue
+                    for token in row_tokens:
+                        if self._slots[row] is None:
+                            break  # finished mid-program: rest is junk
                         self._route_token(row, token)
-                        if self._slots[row] is None and this is not None:
-                            # finished, but already active in the in-flight
-                            # step: hold the slot until that token resolves
-                            self._slots[row] = _DRAINING
-                            draining[row] = True
+                    if self._slots[row] is None and this is not None:
+                        # finished, but already active in the in-flight
+                        # program: hold the slot until those tokens resolve
+                        self._slots[row] = _DRAINING
+                        draining[row] = True
             pending = this

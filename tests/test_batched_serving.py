@@ -78,6 +78,30 @@ def test_batched_rows_match_sequential_greedy(setup):
     assert eng.offsets[0] == len(prompts[0]) - 1 + n
 
 
+def test_multi_step_dispatch_token_identical(setup):
+    """steps=S in one program == S consecutive single steps (same active
+    mask): the per-token PRNG/penalty schedule is per-row device state, so
+    the fetch-amortized serving path must not change any sampled token."""
+    tok, cfg, params = setup
+    prompts = [tok.encode("hello there"), tok.encode("zq")]
+
+    def run(steps_list):
+        eng = BatchedDecodeEngine(params, cfg, batch_size=2, max_context=256, seed=0)
+        for row, p in enumerate(prompts):
+            eng.set_row_sampler(row, temp=0.9, top_k=50, repeat_penalty=1.1, seed=row)
+            eng.prefill_row(row, p)
+        outs = [[] for _ in prompts]
+        for s in steps_list:
+            tokens = eng.step([True, True], steps=s)
+            if s == 1:
+                tokens = [[t] for t in tokens]
+            for r in range(len(prompts)):
+                outs[r].extend(tokens[r])
+        return outs
+
+    assert run([1] * 12) == run([4, 4, 4]) == run([8, 4]) == run([12])
+
+
 def test_batched_seed_reproducible_and_guards(setup):
     tok, cfg, params = setup
     engine = BatchedDecodeEngine(params, cfg, batch_size=2, max_context=256, seed=0)
