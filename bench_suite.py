@@ -96,6 +96,11 @@ def main():
     parser.add_argument("--serving_batch", type=int, default=8)
     parser.add_argument("--train_seq_len", type=int, default=2048)
     parser.add_argument("--train_steps", type=int, default=5)
+    parser.add_argument("--train_batch", type=int, default=1)
+    parser.add_argument("--train_loss_block", type=int, default=512)
+    parser.add_argument(
+        "--train_remat_policy", choices=["full", "dots"], default="full"
+    )
     parser.add_argument(
         "--peak_tflops", type=float, default=None,
         help="peak bf16 TFLOP/s for MFU (default: inferred from device kind)",
@@ -108,6 +113,9 @@ def main():
             "--serving_batch", str(args.serving_batch),
             "--train_seq_len", str(args.train_seq_len),
             "--train_steps", str(args.train_steps),
+            "--train_batch", str(args.train_batch),
+            "--train_loss_block", str(args.train_loss_block),
+            "--train_remat_policy", args.train_remat_policy,
             "--seed", str(args.seed),
         ]
         if args.peak_tflops is not None:
@@ -290,38 +298,49 @@ def main():
             codec_vocab_start=cvs,
             codebook_size=ccfg.codebook_size,
         )
-        params = init_lm_params(
-            _jax.random.PRNGKey(0), lcfg, with_codec_embed=True
-        )
-        # Dual-route training never gathers embed rows >= codec_vocab_start
-        # (codec ids take the frozen-table+projector path), so the codec
-        # region of the input embedding is dead weight: trimming it saves
-        # ~1 GB of params and ~2 GB of AdamW state on one chip. The
-        # reference keeps those rows allocated-but-unused
-        # (codec_llama.py:107-112 + resize_token_embeddings); persist
-        # re-materializes them at deployment time.
-        params["embed_tokens"] = params["embed_tokens"][:cvs]
-        n_matmul = sum(
-            x.size for blk in params["layers"] for x in _jax.tree_util.tree_leaves(blk)
-        ) + params.get("lm_head", params["embed_tokens"]).size
-        # stack to the trainer's scan-over-layers layout HERE so the unrolled
-        # originals are released before the optimizer state allocates (holding
-        # both layouts costs an extra ~2 GB at this scale)
         from realtime_codec_agent_tpu.models.llama import stack_layer_params
 
-        params = stack_layer_params(params)
-        release_device_memory()
+        def fresh_params():
+            # the train step DONATES params, so every (re)try needs its own
+            # init — a failed attempt has already consumed the previous tree
+            p = init_lm_params(
+                _jax.random.PRNGKey(0), lcfg, with_codec_embed=True
+            )
+            # Dual-route training never gathers embed rows >=
+            # codec_vocab_start (codec ids take the frozen-table+projector
+            # path), so the codec region of the input embedding is dead
+            # weight: trimming it saves ~1 GB of params and ~2 GB of AdamW
+            # state on one chip. The reference keeps those rows
+            # allocated-but-unused (codec_llama.py:107-112 +
+            # resize_token_embeddings); persist re-materializes them at
+            # deployment time.
+            p["embed_tokens"] = p["embed_tokens"][:cvs]
+            n = sum(
+                x.size for blk in p["layers"] for x in _jax.tree_util.tree_leaves(blk)
+            ) + p.get("lm_head", p["embed_tokens"]).size
+            # stack to the trainer's scan-over-layers layout HERE so the
+            # unrolled originals are released before the optimizer state
+            # allocates (holding both layouts costs an extra ~2 GB)
+            return stack_layer_params(p), n
+
         seq_len = args.train_seq_len if not args.tiny else 256
         done = False
         while not done and seq_len >= 128:
             try:
+                release_device_memory()
+                params, n_matmul = fresh_params()
                 trainer = Trainer(
                     params, lcfg,
-                    TrainConfig(max_seq_len=seq_len, remat=True, max_steps=10**9),
+                    TrainConfig(
+                        max_seq_len=seq_len, remat=True, max_steps=10**9,
+                        remat_policy=args.train_remat_policy,
+                        loss_block_size=args.train_loss_block or None,
+                    ),
                 )
                 rng2 = np.random.default_rng(0)
                 seqs = [
-                    list(rng2.integers(0, vocab, size=seq_len)) for _ in range(1)
+                    list(rng2.integers(0, vocab, size=seq_len))
+                    for _ in range(args.train_batch)
                 ]
                 batch, labels = pad_batch(seqs, seq_len, pad_id=0)
                 trainer.train_batch(batch, labels)  # compile + warmup
@@ -342,14 +361,36 @@ def main():
                     f"# train seq_len {seq_len} OOM; retrying at {seq_len//2}",
                     file=sys.stderr,
                 )
-                seq_len //= 2
-                # the donated/partial state must go before the retry allocates
                 trainer = None
-                import gc
+                params = None
+                release_device_memory()
+                if not args.tiny:
+                    # the backend does not reliably return a failed attempt's
+                    # HBM to this process (a 2048 retry OOMed right after a
+                    # 4096 failure even though 2048 fits a fresh process) —
+                    # retry in a clean subprocess instead
+                    import subprocess
 
-                gc.collect()
+                    cmd = [
+                        sys.executable, __file__, "--inproc",
+                        "--skip", *[s for s in SECTIONS if s != "train"],
+                        "--train_seq_len", str(seq_len // 2),
+                        "--train_steps", str(args.train_steps),
+                        "--train_batch", str(args.train_batch),
+                        "--train_loss_block", str(args.train_loss_block),
+                        "--train_remat_policy", args.train_remat_policy,
+                        "--seed", str(args.seed),
+                    ]
+                    if args.peak_tflops is not None:
+                        cmd += ["--peak_tflops", str(args.peak_tflops)]
+                    subprocess.run(cmd)
+                    done = "subprocess"  # the child emitted the metrics
+                    break
+                seq_len //= 2
         if not done:
             print("# train section skipped: OOM at every seq_len", file=sys.stderr)
+        elif done == "subprocess":
+            pass  # metrics already emitted by the clean-process retry
         else:
             tok_s = args.train_steps * batch.shape[0] * seq_len / dt
             emit(

@@ -62,6 +62,11 @@ class DuplexLMConfig:
     # trades ~30% more FLOPs for O(layers) less activation memory — the
     # standard TPU recipe for fitting 1B-scale training on few chips
     remat: bool = False
+    # "full" recomputes the whole layer body on backward; "dots" saves
+    # matmul outputs (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    # and recomputes only the cheap elementwise work — more activation
+    # memory, ~one forward of FLOPs saved per step
+    remat_policy: str = "full"
 
     @property
     def rope_scaling(self):
@@ -416,7 +421,12 @@ def forward(
         return res + _mlp(y, blk, dtype)
 
     if cfg.remat:
-        layer_body = jax.checkpoint(layer_body)
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if cfg.remat_policy == "dots"
+            else None
+        )
+        layer_body = jax.checkpoint(layer_body, policy=policy)
     if isinstance(params["layers"], dict):
         # stacked layout (stack_layer_params): scan the single layer body
         # over the leading layer axis

@@ -52,6 +52,12 @@ class TrainConfig:
     # rematerialize layer activations on backward (jax.checkpoint):
     # ~30% extra forward FLOPs for O(layers) less activation memory
     remat: bool = True
+    # remat policy: "full" (recompute everything) or "dots" (save matmul
+    # outputs; fewer recompute FLOPs, more activation memory)
+    remat_policy: str = "full"
+    # blockwise CE loss: never materialize the (T, 259k-vocab) logits;
+    # None keeps the single-shot loss
+    loss_block_size: Optional[int] = 512
 
 
 def pad_batch(
@@ -68,20 +74,59 @@ def pad_batch(
     return batch, labels
 
 
-def loss_and_metrics(params, batch, labels, cfg: DuplexLMConfig):
-    """Causal LM loss with shifted labels; -100 ignored."""
+def _ce_sums(logits, labels):
+    """(loss_sum, n_valid, n_correct) for one block of shifted logits/labels."""
+    valid = labels != -100
+    safe = jnp.maximum(labels, 0)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    token_lp = jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+    loss_sum = -(token_lp * valid).sum()
+    correct = ((jnp.argmax(logits, axis=-1) == labels) & valid).sum()
+    return loss_sum, valid.sum(), correct
+
+
+def loss_and_metrics(
+    params, batch, labels, cfg: DuplexLMConfig, loss_block: Optional[int] = None
+):
+    """Causal LM loss with shifted labels; -100 ignored.
+
+    With ``loss_block`` set, the (T, vocab) logits are never materialized:
+    the head matmul + softmax run over T blocks (each under jax.checkpoint),
+    so forward and backward hold one (block, vocab) slab at a time. At the
+    deployment vocabulary (259,584) the full f32 logits + their gradient
+    cost >4 GB at T=2048 — blocking frees that HBM for bigger batches.
+    Identical math, only the reduction is reassociated."""
     hidden, _ = forward(params, batch, cfg, attn_mask=(labels != -100))
-    logits = logits_from_hidden(params, hidden, cfg)  # (B, T, V) f32
-    shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]
-    valid = shift_labels != -100
-    safe_labels = jnp.maximum(shift_labels, 0)
-    lp = jax.nn.log_softmax(shift_logits, axis=-1)
-    token_lp = jnp.take_along_axis(lp, safe_labels[..., None], axis=-1)[..., 0]
-    n_valid = jnp.maximum(valid.sum(), 1)
-    loss = -(token_lp * valid).sum() / n_valid
-    preds = jnp.argmax(shift_logits, axis=-1)
-    accuracy = ((preds == shift_labels) & valid).sum() / n_valid
+    t = hidden.shape[1] - 1
+    if not loss_block or t <= loss_block:
+        # full-T head matmul, then slice: T stays MXU-aligned (T-1 is odd)
+        logits = logits_from_hidden(params, hidden, cfg)  # (B, T, V) f32
+        loss_sum, n_valid, correct = _ce_sums(logits[:, :-1], shift_labels)
+    else:
+        shift_hidden = hidden[:, :-1]
+        b, _, d = shift_hidden.shape
+        nb = -(-t // loss_block)
+        pad = nb * loss_block - t
+        sh = jnp.pad(shift_hidden, ((0, 0), (0, pad), (0, 0)))
+        sl = jnp.pad(shift_labels, ((0, 0), (0, pad)), constant_values=-100)
+        sh = sh.reshape(b, nb, loss_block, d)
+        sl = sl.reshape(b, nb, loss_block)
+
+        # blocks are independent — an unrolled tree reduction (not a scan)
+        # leaves XLA free to overlap/schedule them
+        @jax.checkpoint
+        def block(h, lb):
+            logits = logits_from_hidden(params, h, cfg)  # (B, blk, V) f32
+            return _ce_sums(logits, lb)
+
+        parts = [block(sh[:, i], sl[:, i]) for i in range(nb)]
+        loss_sum = sum(p[0] for p in parts)
+        n_valid = sum(p[1] for p in parts)
+        correct = sum(p[2] for p in parts)
+    n_valid = jnp.maximum(n_valid, 1)
+    loss = loss_sum / n_valid
+    accuracy = correct / n_valid
     return loss, {"accuracy": accuracy, "n_tokens": n_valid}
 
 
@@ -93,7 +138,11 @@ class Trainer:
         train_config: TrainConfig,
         mesh=None,
     ):
-        self.cfg = dataclasses.replace(lm_config, remat=train_config.remat)
+        self.cfg = dataclasses.replace(
+            lm_config,
+            remat=train_config.remat,
+            remat_policy=train_config.remat_policy,
+        )
         self.tc = train_config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.step = 0
@@ -149,16 +198,24 @@ class Trainer:
         )
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(
-            functools.partial(loss_and_metrics, cfg=self.cfg)
+            functools.partial(
+                loss_and_metrics, cfg=self.cfg,
+                loss_block=self.tc.loss_block_size,
+            )
         )
 
     def _build_train_step(self):
         cfg = self.cfg
 
+        loss_block = self.tc.loss_block_size
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, labels):
             (loss, metrics), grads = jax.value_and_grad(
-                lambda p: loss_and_metrics(p, batch, labels, cfg), has_aux=True
+                lambda p: loss_and_metrics(
+                    p, batch, labels, cfg, loss_block=loss_block
+                ),
+                has_aux=True,
             )(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -267,3 +267,46 @@ def test_stacked_layers_match_unrolled():
         jax.tree_util.tree_leaves(back), jax.tree_util.tree_leaves(params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blockwise_loss_matches_full():
+    """loss_block must not change loss, accuracy, or gradients (the blockwise
+    path only reassociates the CE reduction), including with -100 padding and
+    a remat policy in play."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.train.trainer import loss_and_metrics
+
+    cfg = tiny_lm_config(vocab_size=96, compute_dtype="float32", max_context=64)
+    params = init_lm_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(1, 96, size=(2, 37)))
+    labels = np.asarray(batch).copy()
+    labels[0, 30:] = -100  # ragged valid lengths
+    labels = jnp.asarray(labels)
+
+    def run(loss_block, c):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_and_metrics(p, batch, labels, c, loss_block=loss_block),
+            has_aux=True,
+        )(params)
+        return loss, metrics, grads
+
+    loss_a, met_a, grads_a = run(None, cfg)
+    # block size that does NOT divide T-1=36: exercises the -100 pad tail
+    loss_b, met_b, grads_b = run(16, cfg)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    np.testing.assert_allclose(float(met_a["accuracy"]), float(met_b["accuracy"]), rtol=1e-6)
+    assert int(met_a["n_tokens"]) == int(met_b["n_tokens"])
+    for ga, gb in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)
+
+    # composes with remat + the "dots" policy
+    cfg_d = dataclasses.replace(cfg, remat=True, remat_policy="dots")
+    loss_c, _, grads_c = run(16, cfg_d)
+    np.testing.assert_allclose(float(loss_a), float(loss_c), rtol=1e-6)
+    for ga, gc in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_c)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), rtol=1e-5, atol=1e-6)
