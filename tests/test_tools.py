@@ -120,3 +120,41 @@ def test_enrollment_selector_minsec():
     sel, c1, c2 = select_audio((sr, stereo), 0.01, 0.03)
     assert sel[1].shape == (200, 2)
     np.testing.assert_array_equal(c1[1], stereo[100:300, 0])
+
+
+def test_bench_suite_orchestrator_groups(monkeypatch):
+    """The full-suite orchestrator covers every section exactly once across
+    subprocess groups, forwards knobs, and honors --skip."""
+    import subprocess
+    import sys as _sys
+
+    import bench_suite
+
+    calls = []
+
+    def fake_run(cmd, **kwargs):
+        calls.append(cmd)
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["bench_suite.py", "--skip", "train", "--serving_batch", "4"],
+    )
+    with pytest.raises(SystemExit) as exc:
+        bench_suite.main()
+    assert exc.value.code == 0
+
+    covered = []
+    for cmd in calls:
+        assert cmd[1].endswith("bench_suite.py") and "--inproc" in cmd
+        skip = cmd[cmd.index("--skip") + 1 : cmd.index("--serving_batch")]
+        wanted = [s for s in bench_suite.SECTIONS if s not in skip]
+        covered.extend(wanted)
+        assert cmd[cmd.index("--serving_batch") + 1] == "4"
+    assert sorted(covered) == sorted(s for s in bench_suite.SECTIONS if s != "train")
+    assert len(covered) == len(set(covered))  # each section exactly once
