@@ -102,6 +102,9 @@ def main():
         "--train_remat_policy", choices=["full", "dots"], default="full"
     )
     parser.add_argument(
+        "--train_optimizer", choices=["adamw", "adafactor"], default="adamw"
+    )
+    parser.add_argument(
         "--peak_tflops", type=float, default=None,
         help="peak bf16 TFLOP/s for MFU (default: inferred from device kind)",
     )
@@ -335,6 +338,7 @@ def main():
                         max_seq_len=seq_len, remat=True, max_steps=10**9,
                         remat_policy=args.train_remat_policy,
                         loss_block_size=args.train_loss_block or None,
+                        optimizer=args.train_optimizer,
                     ),
                 )
                 rng2 = np.random.default_rng(0)
@@ -379,6 +383,7 @@ def main():
                         "--train_batch", str(args.train_batch),
                         "--train_loss_block", str(args.train_loss_block),
                         "--train_remat_policy", args.train_remat_policy,
+                        "--train_optimizer", args.train_optimizer,
                         "--seed", str(args.seed),
                     ]
                     if args.peak_tflops is not None:
@@ -395,7 +400,8 @@ def main():
             tok_s = args.train_steps * batch.shape[0] * seq_len / dt
             emit(
                 "train_step_tok_s", tok_s,
-                f"training tokens/second (B={batch.shape[0]}, T={seq_len}, remat, dual-route codec embed)",
+                f"training tokens/second (B={batch.shape[0]}, T={seq_len}, "
+                f"remat, dual-route codec embed, {args.train_optimizer})",
                 loss=round(m["loss"], 3),
             )
             peak = args.peak_tflops

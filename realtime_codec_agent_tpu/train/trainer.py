@@ -58,6 +58,12 @@ class TrainConfig:
     # blockwise CE loss: never materialize the (T, 259k-vocab) logits;
     # None keeps the single-shot loss
     loss_block_size: Optional[int] = 512
+    # "adamw" (reference-parity default, HF Trainer's optimizer) or
+    # "adafactor": factored second moment + no first moment frees the ~8 GB
+    # of f32 AdamW state at 1B scale — on one 16 GB chip that HBM buys a
+    # bigger batch (weights are re-read once per step regardless of B, so
+    # tokens/s scales with B until compute-bound)
+    optimizer: str = "adamw"
 
 
 def pad_batch(
@@ -158,15 +164,23 @@ class Trainer:
             ],
             [self.tc.warmup_steps],
         )
-        tx = optax.chain(
-            optax.clip_by_global_norm(self.tc.grad_clip),
-            optax.adamw(
+        if self.tc.optimizer == "adafactor":
+            opt = optax.adafactor(
+                schedule,
+                # adafactor's own update clipping stays on; global-norm clip
+                # below matches the adamw chain's behavior
+                weight_decay_rate=self.tc.weight_decay or None,
+            )
+        elif self.tc.optimizer == "adamw":
+            opt = optax.adamw(
                 schedule,
                 b1=self.tc.adam_b1,
                 b2=self.tc.adam_b2,
                 weight_decay=self.tc.weight_decay,
-            ),
-        )
+            )
+        else:
+            raise ValueError(f"unknown optimizer {self.tc.optimizer!r}")
+        tx = optax.chain(optax.clip_by_global_norm(self.tc.grad_clip), opt)
         if self.tc.freeze_codec_table and "codec_embed" in params:
             # frozen codec table: zero its updates (reference codec_llama.py:55)
             def label_fn(p):
@@ -185,12 +199,20 @@ class Trainer:
         # (models/llama.stack_layer_params); checkpoints store this layout
         # and export_params()/load_params unstack for inference
         params = stack_layer_params(params)
-        # shard params + opt state over the mesh
+        # shard params + opt state over the mesh. Opt-state shardings are
+        # EXPLICIT: optimizer moments shard like their param, everything else
+        # (step counts, factored row/col stats) is replicated. Without this
+        # the init outputs are uncommitted single-device arrays — training
+        # still works (jit re-shards them on first step) but orbax restore
+        # then pins the restored opt state to ONE device while params stay
+        # mesh-sharded, and the first post-resume train step dies with
+        # "incompatible devices". Explicit shardings make init and restore
+        # land on the same layout.
         self.param_specs = mesh_lib.lm_param_specs(params)
         self.params = mesh_lib.shard_params(params, self.mesh)
+        self.opt_shardings = self._opt_state_shardings()
         self.opt_state = jax.jit(
-            self.tx.init,
-            out_shardings=None,  # let XLA lay out against sharded params
+            self.tx.init, out_shardings=self.opt_shardings
         )(self.params)
 
         self._batch_sharding = jax.sharding.NamedSharding(
@@ -203,6 +225,41 @@ class Trainer:
                 loss_block=self.tc.loss_block_size,
             )
         )
+
+    def _opt_state_shardings(self):
+        """NamedShardings for the optimizer state pytree.
+
+        Optimizer-state subtrees that mirror the params pytree (AdamW mu/nu,
+        adafactor's non-factored v) keep their param's partition spec —
+        matched by path suffix + shape. Everything else (scalar step counts,
+        adafactor's factored row/col statistics) is replicated; those are
+        O(sum-of-dims) small.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def key_token(k):
+            for attr in ("key", "idx", "name"):
+                if hasattr(k, attr):
+                    return getattr(k, attr)
+            return str(k)
+
+        param_by_path = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+            keys = tuple(key_token(k) for k in path)
+            param_by_path[keys] = (leaf.shape, leaf.sharding)
+
+        replicated = NamedSharding(self.mesh, P())
+        abstract = jax.eval_shape(self.tx.init, self.params)
+
+        def pick(path, leaf):
+            keys = tuple(key_token(k) for k in path)
+            for i in range(len(keys)):
+                hit = param_by_path.get(keys[i:])
+                if hit is not None and hit[0] == leaf.shape:
+                    return hit[1]
+            return replicated
+
+        return jax.tree_util.tree_map_with_path(pick, abstract)
 
     def _build_train_step(self):
         cfg = self.cfg

@@ -99,6 +99,11 @@ def test_checkpoint_save_resume(cfg, mesh, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.device_get(tr2.params["layers"]["wq"][0])), saved_wq
     )
+    # the restored state must be TRAINABLE: restored opt state has to land on
+    # the same mesh sharding as params (a restore pinned to one device kills
+    # the first post-resume step with "incompatible devices")
+    m = tr2.train_batch(batch, labels)
+    assert np.isfinite(m["loss"])
 
 
 def test_save_load_bare_params(cfg, mesh, tmp_path):
@@ -310,3 +315,43 @@ def test_blockwise_loss_matches_full():
     np.testing.assert_allclose(float(loss_a), float(loss_c), rtol=1e-6)
     for ga, gc in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_c)):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), rtol=1e-5, atol=1e-6)
+
+
+def test_adafactor_trains_and_resumes(cfg, mesh, tmp_path):
+    """optimizer="adafactor" (factored second moment — the 1B one-chip
+    memory saver): loss decreases, the frozen codec table stays frozen, and
+    its differently-shaped opt state round-trips through orbax."""
+    from realtime_codec_agent_tpu.train import checkpoint as ckpt
+
+    tr = make_trainer(
+        cfg, mesh, tmp_path, max_steps=30, learning_rate=1e-2,
+        optimizer="adafactor",
+    )
+    frozen_before = np.asarray(jax.device_get(tr.params["codec_embed"]["table"]))
+    batch, labels = rand_batch(cfg, bs=8, seq=32)
+    losses = [tr.train_batch(batch, labels)["loss"] for _ in range(12)]
+    assert losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(tr.params["codec_embed"]["table"])),
+        frozen_before,
+    )
+
+    ckpt.save(str(tmp_path), tr)
+    saved_wq = np.asarray(jax.device_get(tr.params["layers"]["wq"][0]))
+    tr2 = make_trainer(
+        cfg, mesh, tmp_path, max_steps=30, learning_rate=1e-2,
+        optimizer="adafactor",
+    )
+    assert ckpt.restore_latest(str(tmp_path), tr2)
+    assert tr2.step == 12
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(tr2.params["layers"]["wq"][0])), saved_wq
+    )
+    # resumed training keeps improving
+    more = [tr2.train_batch(batch, labels)["loss"] for _ in range(3)]
+    assert more[-1] < losses[0]
+
+
+def test_unknown_optimizer_rejected(cfg, mesh, tmp_path):
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_trainer(cfg, mesh, tmp_path, optimizer="sgd")

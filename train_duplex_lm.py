@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--optimizer", choices=["adamw", "adafactor"], default="adamw",
+                   help="adafactor frees the ~8 GB of f32 AdamW moments at 1B "
+                        "scale -> bigger per-chip batch")
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
@@ -191,6 +194,7 @@ def main(argv=None):
         max_steps=args.max_steps,
         max_seq_len=args.max_seq_len,
         grad_clip=args.grad_clip,
+        optimizer=args.optimizer,
         eval_every=args.eval_every,
         save_every=args.save_every,
         log_every=args.log_every,
