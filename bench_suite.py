@@ -119,6 +119,7 @@ def main():
             "--train_batch", str(args.train_batch),
             "--train_loss_block", str(args.train_loss_block),
             "--train_remat_policy", args.train_remat_policy,
+            "--train_optimizer", args.train_optimizer,
             "--seed", str(args.seed),
         ]
         if args.peak_tflops is not None:

@@ -59,10 +59,11 @@ class TrainConfig:
     # None keeps the single-shot loss
     loss_block_size: Optional[int] = 512
     # "adamw" (reference-parity default, HF Trainer's optimizer) or
-    # "adafactor": factored second moment + no first moment frees the ~8 GB
-    # of f32 AdamW state at 1B scale — on one 16 GB chip that HBM buys a
-    # bigger batch (weights are re-read once per step regardless of B, so
-    # tokens/s scales with B until compute-bound)
+    # "adafactor": factored second moment + no first moment frees the ~5 GB
+    # of param-dtype AdamW moments at 1B scale — on one 16 GB chip that HBM
+    # buys a bigger batch or longer sequences (weights are re-read once per
+    # step regardless of B, so tokens/s scales with B until compute-bound;
+    # measured 1B matrix in docs/PERFORMANCE.md)
     optimizer: str = "adamw"
 
 

@@ -156,5 +156,12 @@ def test_bench_suite_orchestrator_groups(monkeypatch):
         wanted = [s for s in bench_suite.SECTIONS if s not in skip]
         covered.extend(wanted)
         assert cmd[cmd.index("--serving_batch") + 1] == "4"
+        # every train knob the section reads must be forwarded — a missing
+        # one silently benchmarks the DEFAULT config under the flag's label
+        for knob in (
+            "--train_seq_len", "--train_steps", "--train_batch",
+            "--train_loss_block", "--train_remat_policy", "--train_optimizer",
+        ):
+            assert knob in cmd, f"group subprocess drops {knob}"
     assert sorted(covered) == sorted(s for s in bench_suite.SECTIONS if s != "train")
     assert len(covered) == len(set(covered))  # each section exactly once

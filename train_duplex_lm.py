@@ -44,8 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--optimizer", choices=["adamw", "adafactor"], default="adamw",
-                   help="adafactor frees the ~8 GB of f32 AdamW moments at 1B "
-                        "scale -> bigger per-chip batch")
+                   help="adafactor frees the ~5 GB of AdamW moments at 1B "
+                        "scale -> bigger per-chip batch / longer sequences")
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
