@@ -200,6 +200,10 @@ def main():
             beng.prefill_row(row, list(range(10, 200 + row)))
         active = [True] * args.serving_batch
         spd = 8  # BatchedCompletionBackend's steps_per_dispatch default
+        # compile every occupancy-bucket variant up front (the backend does
+        # the same): decoding across a bucket boundary mid-measurement would
+        # put a multi-second cold compile inside the timed loop
+        beng.prewarm(steps_list=(spd,), top_k=100)
         for _ in range(2):
             beng.step(active, top_k=100, steps=spd)
         n_disp = 12

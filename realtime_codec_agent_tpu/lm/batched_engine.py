@@ -28,7 +28,6 @@ import numpy as np
 from ..models.llama import (
     DuplexLMConfig,
     commit_kv,
-    commit_kv_rows,
     forward_decode,
     logits_from_hidden,
 )
@@ -125,32 +124,53 @@ class BatchedDecodeEngine:
             return k, v, dstate
 
         @functools.partial(
-            jax.jit, donate_argnums=(1, 2), static_argnames=("top_k", "steps")
+            jax.jit, static_argnames=("top_k", "steps", "cache_bucket")
         )
         def step(
-            params, k, v, dstate, active, row_keys, scalars, top_k, steps=1,
+            params, k, v, dstate, active, row_keys, scalars, top_k,
+            steps=1, cache_bucket=None,
         ):
             """``steps`` tokens for every row in ONE program: each scan
             iteration evals the pending tokens at per-row offsets, samples
             per-row, and advances the device-carried state for active rows
-            (inactive rows commit to a trash slot and freeze). steps=1 is the
-            classic single step; steps=S is token-identical to S consecutive
-            single steps with the same active mask (the per-token PRNG/penalty
-            schedule is per-row state, not per-dispatch) but pays the tunnel's
-            fixed per-fetch fee once per S tokens — the serving loop's
-            throughput is fetch-fee-bound at steps=1."""
-            cache_len = k.shape[2]
-            trash = cache_len - 1
+            (inactive rows freeze). steps=S is token-identical to S
+            consecutive single steps with the same active mask (the per-token
+            PRNG/penalty schedule is per-row state, not per-dispatch) but pays
+            the tunnel's fixed per-fetch fee once per S tokens.
+
+            KV discipline (same as the agent's fused path): the big cache is
+            READ-ONLY here — in-dispatch K/V accumulate in a (L,B,steps)
+            side buffer attended via ``extra_kv`` (a slot becomes attendable
+            only once its true position overwrites the sentinel), and the
+            caller commits the side buffer in ONE separate donated scatter
+            (``_commit_fn``). Because the cache is not donated in this
+            program, slicing it to ``cache_bucket`` (a power-of-two >= the
+            occupancy high-water mark) is a free view: attention traffic
+            scales with how FULL rows are, not with cache capacity — at low
+            occupancy this is most of the step's HBM traffic."""
+            if cache_bucket is None:
+                cache_bucket = k.shape[2]
+            k_big = jax.lax.slice_in_dim(k, 0, cache_bucket, axis=2)
+            v_big = jax.lax.slice_in_dim(v, 0, cache_bucket, axis=2)
             zero_bias = jnp.zeros((4,), jnp.int32)
             zero_vals = jnp.zeros((4,), jnp.float32)
+            n_l, bsz = k.shape[0], k.shape[1]
+            kh, dh = k.shape[3], k.shape[4]
+            start_off = dstate["off"]  # cache contents end here, per row
+            pos_sentinel = jnp.int32(2 ** 30)  # > any real position: masked
+            side_k0 = jnp.zeros((n_l, bsz, steps, kh, dh), k.dtype)
+            side_v0 = jnp.zeros_like(side_k0)
+            side_pos0 = jnp.full((bsz, steps), pos_sentinel, jnp.int32)
 
-            def body(carry, _):
-                k, v, dstate = carry
+            def body(carry, i):
+                dstate, side_k, side_v, side_pos = carry
                 offsets = dstate["off"]
                 tokens = dstate["last"][:, None]
                 positions = offsets[:, None]  # (B,1)
                 hidden, nk, nv = forward_decode(
-                    params, tokens, cfg, k, v, positions, cache_valid=offsets
+                    params, tokens, cfg, k_big, v_big, positions,
+                    cache_valid=start_off,
+                    extra_kv=(side_k, side_v), extra_pos=side_pos,
                 )
                 logits = logits_from_hidden(params, hidden[:, -1], cfg)  # (B,V)
 
@@ -165,8 +185,17 @@ class BatchedDecodeEngine:
                     )
                 )(logits, keys, scalars, dstate["win"], wmask)
 
-                commit_off = jnp.where(active, offsets, trash)
-                k, v = commit_kv_rows(k, v, nk, nv, commit_off)
+                # stash this micro-step's K/V in side slot i; inactive rows
+                # keep the sentinel so their slot is never attended
+                side_k = jax.lax.dynamic_update_index_in_dim(
+                    side_k, nk[:, :, 0], i, axis=2
+                )
+                side_v = jax.lax.dynamic_update_index_in_dim(
+                    side_v, nv[:, :, 0], i, axis=2
+                )
+                side_pos = jax.lax.dynamic_update_index_in_dim(
+                    side_pos, jnp.where(active, offsets, pos_sentinel), i, axis=1
+                )
 
                 # chain the per-row state (frozen for inactive rows): the
                 # sampled token becomes pending and joins the penalty window —
@@ -187,18 +216,37 @@ class BatchedDecodeEngine:
                         dstate["wcount"],
                     ),
                 }
-                return (k, v, dstate), next_tokens
+                return (dstate, side_k, side_v, side_pos), next_tokens
 
-            if steps == 1:
-                (k, v, dstate), toks = body((k, v, dstate), None)
-                return toks, dstate, k, v
-            (k, v, dstate), toks = jax.lax.scan(
-                body, (k, v, dstate), None, length=steps
+            (dstate, side_k, side_v, _), toks = jax.lax.scan(
+                body, (dstate, side_k0, side_v0, side_pos0),
+                jnp.arange(steps),
             )
-            return jnp.swapaxes(toks, 0, 1), dstate, k, v  # (B, steps)
+            if steps == 1:
+                return toks[0], dstate, side_k, side_v
+            return jnp.swapaxes(toks, 0, 1), dstate, side_k, side_v  # (B, steps)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def commit_rows(k, v, side_k, side_v, start_off, active):
+            """The dispatch's ONE cache write: scatter every row's side-buffer
+            K/V at [start_off, start_off+steps); inactive rows' slots land on
+            the trash index (repeated writes, last wins — same semantics as
+            the old per-micro-step trash commit). In-place on donation."""
+            s = side_k.shape[2]
+            trash = k.shape[2] - 1
+            idx = jnp.where(
+                active[:, None],
+                start_off[:, None] + jnp.arange(s)[None, :],
+                trash,
+            )  # (B, S)
+            rows = jnp.arange(k.shape[1])[:, None]
+            k = k.at[:, rows, idx].set(side_k)
+            v = v.at[:, rows, idx].set(side_v)
+            return k, v
 
         self._prefill_fn = prefill_row
         self._step_fn = step
+        self._commit_fn = commit_rows
 
     # ------------------------------------------------------------------ slots
     def max_prompt_len(self) -> int:
@@ -261,7 +309,8 @@ class BatchedDecodeEngine:
         so the tunnel's per-fetch fee overlaps the next program's compute (and
         amortizes over ``steps`` tokens)."""
         active_arr = np.asarray(active, dtype=bool)
-        tokens, self.dstate, self._k, self._v = self._step_fn(
+        start_off = self.dstate["off"]  # snapshot BEFORE the step chains it
+        tokens, self.dstate, side_k, side_v = self._step_fn(
             self.params,
             self._k,
             self._v,
@@ -271,9 +320,56 @@ class BatchedDecodeEngine:
             jnp.asarray(self.scalars),
             top_k=int(top_k) if top_k else 1024,
             steps=int(steps),
+            cache_bucket=self._cache_bucket(),
+        )
+        # the dispatch's single cache write (the step itself reads the cache
+        # only); programs execute in dispatch order, so the next step sees
+        # the committed rows
+        self._k, self._v = self._commit_fn(
+            self._k, self._v, side_k, side_v, start_off, jnp.asarray(active_arr)
         )
         self.offsets[active_arr] += steps  # mirror (content arrives at resolve)
         return tokens
+
+    def prewarm(self, steps_list: Sequence[int] = (8,), top_k: int = 1024) -> None:
+        """Compile every occupancy-bucket variant of the step + commit
+        programs through the REAL dispatch path (keyword static args — an AOT
+        lower().compile() hashes to a different program on this backend). An
+        all-inactive mask freezes every row's state and routes the side
+        buffer to the trash slot, so this is safe to run even mid-session;
+        without it, a session growing past a bucket boundary cold-compiles
+        for seconds over the device tunnel."""
+        inactive = jnp.zeros((self.batch,), bool)
+        keys = jnp.asarray(self._row_keys.astype(np.uint32))
+        scalars = jnp.asarray(self.scalars)
+        buckets = []
+        b = 256
+        while b < self.max_context:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.max_context)
+        for steps in steps_list:
+            for bucket in buckets:
+                _, self.dstate, side_k, side_v = self._step_fn(
+                    self.params, self._k, self._v, self.dstate, inactive,
+                    keys, scalars, top_k=top_k, steps=int(steps),
+                    cache_bucket=bucket,
+                )
+                self._k, self._v = self._commit_fn(
+                    self._k, self._v, side_k, side_v,
+                    self.dstate["off"], inactive,
+                )
+
+    def _cache_bucket(self) -> int:
+        """Power-of-two cache-read bound covering every row's occupancy.
+        ``offsets`` is the dispatch-time mirror (advanced when a step is
+        dispatched, not when it resolves), so it upper-bounds the device-side
+        ``off`` of every in-flight program."""
+        need = int(self.offsets.max()) if self.offsets.size else 0
+        b = 256
+        while b < need:
+            b *= 2
+        return min(b, self.max_context)
 
     def resolve(self, handles):
         """Fetch dispatched tokens: List[int] for a steps=1 dispatch,

@@ -54,6 +54,9 @@ class BatchedCompletionBackend:
         # mid-program decode junk for the remainder (discarded on the host);
         # stop/EOS latency granularity becomes S tokens.
         self.steps = max(1, int(steps_per_dispatch))
+        # compile every occupancy-bucket step variant up front — a session
+        # growing past a bucket boundary must not cold-compile mid-serving
+        engine.prewarm(steps_list=(self.steps,))
         self._waiting: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * engine.batch
         self._wake = threading.Event()

@@ -171,3 +171,28 @@ def test_batched_backend_behind_http_server(setup):
         assert reason in ("stop", "length")
     finally:
         server.shutdown()
+
+
+def test_bucket_boundary_crossing_token_identical(setup):
+    """The occupancy-bucketed cache read recompiles at powers of two; a row
+    decoding ACROSS a bucket boundary (256 -> 512 here) must produce exactly
+    the sequential engine's tokens — the bucket bounds traffic, never
+    attention content."""
+    tok, cfg, params = setup
+    import dataclasses
+
+    cfg_big = dataclasses.replace(cfg, max_context=1024)
+    rng = np.random.default_rng(7)
+    prompt = [int(t) for t in rng.integers(5, 200, size=250)]
+    n = 16  # crosses offset 256 mid-decode
+    ref = _sequential_greedy(params, cfg_big, prompt, n)
+
+    eng = BatchedDecodeEngine(params, cfg_big, batch_size=2, max_context=1024, seed=0)
+    eng.set_row_sampler(0, temp=0.0)
+    eng.prefill_row(0, prompt)
+    assert eng._cache_bucket() == 256
+    out = []
+    for _ in range(n // 4):
+        out.extend(eng.step([True, False], steps=4)[0])
+    assert eng._cache_bucket() == 512  # the boundary was crossed
+    assert out == ref
