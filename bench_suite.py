@@ -94,6 +94,12 @@ def main():
         ],
     )
     parser.add_argument("--serving_batch", type=int, default=8)
+    parser.add_argument(
+        "--serving_prefill", type=int, default=190,
+        help="per-row prompt length (row r gets serving_prefill + r tokens): "
+             "sets the occupancy regime the batched step is measured in",
+    )
+    parser.add_argument("--serving_context", type=int, default=2048)
     parser.add_argument("--train_seq_len", type=int, default=2048)
     parser.add_argument("--train_steps", type=int, default=5)
     parser.add_argument("--train_batch", type=int, default=1)
@@ -114,6 +120,8 @@ def main():
     if not args.inproc and not args.tiny:
         extra = [
             "--serving_batch", str(args.serving_batch),
+            "--serving_prefill", str(args.serving_prefill),
+            "--serving_context", str(args.serving_context),
             "--train_seq_len", str(args.train_seq_len),
             "--train_steps", str(args.train_steps),
             "--train_batch", str(args.train_batch),
@@ -193,11 +201,12 @@ def main():
         lcfg = make_cfg(vocab_size=vocab)
         lparams = init_lm_params(_jax.random.PRNGKey(0), lcfg)
         beng = BatchedDecodeEngine(
-            lparams, lcfg, batch_size=args.serving_batch, max_context=2048
+            lparams, lcfg, batch_size=args.serving_batch,
+            max_context=args.serving_context,
         )
         for row in range(args.serving_batch):
             beng.set_row_sampler(row, temp=1.0)
-            beng.prefill_row(row, list(range(10, 200 + row)))
+            beng.prefill_row(row, list(range(10, 10 + args.serving_prefill + row)))
         active = [True] * args.serving_batch
         spd = 8  # BatchedCompletionBackend's steps_per_dispatch default
         # compile every occupancy-bucket variant up front (the backend does
@@ -221,7 +230,8 @@ def main():
             "batched_serving_tok_s",
             n_disp * spd * args.serving_batch / dt,
             f"aggregate tokens/second, {args.serving_batch} concurrent streams, "
-            f"{spd} tokens/dispatch (higher is better)",
+            f"{spd} tokens/dispatch, ~{args.serving_prefill}-token occupancy "
+            f"in a {args.serving_context} cache (higher is better)",
         )
         del beng, lparams
         release_device_memory()

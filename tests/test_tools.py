@@ -159,6 +159,7 @@ def test_bench_suite_orchestrator_groups(monkeypatch):
         # every train knob the section reads must be forwarded — a missing
         # one silently benchmarks the DEFAULT config under the flag's label
         for knob in (
+            "--serving_prefill", "--serving_context",
             "--train_seq_len", "--train_steps", "--train_batch",
             "--train_loss_block", "--train_remat_policy", "--train_optimizer",
         ):
