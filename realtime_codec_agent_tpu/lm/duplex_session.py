@@ -19,10 +19,13 @@ pure-audio chunk into ONE jitted XLA program:
     -> (out_audio, out_tokens, user_tokens, event_frame, probs, new state)
 
 Performance structure (v3):
-- The big KV cache is READ-ONLY inside the scan (models/llama.forward_decode):
-  per-frame K/V accumulate in a small (L,1,2F,KH,Dh) carry buffer and commit
-  to the donated cache with ONE scatter after the scan. Carrying the full
-  cache through the scan copied ~600 MB per frame.
+- The big KV cache is READ-ONLY inside the whole fused program
+  (models/llama.forward_decode): per-frame K/V accumulate in a small
+  (L,1,2F,KH,Dh) carry buffer and commit with ONE scatter in a SEPARATE
+  donated program (_commit_chunk). Carrying the full cache through the scan
+  copied ~600 MB per frame; and because the fused program never donates the
+  cache, the attention read is sliced to an occupancy bucket (cache_view) —
+  traffic scales with how full the session is, not with max_context.
 - GQA attention never materializes head-repeated cache copies (grouped
   einsum + two-piece softmax).
 - The codec quantizer tables (projected codebook, padded transpose,
@@ -195,7 +198,6 @@ class DuplexSession:
 
         @functools.partial(
             jax.jit,
-            donate_argnums=(3, 4),
             static_argnames=("top_k", "use_precomputed_tokens", "cache_view"),
         )
         def fused_chunk(
@@ -224,7 +226,11 @@ class DuplexSession:
             # bucketed bound >= the valid length chosen by the host): the
             # one-shot T=3 attention otherwise streams the ENTIRE static
             # cache (~537 MB/frame at 16k context) through HBM even though
-            # positions >= n0 are masked. Commits still target the full cache.
+            # positions >= n0 are masked. The cache is NOT donated here —
+            # the chunk's K/V commit in a separate donated program
+            # (_commit_chunk) — so the slice is a free view; donating it
+            # made XLA copy the cache defensively around the slice
+            # (the round-1 RTCA_CACHE_VIEW negative result).
             if cache_view and cache_view < cache_len:
                 k_view = k[:, :, :cache_view]
                 v_view = v[:, :, :cache_view]
@@ -341,11 +347,12 @@ class DuplexSession:
             # frame's values are exactly the end-of-chunk probe's)
             p_end_audio, p_agent, p_user = probs3[0], probs3[1], probs3[2]
 
-            # ONE in-place commit of the chunk's K/V (donated buffers):
-            # accepted entries scatter to their real positions, rejected to
-            # the trash slot past max_context
+            # the chunk's K/V leave as the side buffer + scatter targets:
+            # accepted entries aim at their real positions, rejected at the
+            # trash slot past max_context; the caller runs the ONE in-place
+            # commit as a separate donated program (keeping this program's
+            # cache read-only is what makes the cache_view slice free)
             target_idx = jnp.where(small_pos < REJECTED_POS, small_pos, trash)
-            k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
 
             # streaming decode of the agent tokens (fast path only)
             out_codes = jnp.clip(out_tokens - cvs, 0, ccfg.codebook_size - 1)
@@ -389,7 +396,16 @@ class DuplexSession:
                     jnp.stack([p_end_audio, p_agent, p_user]).astype(jnp.float32),
                 ]
             )
-            return k, v, enc_ctx, dec_ctx, new_chain, packed_i32, packed_f32
+            return (
+                small_k, small_v, target_idx,
+                enc_ctx, dec_ctx, new_chain, packed_i32, packed_f32,
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def commit_chunk(k, v, small_k, small_v, target_idx):
+            # the chunk's single cache write; programs execute in dispatch
+            # order, so the next chunk's (read-only) fused program sees it
+            return commit_kv_scatter(k, v, small_k, small_v, target_idx)
 
         @jax.jit
         def encode_only(codec_params, codec_tables, enc_ctx, audio_chunk):
@@ -400,6 +416,7 @@ class DuplexSession:
             return decode_tail(codec_params, codec_tables, dec_ctx, codes, commit)
 
         self._fused_chunk = fused_chunk
+        self._commit_chunk = commit_chunk
         self._encode_only = encode_only
         self._decode_only = decode_only
 
@@ -447,8 +464,8 @@ class DuplexSession:
         else:
             ut = self._ut_zero  # constant placeholder: no per-chunk upload
         (
-            eng._k, eng._v, self.enc_ctx, self.dec_ctx, self.chain,
-            packed_i32, packed_f32,
+            small_k, small_v, target_idx, self.enc_ctx, self.dec_ctx,
+            self.chain, packed_i32, packed_f32,
         ) = self._fused_chunk(
             eng.params,
             self.codec.params,
@@ -473,6 +490,9 @@ class DuplexSession:
             use_precomputed_tokens=use_pre,
             cache_view=cache_view,
         )
+        eng._k, eng._v = self._commit_chunk(
+            eng._k, eng._v, small_k, small_v, target_idx
+        )
         return packed_i32, packed_f32
 
     def prewarm(self, include_replay: bool = True) -> None:
@@ -486,12 +506,11 @@ class DuplexSession:
         lower().compile() hashes to a different program). Engine state is
         untouched."""
         eng = self.engine
-        dtype = eng._k.dtype
         kv_shape = eng._k.shape
         cache_len = kv_shape[2]
         import os
 
-        if os.environ.get("RTCA_CACHE_VIEW", "0") != "1":
+        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
             views = [0]  # cache-view disabled: only the full-view program runs
         else:
             gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
@@ -507,12 +526,15 @@ class DuplexSession:
         }
         for view in views:
             for use_pre in (False, True) if include_replay else (False,):
+                # the fused program reads the cache READ-ONLY, so prewarm can
+                # run against the engine's live buffers (no throwaway KV
+                # allocations); the halted chain makes it a no-op
                 out = self._fused_chunk(
                     eng.params,
                     self.codec.params,
                     self.codec.tables,
-                    jnp.zeros(kv_shape, dtype),
-                    jnp.zeros(kv_shape, dtype),
+                    eng._k,
+                    eng._v,
                     chain,
                     jnp.zeros((self.context_samples,), jnp.float32),
                     jnp.zeros((self.context_frames,), jnp.int32),
@@ -527,8 +549,17 @@ class DuplexSession:
                     use_precomputed_tokens=use_pre,
                     cache_view=view,
                 )
-                # serialize: keep only one throwaway KV pair live at a time
                 jax.device_get(out[-1][-1])
+        # the separate donated commit program compiles against throwaway
+        # buffers of the live shapes (engine buffers stay untouched — live
+        # dispatches donate them later, prewarm must not)
+        small_k, small_v, target_idx = out[0], out[1], out[2]
+        tk, tv = self._commit_chunk(
+            jnp.zeros(kv_shape, eng._k.dtype), jnp.zeros(kv_shape, eng._v.dtype),
+            small_k, small_v, target_idx,
+        )
+        jax.device_get(target_idx[-1])
+        del tk, tv
 
     def _device_settings(self):
         """Device copies of the sampler scalars/bias tables, rebuilt only
@@ -550,15 +581,17 @@ class DuplexSession:
         """Static attention-read bound for the next fused chunk: the host
         n_tokens mirror (which may lag one in-flight pipelined chunk) plus
         slack, rounded up to a coarse bucket so only a handful of program
-        variants ever compile. 0 = read the full cache."""
+        variants ever compile. 0 = read the full cache.
+
+        Round-1 history: with the commit INSIDE the fused program the cache
+        had to be donated, and slicing a donated buffer made XLA copy it
+        defensively (net +0.8 ms — the old default-off). The commit now runs
+        as a separate donated program (_commit_chunk) and this program's
+        cache is read-only, so the slice is a free view; RTCA_CACHE_VIEW=0
+        restores the full-cache read for A/B."""
         import os
 
-        # A/B'd on-chip: bounding the attention read SHOULD save ~1/2 of the
-        # 537 MB/frame cache traffic, but slicing the donated cache makes XLA
-        # copy it defensively — net +0.8 ms per chunk. Default off until the
-        # read bound can be expressed without the slice (e.g. inside a Pallas
-        # attention kernel); RTCA_CACHE_VIEW=1 re-enables.
-        if os.environ.get("RTCA_CACHE_VIEW", "0") != "1":
+        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
             return 0
         cache_len = self.engine._k.shape[2]
         gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
