@@ -100,6 +100,10 @@ def main():
              "sets the occupancy regime the batched step is measured in",
     )
     parser.add_argument("--serving_context", type=int, default=2048)
+    parser.add_argument(
+        "--serving_int8", action="store_true",
+        help="int8 decode weights for the batched section (q8_0-parity artifact)",
+    )
     parser.add_argument("--train_seq_len", type=int, default=2048)
     parser.add_argument("--train_steps", type=int, default=5)
     parser.add_argument("--train_batch", type=int, default=1)
@@ -122,6 +126,7 @@ def main():
             "--serving_batch", str(args.serving_batch),
             "--serving_prefill", str(args.serving_prefill),
             "--serving_context", str(args.serving_context),
+            *(["--serving_int8"] if args.serving_int8 else []),
             "--train_seq_len", str(args.train_seq_len),
             "--train_steps", str(args.train_steps),
             "--train_batch", str(args.train_batch),
@@ -200,6 +205,10 @@ def main():
         make_cfg = tiny_lm_config if args.tiny else llama32_1b_config
         lcfg = make_cfg(vocab_size=vocab)
         lparams = init_lm_params(_jax.random.PRNGKey(0), lcfg)
+        if args.serving_int8:
+            from realtime_codec_agent_tpu.models.llama import quantize_params_int8
+
+            lparams = quantize_params_int8(lparams)
         beng = BatchedDecodeEngine(
             lparams, lcfg, batch_size=args.serving_batch,
             max_context=args.serving_context,
@@ -231,7 +240,8 @@ def main():
             n_disp * spd * args.serving_batch / dt,
             f"aggregate tokens/second, {args.serving_batch} concurrent streams, "
             f"{spd} tokens/dispatch, ~{args.serving_prefill}-token occupancy "
-            f"in a {args.serving_context} cache (higher is better)",
+            f"in a {args.serving_context} cache"
+            f"{', int8 weights' if args.serving_int8 else ''} (higher is better)",
         )
         del beng, lparams
         release_device_memory()

@@ -15,16 +15,23 @@ import jax.numpy as jnp
 
 def _use_pallas_int8(x: jnp.ndarray) -> bool:
     """Route decode-shaped int8 matmuls (rows <= 8: frame scan, gen_until,
-    eval_and_sample) to the Pallas fused-dequant kernel. These all sit inside
-    lax.scan/while_loop bodies where XLA HOISTS a plain ``astype(bf16)``
-    dequant out of the loop — the loop then re-reads a full bf16 weight copy
-    per iteration and int8's bandwidth saving vanishes. The opaque kernel
-    keeps the int8 read inside the loop. Wide-row calls (score/prefill run
-    once, nothing to hoist across) measured faster on XLA's dequant+dot.
-    Note the rows<=8 rule also routes the 8-row prefill bucket (a non-loop
-    shape) through the kernel; measured on-chip the difference is noise, and
-    one rule keeps the program count down. RTCA_INT8_PALLAS=0 forces XLA
-    everywhere."""
+    eval_and_sample, B<=8 serving micro-steps) to the Pallas fused-dequant
+    kernel. These sit inside lax.scan/while_loop bodies where XLA HOISTS a
+    plain ``astype(bf16)`` dequant out of the loop — the loop then re-reads
+    a full bf16 weight copy per iteration and int8's bandwidth saving
+    vanishes. The opaque kernel keeps the int8 read inside the loop.
+    Wide-row calls (score/prefill run once, nothing to hoist across)
+    measured faster on XLA's dequant+dot. Note the rows<=8 rule also routes
+    the 8-row prefill bucket (a non-loop shape) through the kernel; measured
+    on-chip the difference is noise, and one rule keeps the program count
+    down. RTCA_INT8_PALLAS=0 forces XLA everywhere.
+
+    Measured negative (round 2): widening the rule to rows<=64 so the B=32
+    serving micro-step takes the kernel LOST to XLA's route (3946 vs 4107
+    tok/s, same window) — at tens of rows the MXU amortizes the dequant and
+    XLA's fusion beats the kernel's grid overhead; the hoisting concern only
+    bites at single-digit rows. int8 B=32 serving = 4107 tok/s vs 3279 bf16
+    on the XLA route this rule already picks."""
     if os.environ.get("RTCA_INT8_PALLAS", "1") == "0":
         return False
     if jax.default_backend() != "tpu":
