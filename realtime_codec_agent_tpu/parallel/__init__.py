@@ -5,4 +5,5 @@ from .mesh import (
     batch_spec,
     shard_params,
     shard_lm_for_inference,
+    shard_batched_engine_for_serving,
 )

@@ -107,14 +107,18 @@ def batch_spec() -> P:
     return P(("dp", "fsdp"), None)
 
 
-def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh):
+def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh, rows_axis=None):
     """Megatron-style tensor-parallel INFERENCE sharding: attention/MLP
     column- and row-parallel over ``tp``, KV cache sharded over kv-heads,
     embeddings + lm_head replicated/column-split. The decode programs
     (models/llama.forward_decode & friends) need no changes — XLA infers the
     all-reduces from the shardings (compute-follows-data). A 1B LM fits one
     chip; this is the config-change path to serving bigger models
-    (SURVEY §2.3: TP over ICI as a mesh-shape change)."""
+    (SURVEY §2.3: TP over ICI as a mesh-shape change).
+
+    ``rows_axis`` additionally shards the cache's batch/row dimension (the
+    batched serving engine's concurrent streams) over that mesh axis —
+    data-parallel serving rows on top of tensor-parallel weights."""
     def matmul_spec(w, spec: P):
         """int8-quantized leaves are {'q': (in,out) int8, 's': (out,) f32}
         dicts (ops/nn.qdot): shard q like the raw weight and s along the
@@ -155,8 +159,32 @@ def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh):
         specs,
         is_leaf=lambda x: not isinstance(x, (dict, list)),
     )
-    kv_spec = NamedSharding(mesh, P(None, None, None, "tp", None))
+    kv_spec = NamedSharding(mesh, P(None, rows_axis, None, "tp", None))
     return sharded_params, jax.device_put(k_cache, kv_spec), jax.device_put(v_cache, kv_spec)
+
+
+def shard_batched_engine_for_serving(engine, mesh: Mesh, rows_axis="dp"):
+    """Shard a ``BatchedDecodeEngine`` in place for multi-chip serving:
+    weights Megatron-style over ``tp``, the KV cache's stream rows over
+    ``rows_axis`` (data-parallel streams) with kv-heads over ``tp``, and the
+    per-row device-carried decode state over ``rows_axis``. The step/commit
+    programs need no changes — XLA infers the collectives — and token
+    streams are identical to the unsharded engine (pinned by
+    tests/test_batched_serving.py)."""
+    if engine.batch % mesh.shape[rows_axis] != 0:
+        raise ValueError(
+            f"batch {engine.batch} must divide over {rows_axis}={mesh.shape[rows_axis]}"
+        )
+    engine.params, engine._k, engine._v = shard_lm_for_inference(
+        engine.params, engine._k, engine._v, mesh, rows_axis=rows_axis
+    )
+    row = NamedSharding(mesh, P(rows_axis))
+    row2 = NamedSharding(mesh, P(rows_axis, None))
+    engine.dstate = {
+        k: jax.device_put(v, row2 if v.ndim == 2 else row)
+        for k, v in engine.dstate.items()
+    }
+    return engine
 
 
 def shard_params(params, mesh: Mesh):

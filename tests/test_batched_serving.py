@@ -196,3 +196,44 @@ def test_bucket_boundary_crossing_token_identical(setup):
         out.extend(eng.step([True, False], steps=4)[0])
     assert eng._cache_bucket() == 512  # the boundary was crossed
     assert out == ref
+
+
+def test_sharded_batched_serving_token_identical(setup):
+    """Multi-chip serving: dp-sharded stream rows x tp-sharded weights on a
+    device mesh produce exactly the single-device engine's tokens (XLA infers
+    the collectives; compute-follows-data). This is the scale-out path for
+    the serving engine — a mesh-shape change, no program changes."""
+    from realtime_codec_agent_tpu.parallel import (
+        make_mesh, shard_batched_engine_for_serving,
+    )
+
+    tok, cfg, params = setup
+    prompts = [
+        tok.encode("hello there"),
+        tok.encode("a completely different prompt!"),
+        tok.encode("x"),
+        tok.encode("fourth stream"),
+    ]
+
+    def run(mesh):
+        eng = BatchedDecodeEngine(params, cfg, batch_size=4, max_context=256, seed=0)
+        if mesh is not None:
+            shard_batched_engine_for_serving(eng, mesh)
+        for row, p in enumerate(prompts):
+            eng.set_row_sampler(row, temp=0.0)
+            eng.prefill_row(row, p)
+        outs = [[] for _ in prompts]
+        for _ in range(2):
+            tokens = eng.step([True] * 4, steps=4)
+            for r in range(len(prompts)):
+                outs[r].extend(tokens[r])
+        return outs
+
+    ref = run(None)
+    mesh = make_mesh(dp=2, fsdp=1, tp=2)
+    assert run(mesh) == ref
+
+    # bad row/dp factorization fails loudly
+    eng = BatchedDecodeEngine(params, cfg, batch_size=3, max_context=256, seed=0)
+    with pytest.raises(ValueError, match="must divide"):
+        shard_batched_engine_for_serving(eng, mesh)
