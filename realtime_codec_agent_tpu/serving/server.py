@@ -171,6 +171,12 @@ def main(argv=None):
         "--int8", action="store_true",
         help="int8 decode weights (serve the reference's q8_0-parity artifact)",
     )
+    parser.add_argument(
+        "--mesh", default=None, metavar="DPxTP",
+        help="multi-chip serving mesh, e.g. 2x4: stream rows data-parallel "
+             "over dp, weights/KV-heads tensor-parallel over tp (requires "
+             "batch_size divisible by dp and dp*tp local devices)",
+    )
     args = parser.parse_args(argv)
 
     resources = RealtimeAgentResources(
@@ -188,6 +194,13 @@ def main(argv=None):
             resources.lm_params, resources.lm_config,
             batch_size=args.batch_size, max_context=args.serving_context,
         )
+        if args.mesh:
+            from ..parallel import make_mesh, shard_batched_engine_for_serving
+
+            dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+            shard_batched_engine_for_serving(
+                engine, make_mesh(dp=dp, fsdp=1, tp=tp)
+            )
         backend = BatchedCompletionBackend(engine, resources.tokenizer)
     else:
         backend = CompletionBackend(resources.llm, resources.tokenizer)

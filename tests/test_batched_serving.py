@@ -237,3 +237,22 @@ def test_sharded_batched_serving_token_identical(setup):
     eng = BatchedDecodeEngine(params, cfg, batch_size=3, max_context=256, seed=0)
     with pytest.raises(ValueError, match="must divide"):
         shard_batched_engine_for_serving(eng, mesh)
+
+
+def test_sharded_backend_end_to_end(setup):
+    """The continuous-batching backend runs unchanged on a mesh-sharded
+    engine (the server's --mesh path): prewarm + admission + streaming all
+    execute under dp x tp sharding with the same text out."""
+    from realtime_codec_agent_tpu.parallel import (
+        make_mesh, shard_batched_engine_for_serving,
+    )
+
+    tok, cfg, params = setup
+    seq_backend = CompletionBackend(DuplexLMEngine(params, cfg, seed=0), tok)
+    ref = "".join(seq_backend.generate("hello wor", max_tokens=8, temperature=0.0))
+
+    engine = BatchedDecodeEngine(params, cfg, batch_size=4, max_context=256, seed=0)
+    shard_batched_engine_for_serving(engine, make_mesh(dp=2, fsdp=1, tp=2))
+    backend = BatchedCompletionBackend(engine, tok)
+    out = "".join(backend.generate("hello wor", max_tokens=8, temperature=0.0))
+    assert out == ref
