@@ -321,6 +321,49 @@ def embed_ids(params: Dict, ids: jnp.ndarray, cfg: DuplexLMConfig) -> jnp.ndarra
 # Forward
 # ---------------------------------------------------------------------------
 
+def transformer_layer(
+    x: jnp.ndarray,  # (B, T, H)
+    blk: Dict,
+    cfg: DuplexLMConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,  # (.., T, T) bool, used at T <= 512
+    attn_valid: Optional[jnp.ndarray] = None,  # (B, T) key validity, flash path
+) -> jnp.ndarray:
+    """One pre-norm decoder layer in training/scoring mode (full causal
+    self-attention within the block, no KV cache). Shared by ``forward``'s
+    layer loop and the pipeline-parallel stage body (parallel/pipeline.py).
+    Long blocks (T > 512) take the flash key-block scan so the (T, T) score
+    tensor is never materialized."""
+    b, t = x.shape[0], x.shape[1]
+    dtype = x.dtype
+    res = x
+    y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+    q, k, v = _attn_qkv(y, blk, cfg, dtype)
+    q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q, k = nn.apply_rope(q, k, cos, sin)
+    if t > 512:
+        # long causal self-attention (teacher-forced scoring, training):
+        # flash-style key-block scan, no (T,T) score materialization
+        attn = nn.flash_causal_attention(
+            q,
+            nn.repeat_kv(k, cfg.n_rep),
+            nn.repeat_kv(v, cfg.n_rep),
+            valid=attn_valid,
+        )
+    else:
+        attn = nn.attention(
+            q, nn.repeat_kv(k, cfg.n_rep), nn.repeat_kv(v, cfg.n_rep), mask=mask
+        )
+    attn = nn.qdot(attn.reshape(b, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
+    x = res + attn
+    res = x
+    y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
+    return res + _mlp(y, blk, dtype)
+
+
 def forward(
     params: Dict,
     ids: jnp.ndarray,  # (B, T)
@@ -394,31 +437,7 @@ def forward(
         return x, (jnp.stack(new_k), jnp.stack(new_v))
 
     def layer_body(x, blk):
-        res = x
-        y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
-        q, k, v = _attn_qkv(y, blk, cfg, dtype)
-        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        q, k = nn.apply_rope(q, k, cos, sin)
-        if t > 512:
-            # long causal self-attention (teacher-forced scoring, training):
-            # flash-style key-block scan, no (T,T) score materialization
-            attn = nn.flash_causal_attention(
-                q,
-                nn.repeat_kv(k, cfg.n_rep),
-                nn.repeat_kv(v, cfg.n_rep),
-                valid=attn_mask,
-            )
-        else:
-            attn = nn.attention(
-                q, nn.repeat_kv(k, cfg.n_rep), nn.repeat_kv(v, cfg.n_rep), mask=mask
-            )
-        attn = nn.qdot(attn.reshape(b, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
-        x = res + attn
-        res = x
-        y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
-        return res + _mlp(y, blk, dtype)
+        return transformer_layer(x, blk, cfg, cos, sin, mask=mask, attn_valid=attn_mask)
 
     if cfg.remat:
         policy = (

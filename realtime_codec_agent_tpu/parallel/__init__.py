@@ -7,3 +7,4 @@ from .mesh import (
     shard_lm_for_inference,
     shard_batched_engine_for_serving,
 )
+from .pipeline import make_pipeline_forward

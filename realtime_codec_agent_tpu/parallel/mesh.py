@@ -22,20 +22,28 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "fsdp", "tp")
+AXES = ("dp", "fsdp", "tp", "pp")
 
 
 def make_mesh(
     dp: int = 1,
     fsdp: int = 1,
     tp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """(dp, fsdp, tp, pp) mesh. ``pp`` is the pipeline-stage axis (GPipe
+    microbatch rotation, parallel/pipeline.py); it sits innermost so adjacent
+    stages are ICI neighbors and the per-tick ppermute is a nearest-neighbor
+    hop. Specs that don't mention an axis are replicated over it, so a size-1
+    axis is free — existing (dp, fsdp, tp) call sites are unchanged."""
     devices = list(devices if devices is not None else jax.devices())
-    n = dp * fsdp * tp
+    n = dp * fsdp * tp * pp
     if n > len(devices):
-        raise ValueError(f"mesh {dp}x{fsdp}x{tp} needs {n} devices, have {len(devices)}")
-    arr = np.array(devices[:n]).reshape(dp, fsdp, tp)
+        raise ValueError(
+            f"mesh {dp}x{fsdp}x{tp}x{pp} needs {n} devices, have {len(devices)}"
+        )
+    arr = np.array(devices[:n]).reshape(dp, fsdp, tp, pp)
     return Mesh(arr, AXES)
 
 
@@ -75,13 +83,15 @@ def _layer_specs() -> Dict[str, P]:
     }
 
 
-def lm_param_specs(params) -> Dict:
+def lm_param_specs(params, pp: bool = False) -> Dict:
     """PartitionSpec pytree matching models/llama.py's param layout (both the
     unrolled list-of-dicts and the stacked scan-over-layers layouts: stacked
-    tensors carry a leading replicated layer axis)."""
+    tensors carry a leading replicated layer axis). With ``pp=True`` the
+    stacked layer axis is sharded over the pipeline-stage mesh axis instead —
+    each stage holds its L/pp contiguous layers (parallel/pipeline.py)."""
     if isinstance(params["layers"], dict):
         layer_specs = {
-            k: P(None, *spec) for k, spec in _layer_specs().items()
+            k: P("pp" if pp else None, *spec) for k, spec in _layer_specs().items()
         }
     else:
         layer_specs = [_layer_specs() for _ in params["layers"]]
@@ -187,8 +197,8 @@ def shard_batched_engine_for_serving(engine, mesh: Mesh, rows_axis="dp"):
     return engine
 
 
-def shard_params(params, mesh: Mesh):
-    specs = lm_param_specs(params)
+def shard_params(params, mesh: Mesh, pp: bool = False):
+    specs = lm_param_specs(params, pp=pp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,

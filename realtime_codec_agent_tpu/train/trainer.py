@@ -65,6 +65,10 @@ class TrainConfig:
     # step regardless of B, so tokens/s scales with B until compute-bound;
     # measured 1B matrix in docs/PERFORMANCE.md)
     optimizer: str = "adamw"
+    # GPipe microbatch count when the mesh has a pp axis > 1 (the global
+    # batch must divide it); None defaults to 2*pp (bubble fraction
+    # (pp-1)/(M+pp-1) ≈ 1/3). Ignored on pp=1 meshes.
+    pp_microbatches: Optional[int] = None
 
 
 def pad_batch(
@@ -93,7 +97,12 @@ def _ce_sums(logits, labels):
 
 
 def loss_and_metrics(
-    params, batch, labels, cfg: DuplexLMConfig, loss_block: Optional[int] = None
+    params,
+    batch,
+    labels,
+    cfg: DuplexLMConfig,
+    loss_block: Optional[int] = None,
+    forward_fn=forward,
 ):
     """Causal LM loss with shifted labels; -100 ignored.
 
@@ -102,8 +111,12 @@ def loss_and_metrics(
     so forward and backward hold one (block, vocab) slab at a time. At the
     deployment vocabulary (259,584) the full f32 logits + their gradient
     cost >4 GB at T=2048 — blocking frees that HBM for bigger batches.
-    Identical math, only the reduction is reassociated."""
-    hidden, _ = forward(params, batch, cfg, attn_mask=(labels != -100))
+    Identical math, only the reduction is reassociated.
+
+    ``forward_fn`` swaps the body for the pipeline-parallel staged forward
+    (parallel/pipeline.make_pipeline_forward) on pp>1 meshes — same
+    signature and hidden-state semantics as models/llama.forward."""
+    hidden, _ = forward_fn(params, batch, cfg, attn_mask=(labels != -100))
     shift_labels = labels[:, 1:]
     t = hidden.shape[1] - 1
     if not loss_block or t <= loss_block:
@@ -200,6 +213,16 @@ class Trainer:
         # (models/llama.stack_layer_params); checkpoints store this layout
         # and export_params()/load_params unstack for inference
         params = stack_layer_params(params)
+        # pipeline parallelism: pp>1 meshes stage the stacked layer axis and
+        # swap the forward for the GPipe rotation (parallel/pipeline.py)
+        self.pp = int(self.mesh.shape.get("pp", 1))
+        if self.pp > 1:
+            from ..parallel.pipeline import make_pipeline_forward
+
+            n_micro = self.tc.pp_microbatches or 2 * self.pp
+            self._forward_fn = make_pipeline_forward(self.mesh, n_micro)
+        else:
+            self._forward_fn = forward
         # shard params + opt state over the mesh. Opt-state shardings are
         # EXPLICIT: optimizer moments shard like their param, everything else
         # (step counts, factored row/col stats) is replicated. Without this
@@ -209,8 +232,8 @@ class Trainer:
         # mesh-sharded, and the first post-resume train step dies with
         # "incompatible devices". Explicit shardings make init and restore
         # land on the same layout.
-        self.param_specs = mesh_lib.lm_param_specs(params)
-        self.params = mesh_lib.shard_params(params, self.mesh)
+        self.param_specs = mesh_lib.lm_param_specs(params, pp=self.pp > 1)
+        self.params = mesh_lib.shard_params(params, self.mesh, pp=self.pp > 1)
         self.opt_shardings = self._opt_state_shardings()
         self.opt_state = jax.jit(
             self.tx.init, out_shardings=self.opt_shardings
@@ -224,6 +247,7 @@ class Trainer:
             functools.partial(
                 loss_and_metrics, cfg=self.cfg,
                 loss_block=self.tc.loss_block_size,
+                forward_fn=self._forward_fn,
             )
         )
 
@@ -266,12 +290,14 @@ class Trainer:
         cfg = self.cfg
 
         loss_block = self.tc.loss_block_size
+        forward_fn = self._forward_fn
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, labels):
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: loss_and_metrics(
-                    p, batch, labels, cfg, loss_block=loss_block
+                    p, batch, labels, cfg, loss_block=loss_block,
+                    forward_fn=forward_fn,
                 ),
                 has_aux=True,
             )(params)
