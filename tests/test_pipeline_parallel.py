@@ -125,6 +125,38 @@ def test_pipeline_forward_validations():
         make_pipeline_forward(make_mesh(dp=2, fsdp=2, tp=2), 2)
 
 
+def test_train_cli_on_pp_mesh(tmp_path):
+    """train_duplex_lm --mesh dp,fsdp,tp,pp drives the pipelined trainer
+    end-to-end (float32: the virtual-CPU backend can't compile the staged
+    forward's bf16 collectives — bf16 is the TPU path)."""
+    import train_duplex_lm
+
+    dataset = tmp_path / "data.txt"
+    rng = np.random.default_rng(0)
+    with open(dataset, "w") as f:
+        for _ in range(8):
+            f.write("".join(chr(0x3000 + c) for c in rng.integers(0, 80, size=90)) + "\n")
+    metrics = train_duplex_lm.main(
+        [
+            "--dataset", str(dataset),
+            "--output_dir", str(tmp_path / "run"),
+            "--tiny",
+            "--max_steps", "2",
+            "--batch_size", "8",
+            "--max_seq_len", "64",
+            "--mesh", "1,1,2,2",
+            "--pp_microbatches", "4",
+            "--compute_dtype", "float32",
+            "--eval_split_every_n", "0",
+            "--eval_every", "1000",
+            "--save_every", "1000",
+            "--shuffle_buffer", "0",
+            "--warmup_steps", "1",
+        ]
+    )
+    assert np.isfinite(metrics["loss"])
+
+
 def test_trainer_on_pp_mesh(tmp_path):
     """Full Trainer on a dp2 x tp2 x pp2 mesh: steps run, loss matches the
     pp=1 trainer at init, checkpoints restore, training resumes."""

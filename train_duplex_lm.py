@@ -55,7 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--mesh", default=None,
-                   help="dp,fsdp,tp (default: auto factorization of visible devices)")
+                   help="dp,fsdp,tp[,pp] (default: auto factorization of visible "
+                        "devices; a 4th factor stages layers over a pipeline axis)")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="GPipe microbatch count on pp>1 meshes (default 2*pp)")
+    p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="matmul/activation dtype (float32 for CPU debugging; "
+                        "the TPU path is bfloat16)")
     p.add_argument("--persist_embeddings", action="store_true",
                    help="also save a persisted-vanilla params file (codec projections "
                         "baked into embed_tokens; reference persist_codec_embeddings.py)")
@@ -127,6 +134,7 @@ def main(argv=None):
             codebook_size=codec_embed.shape[1],
             codebook_dim=codec_embed.shape[2],
         )
+    cfg_kwargs["compute_dtype"] = args.compute_dtype
     if args.tiny:
         cfg = tiny_lm_config(max_context=args.max_seq_len, **cfg_kwargs)
     else:
@@ -145,6 +153,7 @@ def main(argv=None):
 
         cfg = dataclasses.replace(
             hf_cfg,
+            compute_dtype=args.compute_dtype,
             codec_vocab_start=cfg.codec_vocab_start,
             num_codebooks=cfg.num_codebooks,
             codebook_size=cfg.codebook_size,
@@ -171,17 +180,24 @@ def main(argv=None):
 
     # ---- mesh ----
     if args.mesh:
-        dp, fsdp, tp = (int(x) for x in args.mesh.split(","))
-        mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+        factors = [int(x) for x in args.mesh.split(",")]
+        dp, fsdp, tp = factors[:3]
+        pp = factors[3] if len(factors) > 3 else 1
+        mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp, pp=pp)
     else:
         mesh = make_mesh(**default_mesh_shape(len(jax.devices())))
     print(f"mesh: {mesh.shape} devices={len(jax.devices())}", file=sys.stderr)
-    # the global batch shards over (dp, fsdp): round up to a whole multiple
+    # the global batch shards over (dp, fsdp) and, on pp meshes, must also
+    # split into whole GPipe microbatches: round up to a common multiple
     data_shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+    if mesh.shape.get("pp", 1) > 1:
+        n_micro = args.pp_microbatches or 2 * mesh.shape["pp"]
+        data_shards = data_shards * n_micro // __import__("math").gcd(data_shards, n_micro)
     if args.batch_size % data_shards:
         new_bs = -(-args.batch_size // data_shards) * data_shards
         print(
-            f"batch_size {args.batch_size} -> {new_bs} (multiple of dp*fsdp={data_shards})",
+            f"batch_size {args.batch_size} -> {new_bs} "
+            f"(multiple of dp*fsdp and pp microbatches = {data_shards})",
             file=sys.stderr,
         )
         args.batch_size = new_bs
@@ -199,6 +215,7 @@ def main(argv=None):
         save_every=args.save_every,
         log_every=args.log_every,
         seed=args.seed,
+        pp_microbatches=args.pp_microbatches,
     )
     trainer = Trainer(params, cfg, tc, mesh=mesh)
 
