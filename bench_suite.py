@@ -109,7 +109,7 @@ def main():
     parser.add_argument("--train_batch", type=int, default=1)
     parser.add_argument("--train_loss_block", type=int, default=512)
     parser.add_argument(
-        "--train_remat_policy", choices=["full", "dots"], default="full"
+        "--train_remat_policy", choices=["full", "dots", "none"], default="full"
     )
     parser.add_argument(
         "--train_optimizer", choices=["adamw", "adafactor"], default="adamw"
@@ -360,8 +360,13 @@ def main():
                 trainer = Trainer(
                     params, lcfg,
                     TrainConfig(
-                        max_seq_len=seq_len, remat=True, max_steps=10**9,
-                        remat_policy=args.train_remat_policy,
+                        max_seq_len=seq_len, max_steps=10**9,
+                        # "none" = no rematerialization: +O(layers) activation
+                        # memory, 1/3 fewer hardware forward FLOPs — fits only
+                        # at small B*T, measured in docs/PERFORMANCE.md
+                        remat=args.train_remat_policy != "none",
+                        remat_policy=args.train_remat_policy
+                        if args.train_remat_policy != "none" else "full",
                         loss_block_size=args.train_loss_block or None,
                         optimizer=args.train_optimizer,
                     ),
@@ -426,7 +431,8 @@ def main():
             emit(
                 "train_step_tok_s", tok_s,
                 f"training tokens/second (B={batch.shape[0]}, T={seq_len}, "
-                f"remat, dual-route codec embed, {args.train_optimizer})",
+                f"remat={args.train_remat_policy}, dual-route codec embed, "
+                f"{args.train_optimizer})",
                 loss=round(m["loss"], 3),
             )
             peak = args.peak_tflops
