@@ -118,6 +118,11 @@ def main():
         "--peak_tflops", type=float, default=None,
         help="peak bf16 TFLOP/s for MFU (default: inferred from device kind)",
     )
+    parser.add_argument(
+        "--no_selfplay_pair", action="store_true",
+        help="A/B: run self-play as two independent fused programs instead of "
+             "the shared batch-2 pair program (lm/pair_session.py)",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -547,6 +552,12 @@ def main():
         )
         agent.drain_pipeline()  # flush the in-flight chunk before switching modes
         agent.self_play_mode = True
+        pair = None
+        if not args.no_selfplay_pair:
+            from realtime_codec_agent_tpu.lm.pair_session import pair_self_play_agents
+
+            pair = pair_self_play_agents(agent, agent_b)
+            pair.prewarm()
         zero = np.zeros(chunk_n, np.float32)
         out_a, ids_a = zero, None
         out_b, ids_b = zero, None
@@ -562,6 +573,13 @@ def main():
             out_a, ids_a = out_a_, ids_a_
         dt = time.perf_counter() - t0
         emit("self_play_rtf", dt / (n * 0.1), "x_realtime, both agents (lower is better)")
+        if pair is not None:
+            total = pair.paired_dispatches * 2 + pair.single_dispatches
+            emit(
+                "self_play_pair_frac",
+                (2 * pair.paired_dispatches) / max(1, total),
+                "fraction of chunks riding the shared batch-2 program",
+            )
 
 
 if __name__ == "__main__":

@@ -27,18 +27,29 @@ from realtime_codec_agent_tpu.utils.audio_io import write_wav
 
 def build_agents(args):
     resources = RealtimeAgentResources(llm_model_path=args.llm_model_path, tiny=args.tiny)
+    pipeline = getattr(args, "pipeline", False)
     agent_1 = RealtimeAgent(
         resources=resources,
         config=RealtimeAgentConfig(
-            agent_opening_text=args.opening_text, seed=args.seed, use_whisper=False
+            agent_opening_text=args.opening_text, seed=args.seed, use_whisper=False,
+            pipeline_chunks=pipeline,
         ),
         self_play_mode=True,
     )
     agent_2 = RealtimeAgent(
         resources=resources.clone_for_self_play(),
-        config=RealtimeAgentConfig(agent_opening_text=None, seed=args.seed + 1, use_whisper=False),
+        config=RealtimeAgentConfig(
+            agent_opening_text=None, seed=args.seed + 1, use_whisper=False,
+            pipeline_chunks=pipeline,
+        ),
         self_play_mode=True,
     )
+    if pipeline and getattr(args, "pair", False):
+        # both agents' fused chunks ride ONE batch-2 program (shared weight
+        # reads); token streams are unchanged (lm/pair_session.py)
+        from realtime_codec_agent_tpu.lm.pair_session import pair_self_play_agents
+
+        pair_self_play_agents(agent_1, agent_2)
     return agent_1, agent_2
 
 
@@ -79,6 +90,15 @@ def main():
     parser.add_argument("--opening_text", default="hello?")
     parser.add_argument("--output_dir", default="recordings/self_play_debug")
     parser.add_argument("--ui", action="store_true", help="gradio interface")
+    parser.add_argument(
+        "--pipeline", action="store_true",
+        help="depth-1 pipelined chunk dispatch for both agents",
+    )
+    parser.add_argument(
+        "--pair", action="store_true",
+        help="with --pipeline: run both agents' chunks in one batch-2 device "
+             "program (shared weight reads; identical tokens)",
+    )
     args = parser.parse_args()
 
     agent_1, agent_2 = build_agents(args)

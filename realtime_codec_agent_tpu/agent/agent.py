@@ -42,9 +42,13 @@ from .stats import RealtimeAgentStatsCollection
 
 def _device_get(handles):
     """Blocking fetch of fused-chunk result handles (runs on the fetcher
-    thread so the tunnel's completion-wait overlaps device compute)."""
+    thread so the tunnel's completion-wait overlaps device compute). Paired
+    self-play handles (lm/pair_session.LazyHandles) block here until the
+    partner's dispatch launches the shared batch-2 program."""
     import jax
 
+    if hasattr(handles, "wait_and_get"):
+        return handles.wait_and_get()
     return jax.device_get(handles)
 
 # Generation of anything outside paralinguistic forms (or the allowed wordlist)
@@ -1349,6 +1353,10 @@ class RealtimeAgent:
         if self._pending is None:
             return
         succ, self._pending = self._pending, None
+        # paired self-play: the successor may still be buffered waiting for a
+        # partner dispatch that cannot arrive while this thread blocks on the
+        # fetch — realize it through the single program now
+        self._flush_pair_row()
         succ_res, _ = self._session.resolve(succ["future"].result())
         assert succ_res.halted_input
         session = self._session
@@ -1364,11 +1372,20 @@ class RealtimeAgent:
             "future": self._fetcher.submit(_device_get, handles),
         }
 
+    def _flush_pair_row(self) -> None:
+        """Paired self-play only: realize this session's buffered pair chunk
+        (if any) through its single program. Called before this thread blocks
+        on a fetch the partner's dispatch would otherwise have to unblock."""
+        session = self._session
+        if session is not None and session._pair is not None:
+            session._pair.flush(session)
+
     def _resolve_pending(self):
         """Drain the in-flight chunk, if any; returns its (audio, ids)."""
         if self._pending is None:
             return None
         pending, self._pending = self._pending, None
+        self._flush_pair_row()
         out = self._resolve_one(pending)
         self._chain_dirty = True
         return out

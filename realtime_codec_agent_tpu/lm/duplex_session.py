@@ -123,6 +123,9 @@ class DuplexSession:
         self.preroll_samples = preroll_samples
         self._agent_input_ids: List[int] = []
         self.chain: Optional[Dict] = None
+        # set by lm/pair_session.PairCoordinator: two self-play sessions ride
+        # one batch-2 program (weight reads shared); None = standalone
+        self._pair = None
 
         self._build_jits()
         # device-resident constants: the tunnel charges an RPC per host->device
@@ -138,6 +141,8 @@ class DuplexSession:
     def reset(self) -> None:
         """Zero the encode ring (silence) and prime the decode ring with
         encoded-silence codes (fixed-context streaming semantics)."""
+        if self._pair is not None:
+            self._pair.cancel(self)
         self.enc_ctx = jnp.zeros((self.context_samples,), jnp.float32)
         silence_codes = self.codec.encode(np.zeros((1, self.context_samples), np.float32))[0]
         self.dec_ctx = jnp.asarray(silence_codes, jnp.int32)
@@ -149,6 +154,10 @@ class DuplexSession:
         pending (appended, unevaled) pair, n_tokens, sampler step, and the
         trailing penalty window (stepwise semantics: the window at the next
         sample covers all mirrored ids including the pending pair)."""
+        if self._pair is not None:
+            # a buffered pair chunk chains off the CURRENT device chain; it
+            # must realize before the host replaces that chain
+            self._pair.flush(self)
         eng = self.engine
         ids = self._agent_input_ids
         assert len(ids) >= 2, "chain needs a pending (agent,user) pair"
@@ -449,6 +458,25 @@ class DuplexSession:
         commit_decode: bool = True,
         user_tokens: Optional[List[int]] = None,
     ):
+        """Enqueue this chunk's fused program and return fetchable result
+        handles. Standalone sessions launch immediately; paired self-play
+        sessions route through the PairCoordinator, which buffers the first
+        row and runs BOTH rows in one batch-2 program when the partner
+        dispatches (lm/pair_session.py)."""
+        if self._pair is not None:
+            if self.chain is None:
+                self.sync_chain()
+            return self._pair.dispatch(self, audio_chunk, commit_decode, user_tokens)
+        return self._dispatch_chunk_single(
+            audio_chunk, commit_decode=commit_decode, user_tokens=user_tokens
+        )
+
+    def _dispatch_chunk_single(
+        self,
+        audio_chunk: np.ndarray,
+        commit_decode: bool = True,
+        user_tokens: Optional[List[int]] = None,
+    ):
         """Enqueue ONE fused device program for the whole chunk against the
         device chain state and return the packed result handles WITHOUT
         fetching them. The pipelined agent resolves them one chunk later;
@@ -602,8 +630,14 @@ class DuplexSession:
     def resolve(self, handles) -> Tuple[FusedChunkResult, int]:
         """Fetch a dispatched chunk's packed results (ONE batched host
         transfer) and advance the engine's sampler-step counter for the
-        frames the fused program consumed."""
-        ints, floats = jax.device_get(handles)
+        frames the fused program consumed. Under pairing the handles may be a
+        LazyHandles (buffered, not yet launched): resolving it directly means
+        dispatch and fetch are adjacent on one thread, so flush immediately —
+        waiting for a partner dispatch that can't arrive would stall."""
+        if hasattr(handles, "wait_and_get"):
+            ints, floats = handles.wait_and_get(immediate=True)
+        else:
+            ints, floats = jax.device_get(handles)
         cf = self.chunk_frames
         event_frame = int(ints[2 * cf])
         halted_input = bool(ints[2 * cf + 3])

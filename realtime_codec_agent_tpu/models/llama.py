@@ -670,6 +670,84 @@ def forward_decode(
     return x, jnp.stack(new_ks), jnp.stack(new_vs)
 
 
+def forward_decode_pair(
+    params: Dict,
+    ids: jnp.ndarray,        # (R, T) one row per independent session
+    cfg: DuplexLMConfig,
+    k_caches,                # sequence of R read-only caches, each (L, 1, S, KH, Dh)
+    v_caches,
+    positions: jnp.ndarray,  # (R, T) per-row absolute positions
+    cache_valid: jnp.ndarray,  # (R,) per-row valid cache length
+    extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (L,R,We,KH,Dh) x2
+    extra_pos: Optional[jnp.ndarray] = None,  # (R, We)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Incremental forward for R sessions with SEPARATE caches in ONE program.
+
+    AR decode at R=1 is weight-read-bound: every chunk re-reads the full
+    model for 3 tokens. Two concurrent sessions (dual-agent self-play,
+    lm/pair_session.py) issued as independent programs pay that read twice.
+    Here the weight matmuls (qkv/wo/gate|up/down, lm_head by the caller) run
+    batched over the R rows — one weight read total — while attention runs
+    per row against that row's own cache, so each engine keeps exclusive
+    ownership of its cache buffers (commits, rollbacks, trims, and the
+    incremental-rebuild machinery are untouched). Per-row outputs are
+    bit-identical to R separate forward_decode calls (same contractions per
+    row; pinned by tests/test_pair_session.py).
+
+    No reference counterpart: the reference runs self-play as two llama.cpp
+    processes on separate GPUs (inference_client_self_play.py:148-159).
+    """
+    r, t = ids.shape
+    dtype = jnp.dtype(cfg.compute_dtype)
+    positions = jnp.asarray(positions)
+    cache_valid = jnp.asarray(cache_valid)
+    x = embed_ids(params, ids, cfg)
+    cos, sin = nn.rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, rope_scaling=cfg.rope_scaling
+    )
+
+    new_ks, new_vs = [], []
+    for li, blk in enumerate(params["layers"]):
+        res = x
+        y = nn.rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q, k, v = _attn_qkv(y, blk, cfg, dtype)  # batched over rows: ONE weight read
+        q = q.reshape(r, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(r, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(r, t, cfg.num_kv_heads, cfg.head_dim)
+        q, k = nn.apply_rope(q, k, cos, sin)
+        new_ks.append(k)
+        new_vs.append(v)
+
+        attn_rows = []
+        for ri in range(r):
+            qr = q[ri : ri + 1]
+            kr = k[ri : ri + 1]
+            vr = v[ri : ri + 1]
+            pos_r = positions[ri : ri + 1]
+            if extra_kv is not None:
+                k_small = jnp.concatenate([extra_kv[0][li, ri : ri + 1], kr], axis=1)
+                v_small = jnp.concatenate([extra_kv[1][li, ri : ri + 1], vr], axis=1)
+                small_pos = jnp.concatenate([extra_pos[ri : ri + 1], pos_r], axis=1)
+            else:
+                k_small, v_small, small_pos = kr, vr, pos_r
+            attn_rows.append(
+                _gqa_two_piece_attention(
+                    qr, k_caches[ri][li], v_caches[ri][li], k_small, v_small,
+                    pos_r, small_pos, cache_valid[ri : ri + 1],
+                )
+            )
+        attn = jnp.concatenate(attn_rows, axis=0)
+        attn = nn.qdot(attn.reshape(r, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
+        x = res + attn
+
+        res = x
+        y = nn.rms_norm(x, blk["mlp_norm"], cfg.rms_eps)
+        x = res + _mlp(y, blk, dtype)
+
+    x = nn.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x, jnp.stack(new_ks), jnp.stack(new_vs)
+
+
 def commit_kv(k_cache, v_cache, new_k, new_v, offset):
     """Write (L,B,T,KH,Dh) new K/V at contiguous cache positions
     [offset, offset+T). In-place when k_cache/v_cache are donated."""
