@@ -138,6 +138,7 @@ def main():
             "--train_loss_block", str(args.train_loss_block),
             "--train_remat_policy", args.train_remat_policy,
             "--train_optimizer", args.train_optimizer,
+            *(["--no_selfplay_pair"] if args.no_selfplay_pair else []),
             "--seed", str(args.seed),
         ]
         if args.peak_tflops is not None:

@@ -21,9 +21,85 @@ from realtime_codec_agent_tpu import (
 from realtime_codec_agent_tpu.utils.audio_io import write_wav
 
 
+class InprocSelfPlayAgent:
+    """RealtimeAgentMultiprocessing-protocol adapter over an in-process
+    RealtimeAgent, so the self-play loop/UI runs either way. The TPU-native
+    one-chip mode: both agents share one weight pytree
+    (resources.clone_for_self_play) and, when paired, their pipelined fused
+    chunks ride ONE batch-2 device program (lm/pair_session.py) — versus the
+    reference's one-llama.cpp-process-per-GPU layout
+    (reference inference_client_self_play.py:148-159)."""
+
+    def __init__(self, agent):
+        self.agent = agent
+        self._outputs = []
+
+    def queue_input(self, item) -> None:
+        import time as _time
+
+        audio, ids = item
+        t0 = _time.perf_counter()
+        out = self.agent.process_audio(audio, ids)
+        rtf = (_time.perf_counter() - t0) / self.agent.config.chunk_size_secs
+        self._outputs.append((out, rtf))
+
+    def next_output(self, block: bool = False):
+        return self._outputs.pop(0) if self._outputs else None
+
+    def get_info(self):
+        from realtime_codec_agent_tpu.agent.agent import (
+            RealtimeAgentMultiprocessingInfo,
+        )
+
+        a = self.agent
+        # like the mp child's snapshot: settle in-flight work first so the
+        # transcript/sequence include every processed chunk
+        a.join_detours()
+        while True:
+            out = a.drain_pipeline()
+            if out is None:
+                break
+            self._outputs.append((out, None))
+        return RealtimeAgentMultiprocessingInfo(
+            config=a.config,
+            sampling_rate=a.resources.audio_tokenizer.sampling_rate,
+            chunk_size_samples=a.chunk_size_samples,
+            total_secs=a.total_secs,
+            transcript=a.format_transcript(),
+            sequence=a.get_sequence_str(),
+            audio_history=a.get_audio_history(),
+            external_llm_messages=a.get_external_llm_messages(),
+        )
+
+
 def build_agents(args):
-    config_a = RealtimeAgentConfig(agent_opening_text=args.opening_text, seed=args.seed)
-    config_b = RealtimeAgentConfig(agent_opening_text=None, seed=args.seed + 1)
+    config_a = RealtimeAgentConfig(
+        agent_opening_text=args.opening_text, seed=args.seed,
+        pipeline_chunks=args.inproc,
+    )
+    config_b = RealtimeAgentConfig(
+        agent_opening_text=None, seed=args.seed + 1,
+        pipeline_chunks=args.inproc,
+    )
+    if args.inproc:
+        from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
+        from realtime_codec_agent_tpu.agent.resources import RealtimeAgentResources
+        from realtime_codec_agent_tpu.lm.pair_session import pair_self_play_agents
+
+        resources = RealtimeAgentResources(
+            llm_model_path=args.llm_model_path, tiny=args.tiny
+        )
+        agent_a = RealtimeAgent(
+            resources=resources, config=config_a, self_play_mode=True
+        )
+        agent_b = RealtimeAgent(
+            resources=resources.clone_for_self_play(),
+            config=config_b,
+            self_play_mode=True,
+        )
+        if not args.no_pair:
+            pair_self_play_agents(agent_a, agent_b)
+        return InprocSelfPlayAgent(agent_a), InprocSelfPlayAgent(agent_b)
     agent_a = RealtimeAgentMultiprocessing(
         config=config_a,
         self_play_mode=True,
@@ -68,6 +144,15 @@ def main():
     add_common_inference_args(parser)
     parser.add_argument("--device_a", type=int, default=None)
     parser.add_argument("--device_b", type=int, default=None)
+    parser.add_argument(
+        "--inproc", action="store_true",
+        help="both agents in THIS process on one chip, pipelined and (unless "
+             "--no_pair) riding one batch-2 fused program per chunk",
+    )
+    parser.add_argument(
+        "--no_pair", action="store_true",
+        help="with --inproc: keep each agent's fused chunks in separate programs",
+    )
     parser.add_argument("--opening_text", default="hello?")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--headless", action="store_true")
