@@ -45,7 +45,10 @@ def release_device_memory():
 # starve each other even with release_device_memory() (measured: the train
 # section OOMed at every seq_len after the inference sections ran first), so
 # the full suite runs each group in its own subprocess with a fresh device.
-SECTIONS = ["codec", "encode", "ar", "selfplay", "batched", "bandwidth", "train", "whisper"]
+SECTIONS = [
+    "codec", "encode", "ar", "selfplay", "duplexserve",
+    "batched", "bandwidth", "train", "whisper",
+]
 GROUPS = [
     ["codec", "encode"],
     ["batched"],
@@ -53,6 +56,7 @@ GROUPS = [
     ["train"],
     ["whisper"],
     ["ar", "selfplay"],
+    ["duplexserve"],
 ]
 
 
@@ -119,6 +123,10 @@ def main():
         help="peak bf16 TFLOP/s for MFU (default: inferred from device kind)",
     )
     parser.add_argument(
+        "--duplex_sessions", type=int, default=4,
+        help="concurrent full-duplex calls in the duplexserve section",
+    )
+    parser.add_argument(
         "--no_selfplay_pair", action="store_true",
         help="A/B: run self-play as two independent fused programs instead of "
              "the shared batch-2 pair program (lm/pair_session.py)",
@@ -139,6 +147,7 @@ def main():
             "--train_remat_policy", args.train_remat_policy,
             "--train_optimizer", args.train_optimizer,
             *(["--no_selfplay_pair"] if args.no_selfplay_pair else []),
+            "--duplex_sessions", str(args.duplex_sessions),
             "--seed", str(args.seed),
         ]
         if args.peak_tflops is not None:
@@ -580,6 +589,74 @@ def main():
                 "self_play_pair_frac",
                 (2 * pair.paired_dispatches) / max(1, total),
                 "fraction of chunks riding the shared batch-2 program",
+            )
+
+    # ---- 5. duplex serving: R concurrent full-duplex calls on one chip ------
+    # Each call is a complete RealtimeAgent (own KV cache, stream state,
+    # events, trims) over shared weights; the group coordinator rides all R
+    # pipelined fused chunks through ONE batch-R program per 100 ms tick
+    # (lm/pair_session.py). No reference counterpart: the reference serves one
+    # call per llama.cpp GPU process.
+    if "duplexserve" not in args.skip:
+        from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
+        from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
+        from realtime_codec_agent_tpu.lm.pair_session import group_duplex_agents
+
+        R = args.duplex_sessions
+        base_res = RealtimeAgentResources(
+            tiny=args.tiny, codec_model=codec, whisper_model=None
+        )
+        agents = []
+        for i in range(R):
+            res_i = base_res if i == 0 else base_res.clone_for_self_play()
+            cfg_i = RealtimeAgentConfig(
+                seed=args.seed + i, use_whisper=False, agent_opening_text=None,
+                force_trans_after_inactivity_secs=0.0,
+                force_response_after_inactivity_secs=0.0,
+                pipeline_chunks=True,
+            )
+            a = RealtimeAgent(resources=res_i, config=cfg_i)
+            orig_i = a.set_sampler
+
+            def pinned_i(for_trans=False, suppress_end_audio=False,
+                         _orig=orig_i, _res=res_i):
+                _orig(for_trans=for_trans, suppress_end_audio=suppress_end_audio)
+                _res.llm.settings.min_token_id = _res.tokenizer.codec_vocab_start
+
+            a.set_sampler = pinned_i
+            a.set_sampler()
+            agents.append(a)
+        coord = None
+        if not args.no_selfplay_pair:
+            coord = group_duplex_agents(agents)
+            coord.prewarm()
+        chunk_n = agents[0].chunk_size_samples
+        streams = [
+            (0.1 * np.random.default_rng(args.seed + 100 + i).normal(
+                size=50 * chunk_n)).astype(np.float32)
+            for i in range(R)
+        ]
+        for t in range(10):  # warmup
+            for a, s in zip(agents, streams):
+                a.process_audio(s[t * chunk_n : (t + 1) * chunk_n])
+        n = 40
+        t0 = time.perf_counter()
+        for t in range(10, 10 + n):
+            for a, s in zip(agents, streams):
+                a.process_audio(s[t * chunk_n : (t + 1) * chunk_n])
+        dt = time.perf_counter() - t0
+        emit(
+            "duplex_serving_rtf", dt / (n * 0.1),
+            f"x_realtime serving {R} concurrent full-duplex calls "
+            "(lower is better; <1 = every call realtime)",
+            sessions=R,
+        )
+        if coord is not None:
+            total = coord.paired_dispatches * R + coord.single_dispatches
+            emit(
+                "duplex_serving_group_frac",
+                (R * coord.paired_dispatches) / max(1, total),
+                f"fraction of chunks riding the shared batch-{R} program",
             )
 
 

@@ -1,34 +1,45 @@
-"""Paired fused chunks: two self-play sessions in ONE device program.
+"""Grouped fused chunks: R independent duplex sessions in ONE device program.
 
-Dual-agent self-play runs two full duplex agents on one chip
-(inference_client_self_play.py; the reference instead pins two llama.cpp
-processes to separate GPUs, inference_client_self_play.py:148-159). Each
-agent's fused chunk is weight-read-bound — the whole 1B model streams
-through HBM for 3 tokens per frame — so two agents issued as independent
-programs pay that read twice per 100 ms. This module rides BOTH agents'
-chunks through one program built on models/llama.forward_decode_pair: the
-weight matmuls batch over the two rows (one read), attention stays per-row
-against each engine's own cache, and the per-row outputs are packed in
-exactly the single program's layout so ``DuplexSession.resolve`` parses
-them unchanged.
+A duplex agent's fused chunk is weight-read-bound — the whole 1B model
+streams through HBM for 3 tokens per frame — so R concurrent sessions issued
+as independent programs pay that read R times per 100 ms. This module rides
+ALL R sessions' chunks through one program built on
+models/llama.forward_decode_pair: the weight matmuls batch over the R rows
+(one read), attention stays per-row against each engine's own cache, and the
+per-row outputs are packed in exactly the single program's layout so
+``DuplexSession.resolve`` parses them unchanged.
 
-Pairing is a pure scheduling overlay — token streams are bit-identical to
-the unpaired sessions (pinned by tests/test_pair_session.py):
+Two deployments:
 
-- ``PairCoordinator.dispatch`` BUFFERS the first row's chunk and launches the
-  pair program when the second row dispatches (the self-play loop alternates
-  A, B, A, B, so steady state pairs every chunk). The buffering row gets
-  back a :class:`LazyHandles` whose fetch blocks until launch — which is
+- **Dual-agent self-play** (R=2, ``pair_self_play_agents``): both agents of
+  inference_client_self_play.py on one chip. The reference instead pins two
+  llama.cpp processes to separate GPUs (inference_client_self_play.py:148-159).
+- **Duplex serving** (R>=2, ``group_duplex_agents``): N independent realtime
+  calls on one chip, each a full RealtimeAgent with its own KV cache, stream
+  state, events and trims — sharing only the weight read. No reference
+  counterpart exists (one GPU per call there).
+
+Grouping is a pure scheduling overlay — token streams are bit-identical to
+the ungrouped sessions (pinned by tests/test_pair_session.py):
+
+- ``GroupCoordinator.dispatch`` BUFFERS a row's chunk and launches the group
+  program when ALL R rows have dispatched (the driving loop services the
+  sessions round-robin, so steady state groups every chunk). A buffering row
+  gets back a :class:`LazyHandles` whose fetch blocks until launch — which is
   exactly the pipelined agent's cadence (it resolves chunk t only after
   dispatching t+1).
 - Any same-row re-dispatch, chain resync, event/halted resolve, or session
-  reset first FLUSHES the buffered chunk through the row's own single
+  reset first FLUSHES that row's buffered chunk through its own single
   program (``DuplexSession._dispatch_chunk_single``), so every path the
   agent can take — events, trims, detours, drains — sees the exact
   single-session semantics it was built against. A fetch-side timeout
   flushes the final in-flight chunk at session drain.
 - Rows that can't ride together (different top_k, mixed precomputed-token
-  modes during warm-in) fall back to single dispatches for that chunk.
+  modes during warm-in) make the whole buffered set fall back to single
+  dispatches for that chunk; steady state is homogeneous.
+- All R sessions must be driven from ONE thread (the serving/self-play
+  loop); a row that stops dispatching degrades the others to singles, it
+  never wedges them.
 """
 from __future__ import annotations
 
@@ -47,14 +58,14 @@ from .duplex_session import REJECTED_POS, DuplexSession
 
 
 class LazyHandles:
-    """Fetchable placeholder for a buffered (not yet launched) pair dispatch.
+    """Fetchable placeholder for a buffered (not yet launched) group dispatch.
 
-    ``wait_and_get`` blocks until the coordinator launches (partner dispatch)
-    or flushes the row; after ``timeout`` seconds it flushes the row itself —
-    that only triggers at session drain, where the main thread is parked in
-    ``future.result()`` and cannot race the flush."""
+    ``wait_and_get`` blocks until the coordinator launches (last row's
+    dispatch) or flushes the row; after ``timeout`` seconds it flushes the
+    row itself — that only triggers at session drain, where the main thread
+    is parked in ``future.result()`` and cannot race the flush."""
 
-    def __init__(self, coord: "PairCoordinator", session: DuplexSession):
+    def __init__(self, coord: "GroupCoordinator", session: DuplexSession):
         self._coord = coord
         self._session = session
         self._event = threading.Event()
@@ -86,33 +97,41 @@ class LazyHandles:
         return jax.device_get(self._handles)
 
 
-class PairCoordinator:
-    """Owns the pair program for two DuplexSessions over shared weights."""
+class GroupCoordinator:
+    """Owns the R-row group program for R DuplexSessions over shared weights."""
 
-    def __init__(self, session_a: DuplexSession, session_b: DuplexSession):
-        if session_a.engine.params is not session_b.engine.params:
-            raise ValueError("paired sessions must share one weight pytree")
-        if session_a.engine._k.shape != session_b.engine._k.shape:
-            raise ValueError("paired sessions must share the KV-cache geometry")
-        for attr in ("chunk_samples", "chunk_frames", "context_samples",
-                     "context_frames", "preroll_samples", "codec_vocab_start"):
-            if getattr(session_a, attr) != getattr(session_b, attr):
-                raise ValueError(f"paired sessions disagree on {attr}")
-        if session_a.codec is not session_b.codec:
-            raise ValueError("paired sessions must share the codec model")
-        self.sessions = (session_a, session_b)
+    def __init__(self, *sessions: DuplexSession):
+        if len(sessions) < 2:
+            raise ValueError("grouping needs at least two sessions")
+        s0 = sessions[0]
+        for s in sessions[1:]:
+            if s.engine.params is not s0.engine.params:
+                raise ValueError("grouped sessions must share one weight pytree")
+            if s.engine._k.shape != s0.engine._k.shape:
+                raise ValueError("grouped sessions must share the KV-cache geometry")
+            for attr in ("chunk_samples", "chunk_frames", "context_samples",
+                         "context_frames", "preroll_samples", "codec_vocab_start"):
+                if getattr(s, attr) != getattr(s0, attr):
+                    raise ValueError(f"grouped sessions disagree on {attr}")
+            if s.codec is not s0.codec:
+                raise ValueError("grouped sessions must share the codec model")
+        self.sessions = tuple(sessions)
+        self.n_rows = len(sessions)
         self._lock = threading.RLock()
-        self._buffered: Optional[Dict] = None
+        # buffered entries keyed by session identity; launch fires when every
+        # row has one and their statics agree
+        self._buffered: Dict[int, Dict] = {}
         self.paired_dispatches = 0
         self.single_dispatches = 0
-        self._build_pair_jit(session_a)
+        self._build_group_jit(s0)
         for s in self.sessions:
             s._pair = self
 
     # ------------------------------------------------------------------ jit
-    def _build_pair_jit(self, s: DuplexSession):
+    def _build_group_jit(self, s: DuplexSession):
         cfg = s.engine.cfg
         ccfg = s.codec_cfg
+        R = self.n_rows
         chunk_frames = s.chunk_frames
         chunk_samples = s.chunk_samples
         cvs = s.codec_vocab_start
@@ -126,39 +145,39 @@ class PairCoordinator:
         @functools.partial(
             jax.jit, static_argnames=("top_k", "use_precomputed_tokens", "cache_view")
         )
-        def fused_pair(
+        def fused_group(
             params, codec_params, codec_tables,
-            k_a, v_a, k_b, v_b,
-            chain_a, chain_b,
-            enc_ctx, dec_ctx,            # (2, ctx_samples), (2, ctx_frames)
-            audio, user_tokens_in,       # (2, chunk_samples), (2, chunk_frames)
-            base_keys,                   # (2, key)
-            scalars, bias_ids, bias_vals,  # (2, ...) stacked per row
-            commit_decode,               # (2,) bool
+            k_rows, v_rows,              # tuples of R caches (L, 1, S, KH, Dh)
+            chains,                      # tuple of R chain dicts
+            enc_ctx, dec_ctx,            # (R, ctx_samples), (R, ctx_frames)
+            audio, user_tokens_in,       # (R, chunk_samples), (R, chunk_frames)
+            base_keys,                   # (R, key)
+            scalars, bias_ids, bias_vals,  # (R, ...) stacked per row
+            commit_decode,               # (R,) bool
             top_k, use_precomputed_tokens, cache_view=0,
         ):
-            cache_len = k_a.shape[2]
+            cache_len = k_rows[0].shape[2]
             trash = cache_len - 4
             if cache_view and cache_view < cache_len:
-                k_views = (k_a[:, :, :cache_view], k_b[:, :, :cache_view])
-                v_views = (v_a[:, :, :cache_view], v_b[:, :, :cache_view])
+                k_views = tuple(k[:, :, :cache_view] for k in k_rows)
+                v_views = tuple(v[:, :, :cache_view] for v in v_rows)
             else:
-                k_views, v_views = (k_a, k_b), (v_a, v_b)
-            kv_shape = (cfg.num_layers, 2, n_small, cfg.num_kv_heads, cfg.head_dim)
+                k_views, v_views = k_rows, v_rows
+            kv_shape = (cfg.num_layers, R, n_small, cfg.num_kv_heads, cfg.head_dim)
             dtype = jnp.dtype(cfg.compute_dtype)
 
             def srow(key):
-                return jnp.stack([chain_a[key], chain_b[key]])
+                return jnp.stack([c[key] for c in chains])
 
-            n0 = srow("n")                    # (2,)
+            n0 = srow("n")                    # (R,)
             step0 = srow("step")
             halted_in = srow("halted")
-            prev0 = srow("prev_pair")          # (2, 2)
-            wids0 = srow("window_ids")         # (2, W)
+            prev0 = srow("prev_pair")          # (R, 2)
+            wids0 = srow("window_ids")         # (R, W)
             wcount0 = srow("window_count")
 
             if use_precomputed_tokens:
-                user_tokens = user_tokens_in   # (2, F); rings already advanced
+                user_tokens = user_tokens_in   # (R, F); rings already advanced
             else:
                 enc_ctx = jnp.concatenate(
                     [enc_ctx[:, chunk_samples:], audio], axis=1
@@ -171,21 +190,21 @@ class PairCoordinator:
             def frame_step(carry, xs):
                 (small_k, small_v, small_pos, n, prev, wids, wcount,
                  done, event_tok, probs3) = carry
-                i, u_tok = xs                  # u_tok (2,)
-                positions = n[:, None] + jnp.arange(3)[None, :]   # (2, 3)
+                i, u_tok = xs                  # u_tok (R,)
+                positions = n[:, None] + jnp.arange(3)[None, :]   # (R, 3)
                 wmask = (
                     jnp.arange(PENALTY_WINDOW)[None, :]
                     >= PENALTY_WINDOW - wcount[:, None]
                 ).astype(jnp.float32)
                 ids3 = jnp.concatenate(
-                    [prev, jnp.full((2, 1), end_audio, jnp.int32)], axis=1
+                    [prev, jnp.full((R, 1), end_audio, jnp.int32)], axis=1
                 )
                 hidden, nk, nv = forward_decode_pair(
                     params, ids3, cfg, k_views, v_views, positions,
                     cache_valid=n0,
                     extra_kv=(small_k, small_v), extra_pos=small_pos,
                 )
-                logits2 = logits_from_hidden(params, hidden[:, 1:3], cfg)  # (2,2,V)
+                logits2 = logits_from_hidden(params, hidden[:, 1:3], cfg)  # (R,2,V)
                 keys = jax.vmap(jax.random.fold_in)(base_keys, step0 + i)
                 a = jax.vmap(
                     lambda lg, key, sc, bi, bv, wi, wm: sample_token(
@@ -196,7 +215,7 @@ class PairCoordinator:
                 accept = (~done) & is_audio
                 event_now = (~done) & (~is_audio)
                 event_tok = jnp.where(event_now, a, event_tok)
-                sample_probs = jax.nn.softmax(logits2[:, 0], axis=-1)  # (2, V)
+                sample_probs = jax.nn.softmax(logits2[:, 0], axis=-1)  # (R, V)
                 probe_probs = jax.nn.softmax(logits2[:, 1], axis=-1)
                 new3 = jnp.stack(
                     [
@@ -205,7 +224,7 @@ class PairCoordinator:
                         probe_probs[:, user_sp],
                     ],
                     axis=1,
-                )  # (2, 3)
+                )  # (R, 3)
                 probs3 = jnp.where(done[:, None], probs3, new3)
                 nk = nk[:, :, :2]
                 nv = nv[:, :, :2]
@@ -233,23 +252,23 @@ class PairCoordinator:
             init = (
                 jnp.zeros(kv_shape, dtype),
                 jnp.zeros(kv_shape, dtype),
-                jnp.full((2, n_small), REJECTED_POS, jnp.int32),
+                jnp.full((R, n_small), REJECTED_POS, jnp.int32),
                 n0,
                 prev0,
                 wids0,
                 wcount0,
                 halted_in,
-                jnp.full((2,), -1, jnp.int32),
-                jnp.zeros((2, 3), jnp.float32),
+                jnp.full((R,), -1, jnp.int32),
+                jnp.zeros((R, 3), jnp.float32),
             )
             (
                 (small_k, small_v, small_pos, n_final, prev, wids, wcount,
                  done, event_tok, probs3),
-                out_tokens,  # (F, 2)
+                out_tokens,  # (F, R)
             ) = jax.lax.scan(
                 frame_step, init, (jnp.arange(chunk_frames), user_tokens.T)
             )
-            out_tokens = out_tokens.T  # (2, F)
+            out_tokens = out_tokens.T  # (R, F)
             evented = out_tokens < 0
             event_frame = jnp.where(
                 jnp.any(evented, axis=1),
@@ -274,18 +293,17 @@ class PairCoordinator:
                 0,
                 jnp.where(had_event, event_frame + 1, chunk_frames),
             )
-            new_chains = []
-            for r in range(2):
-                new_chains.append(
-                    {
-                        "prev_pair": prev[r],
-                        "n": n_final[r],
-                        "step": step0[r] + step_adv[r],
-                        "window_ids": wids[r],
-                        "window_count": wcount[r],
-                        "halted": halted_in[r] | had_event[r],
-                    }
-                )
+            new_chains = tuple(
+                {
+                    "prev_pair": prev[r],
+                    "n": n_final[r],
+                    "step": step0[r] + step_adv[r],
+                    "window_ids": wids[r],
+                    "window_count": wcount[r],
+                    "halted": halted_in[r] | had_event[r],
+                }
+                for r in range(R)
+            )
 
             packed_i32 = jnp.concatenate(
                 [
@@ -297,18 +315,20 @@ class PairCoordinator:
                     ).astype(jnp.int32),
                 ],
                 axis=1,
-            )  # (2, 2F + 4): row layout == the single program's packed_i32
+            )  # (R, 2F + 4): row layout == the single program's packed_i32
             packed_f32 = jnp.concatenate(
                 [tails.astype(jnp.float32), probs3.astype(jnp.float32)], axis=1
-            )  # (2, tail + 3)
+            )  # (R, tail + 3)
             return (
-                small_k[:, 0:1], small_v[:, 0:1], target_idx[0],
-                small_k[:, 1:2], small_v[:, 1:2], target_idx[1],
-                enc_ctx, dec_ctx, new_chains[0], new_chains[1],
-                packed_i32[0], packed_f32[0], packed_i32[1], packed_f32[1],
+                tuple(small_k[:, r : r + 1] for r in range(R)),
+                tuple(small_v[:, r : r + 1] for r in range(R)),
+                tuple(target_idx[r] for r in range(R)),
+                enc_ctx, dec_ctx, new_chains,
+                tuple(packed_i32[r] for r in range(R)),
+                tuple(packed_f32[r] for r in range(R)),
             )
 
-        self._fused_pair = fused_pair
+        self._fused_group = fused_group
 
     # ------------------------------------------------------------- dispatch
     def dispatch(
@@ -318,13 +338,15 @@ class PairCoordinator:
         commit_decode: bool,
         user_tokens: Optional[List[int]],
     ):
-        """Buffer this row's chunk, or launch the pair program if the partner
-        is already buffered. Returns fetchable handles either way."""
+        """Buffer this row's chunk, or launch the group program if every
+        other row is already buffered. Returns fetchable handles either way."""
         with self._lock:
-            if self._buffered is not None and self._buffered["session"] is session:
-                # partner skipped a turn: the chain input of this new chunk is
-                # the buffered chunk's output — realize the old one first
-                self._flush_locked()
+            key = id(session)
+            if key in self._buffered:
+                # this row re-dispatched before the group filled: the chain
+                # input of the new chunk is the buffered chunk's output —
+                # realize the old one first
+                self._flush_entry_locked(key)
             entry = {
                 "session": session,
                 "audio": np.asarray(audio_chunk, np.float32),
@@ -338,107 +360,115 @@ class PairCoordinator:
                 "view": session._cache_view_bucket(),
                 "lazy": LazyHandles(self, session),
             }
-            if self._buffered is None:
-                self._buffered = entry
+            self._buffered[key] = entry
+            if len(self._buffered) < self.n_rows:
                 return entry["lazy"]
-            other = self._buffered
-            if (
-                other["top_k"] != entry["top_k"]
-                or (other["user_tokens"] is None) != (user_tokens is None)
+            entries = [self._buffered[id(s)] for s in self.sessions]
+            use_pre0 = entries[0]["user_tokens"] is None
+            if any(
+                e["top_k"] != entries[0]["top_k"]
+                or (e["user_tokens"] is None) != use_pre0
+                for e in entries[1:]
             ):
                 # incompatible statics (sampler swap mid-event, warm-in mix):
-                # this chunk can't ride with the buffered one
-                self._flush_locked()
-                self._buffered = entry
+                # this round can't ride together — realize all as singles
+                self._flush_all_locked()
                 return entry["lazy"]
-            self._buffered = None
-            self._launch(other, entry)
+            self._buffered.clear()
+            self._launch(entries)
             return entry["lazy"]
 
-    def _launch(self, first: Dict, second: Dict) -> None:
-        """Run the pair program for the two buffered rows (coordinator lock
-        held). Row order follows self.sessions so cache args stay positional."""
-        if first["session"] is self.sessions[0]:
-            ra, rb = first, second
-        else:
-            ra, rb = second, first
-        sa, sb = self.sessions
-        ea, eb = sa.engine, sb.engine
-        use_pre = ra["user_tokens"] is not None
-        cf = sa.chunk_frames
+    def _launch(self, entries: List[Dict]) -> None:
+        """Run the group program for the R buffered rows (coordinator lock
+        held). ``entries`` is ordered to match self.sessions so the cache
+        tuples stay positional."""
+        R = self.n_rows
+        engines = [s.engine for s in self.sessions]
+        use_pre = entries[0]["user_tokens"] is not None
+        cf = self.sessions[0].chunk_frames
         if use_pre:
             ut = jnp.asarray(
-                np.stack(
-                    [
-                        np.asarray(ra["user_tokens"], np.int32),
-                        np.asarray(rb["user_tokens"], np.int32),
-                    ]
-                )
+                np.stack([np.asarray(e["user_tokens"], np.int32) for e in entries])
             )
         else:
-            ut = jnp.zeros((2, cf), jnp.int32)
-        view = 0
-        if ra["view"] and rb["view"]:
-            view = max(ra["view"], rb["view"])
-        scal_a, (bi_a, bv_a) = ra["settings"]
-        scal_b, (bi_b, bv_b) = rb["settings"]
+            ut = jnp.zeros((R, cf), jnp.int32)
+        views = [e["view"] for e in entries]
+        view = max(views) if all(views) else 0
+        scals, bis, bvs = [], [], []
+        for e in entries:
+            sc, (bi, bv) = e["settings"]
+            scals.append(sc)
+            bis.append(bi)
+            bvs.append(bv)
         (
-            sk_a, sv_a, ti_a, sk_b, sv_b, ti_b,
-            enc_out, dec_out, chain_a, chain_b,
-            pi_a, pf_a, pi_b, pf_b,
-        ) = self._fused_pair(
-            ea.params,
-            sa.codec.params,
-            sa.codec.tables,
-            ea._k, ea._v, eb._k, eb._v,
-            ra["chain"], rb["chain"],
-            jnp.stack([ra["enc"], rb["enc"]]),
-            jnp.stack([ra["dec"], rb["dec"]]),
-            jnp.stack([jnp.asarray(ra["audio"]), jnp.asarray(rb["audio"])]),
+            small_ks, small_vs, target_idxs,
+            enc_out, dec_out, new_chains,
+            packed_is, packed_fs,
+        ) = self._fused_group(
+            engines[0].params,
+            self.sessions[0].codec.params,
+            self.sessions[0].codec.tables,
+            tuple(e._k for e in engines),
+            tuple(e._v for e in engines),
+            tuple(e["chain"] for e in entries),
+            jnp.stack([e["enc"] for e in entries]),
+            jnp.stack([e["dec"] for e in entries]),
+            jnp.stack([jnp.asarray(e["audio"]) for e in entries]),
             ut,
-            jnp.stack([ea._base_key, eb._base_key]),
-            jnp.stack([scal_a, scal_b]),
-            jnp.stack([bi_a, bi_b]),
-            jnp.stack([bv_a, bv_b]),
-            jnp.asarray([ra["commit_decode"], rb["commit_decode"]], bool),
-            top_k=ra["top_k"],
+            jnp.stack([e._base_key for e in engines]),
+            jnp.stack(scals),
+            jnp.stack(bis),
+            jnp.stack(bvs),
+            jnp.asarray([e["commit_decode"] for e in entries], bool),
+            top_k=entries[0]["top_k"],
             use_precomputed_tokens=use_pre,
             cache_view=view,
         )
-        ea._k, ea._v = sa._commit_chunk(ea._k, ea._v, sk_a, sv_a, ti_a)
-        eb._k, eb._v = sb._commit_chunk(eb._k, eb._v, sk_b, sv_b, ti_b)
-        # rebind per-row streaming state ONLY if the session still holds the
-        # captured handles — a replay/resync between buffer and launch owns
-        # the state now and this (halted) run's outputs must not clobber it
-        if sa.chain is ra["chain"]:
-            sa.chain = chain_a
-        if sb.chain is rb["chain"]:
-            sb.chain = chain_b
-        if sa.enc_ctx is ra["enc"]:
-            sa.enc_ctx = enc_out[0]
-        if sb.enc_ctx is rb["enc"]:
-            sb.enc_ctx = enc_out[1]
-        if sa.dec_ctx is ra["dec"]:
-            sa.dec_ctx = dec_out[0]
-        if sb.dec_ctx is rb["dec"]:
-            sb.dec_ctx = dec_out[1]
-        ra["lazy"].set((pi_a, pf_a))
-        rb["lazy"].set((pi_b, pf_b))
+        for r, (s, eng, e) in enumerate(zip(self.sessions, engines, entries)):
+            eng._k, eng._v = s._commit_chunk(
+                eng._k, eng._v, small_ks[r], small_vs[r], target_idxs[r]
+            )
+            # rebind per-row streaming state ONLY if the session still holds
+            # the captured handles — a replay/resync between buffer and launch
+            # owns the state now and this (halted) run's outputs must not
+            # clobber it
+            if s.chain is e["chain"]:
+                s.chain = new_chains[r]
+            if s.enc_ctx is e["enc"]:
+                s.enc_ctx = enc_out[r]
+            if s.dec_ctx is e["dec"]:
+                s.dec_ctx = dec_out[r]
+            e["lazy"].set((packed_is[r], packed_fs[r]))
         self.paired_dispatches += 1
 
     # --------------------------------------------------------------- flush
     def flush(self, session: Optional[DuplexSession] = None) -> None:
-        """Realize the buffered chunk (if any) through its row's single
-        program. ``session`` limits the flush to that row's buffer."""
+        """Realize buffered chunks through their rows' single programs.
+        ``session`` limits the flush to that row's buffer; None flushes all."""
         with self._lock:
-            if self._buffered is None:
+            if session is not None:
+                if id(session) in self._buffered:
+                    self._flush_entry_locked(id(session))
                 return
-            if session is not None and self._buffered["session"] is not session:
-                return
-            self._flush_locked()
+            self._flush_all_locked()
 
-    def _flush_locked(self) -> None:
-        entry, self._buffered = self._buffered, None
+    def flush_lazy(self, lazy: "LazyHandles") -> None:
+        """Realize exactly this handle's chunk if it is the buffered one (the
+        row may have buffered a NEWER chunk since — session-keyed flush would
+        wrongly realize that one single)."""
+        with self._lock:
+            key = id(lazy._session)
+            entry = self._buffered.get(key)
+            if entry is not None and entry["lazy"] is lazy:
+                self._flush_entry_locked(key)
+
+    def _flush_all_locked(self) -> None:
+        for s in self.sessions:
+            if id(s) in self._buffered:
+                self._flush_entry_locked(id(s))
+
+    def _flush_entry_locked(self, key: int) -> None:
+        entry = self._buffered.pop(key)
         s = entry["session"]
         # restore the captured streaming state for the dispatch, then put
         # back whatever the session held if it had moved on (resync/replay)
@@ -458,20 +488,12 @@ class PairCoordinator:
         entry["lazy"].set(handles)
         self.single_dispatches += 1
 
-    def flush_lazy(self, lazy: "LazyHandles") -> None:
-        """Realize exactly this handle's chunk if it is the buffered one (the
-        row may have buffered a NEWER chunk since — session-keyed flush would
-        wrongly realize that one single)."""
-        with self._lock:
-            if self._buffered is not None and self._buffered["lazy"] is lazy:
-                self._flush_locked()
-
     def cancel(self, session: DuplexSession) -> None:
         """Drop this row's buffered chunk (session reset): straggling fetches
         parse a synthesized halted no-op."""
         with self._lock:
-            if self._buffered is not None and self._buffered["session"] is session:
-                entry, self._buffered = self._buffered, None
+            entry = self._buffered.pop(id(session), None)
+            if entry is not None:
                 entry["lazy"].cancel(
                     session.chunk_frames,
                     session.chunk_samples + session.preroll_samples,
@@ -479,14 +501,15 @@ class PairCoordinator:
 
     # -------------------------------------------------------------- prewarm
     def prewarm(self) -> None:
-        """Compile the pair-program variants through the real dispatch path
+        """Compile the group-program variants through the real dispatch path
         (keyword statics; see DuplexSession.prewarm for why) against halted
         chains — a no-op on the live caches."""
         import os
 
-        sa, sb = self.sessions
-        ea, eb = sa.engine, sb.engine
-        cache_len = ea._k.shape[2]
+        R = self.n_rows
+        s0 = self.sessions[0]
+        engines = [s.engine for s in self.sessions]
+        cache_len = engines[0]._k.shape[2]
         if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
             views = [0]
         else:
@@ -500,41 +523,57 @@ class PairCoordinator:
             "window_count": jnp.int32(0),
             "halted": jnp.bool_(True),
         }
-        scal, (bi, bv) = sa._device_settings()
-        cf = sa.chunk_frames
+        scal, (bi, bv) = s0._device_settings()
+        cf = s0.chunk_frames
         for view in views:
             for use_pre in (False, True):
-                out = self._fused_pair(
-                    ea.params, sa.codec.params, sa.codec.tables,
-                    ea._k, ea._v, eb._k, eb._v,
-                    halted, halted,
-                    jnp.zeros((2, sa.context_samples), jnp.float32),
-                    jnp.zeros((2, sa.context_frames), jnp.int32),
-                    jnp.zeros((2, sa.chunk_samples), jnp.float32),
-                    jnp.zeros((2, cf), jnp.int32),
-                    jnp.stack([ea._base_key, eb._base_key]),
-                    jnp.stack([scal, scal]),
-                    jnp.stack([bi, bi]),
-                    jnp.stack([bv, bv]),
-                    jnp.zeros((2,), bool),
-                    top_k=ea.settings.top_k,
+                out = self._fused_group(
+                    engines[0].params, s0.codec.params, s0.codec.tables,
+                    tuple(e._k for e in engines),
+                    tuple(e._v for e in engines),
+                    tuple(halted for _ in range(R)),
+                    jnp.zeros((R, s0.context_samples), jnp.float32),
+                    jnp.zeros((R, s0.context_frames), jnp.int32),
+                    jnp.zeros((R, s0.chunk_samples), jnp.float32),
+                    jnp.zeros((R, cf), jnp.int32),
+                    jnp.stack([e._base_key for e in engines]),
+                    jnp.stack([scal] * R),
+                    jnp.stack([bi] * R),
+                    jnp.stack([bv] * R),
+                    jnp.zeros((R,), bool),
+                    top_k=engines[0].settings.top_k,
                     use_precomputed_tokens=use_pre,
                     cache_view=view,
                 )
-                jax.device_get(out[-1][-1])
+                jax.device_get(out[-1][-1][-1])
 
 
-def pair_self_play_sessions(session_a: DuplexSession, session_b: DuplexSession) -> PairCoordinator:
-    """Attach a PairCoordinator to two sessions (agents built over
+# backwards-compatible name: the original two-row deployment
+PairCoordinator = GroupCoordinator
+
+
+def pair_self_play_sessions(session_a: DuplexSession, session_b: DuplexSession) -> GroupCoordinator:
+    """Attach a GroupCoordinator to two sessions (agents built over
     clone_for_self_play resources share weights+codec by construction)."""
-    return PairCoordinator(session_a, session_b)
+    return GroupCoordinator(session_a, session_b)
 
 
-def pair_self_play_agents(agent_a, agent_b) -> Optional[PairCoordinator]:
+def pair_self_play_agents(agent_a, agent_b) -> Optional[GroupCoordinator]:
     """Pair two self-play RealtimeAgents' fused sessions; returns None when
     either agent lacks a fused session (scripted fakes)."""
-    sa = getattr(agent_a, "_session", None)
-    sb = getattr(agent_b, "_session", None)
-    if sa is None or sb is None:
+    return group_duplex_agents([agent_a, agent_b])
+
+
+def group_duplex_sessions(sessions: List[DuplexSession]) -> GroupCoordinator:
+    """Group R sessions' fused chunks into one batch-R program (duplex
+    serving: R concurrent realtime calls on one chip)."""
+    return GroupCoordinator(*sessions)
+
+
+def group_duplex_agents(agents) -> Optional[GroupCoordinator]:
+    """Group R RealtimeAgents' fused sessions; returns None when any agent
+    lacks a fused session (scripted fakes)."""
+    sessions = [getattr(a, "_session", None) for a in agents]
+    if any(s is None for s in sessions):
         return None
-    return PairCoordinator(sa, sb)
+    return GroupCoordinator(*sessions)

@@ -41,7 +41,9 @@ def resources():
     return res
 
 
-def make_agent(resources, seed, temperature=0.0, pin_audio=True, pipeline=True):
+def make_agent(
+    resources, seed, temperature=0.0, pin_audio=True, pipeline=True, self_play=True
+):
     config = RealtimeAgentConfig(
         temperature=temperature,
         use_whisper=False,
@@ -53,7 +55,7 @@ def make_agent(resources, seed, temperature=0.0, pin_audio=True, pipeline=True):
         seed=seed,
     )
     res = resources.clone_for_self_play()
-    agent = RealtimeAgent(resources=res, config=config, self_play_mode=True)
+    agent = RealtimeAgent(resources=res, config=config, self_play_mode=self_play)
     if pin_audio:
         orig = agent.set_sampler
 
@@ -203,9 +205,9 @@ def test_reset_cancels_buffered_chunk(resources):
     sa.bind_sequence(a.input_ids)
     sa.sync_chain()
     lazy = sa.dispatch_chunk(zero)  # buffers (partner never dispatches)
-    assert pair._buffered is not None
+    assert pair._buffered
     sa.reset()
-    assert pair._buffered is None
+    assert not pair._buffered
     res, _ = sa.resolve(lazy)
     assert res.halted_input
     assert res.audio is None
@@ -214,6 +216,42 @@ def test_reset_cancels_buffered_chunk(resources):
         pass
     while b.drain_pipeline() is not None:
         pass
+
+
+def test_grouped_serving_three_rows_matches_ungrouped(resources):
+    """Duplex serving: R=3 agents with INDEPENDENT audio streams (no
+    cross-feed) grouped into one batch-3 program — token streams identical
+    to three ungrouped agents."""
+    from realtime_codec_agent_tpu.lm.pair_session import group_duplex_agents
+
+    def streams(n_chunks):
+        rngs = [np.random.default_rng(100 + i) for i in range(3)]
+        return [
+            [(r.normal(size=1600) * 0.1).astype(np.float32) for _ in range(n_chunks)]
+            for r in rngs
+        ]
+
+    runs = {}
+    for grouped in (False, True):
+        agents = [
+            make_agent(resources, seed=20 + i, self_play=False) for i in range(3)
+        ]
+        coord = group_duplex_agents(agents) if grouped else None
+        for t, chunks3 in enumerate(zip(*streams(6))):
+            for a, c in zip(agents, chunks3):
+                a.process_audio(c)
+        for a in agents:
+            while a.drain_pipeline() is not None:
+                pass
+        runs[grouped] = (agents, coord)
+
+    for a_un, a_gr in zip(runs[False][0], runs[True][0]):
+        assert a_gr.input_ids == a_un.input_ids
+        assert a_gr.resources.llm.n_tokens == a_un.resources.llm.n_tokens
+        assert a_gr.resources.llm._step == a_un.resources.llm._step
+    coord = runs[True][1]
+    assert coord.n_rows == 3
+    assert coord.paired_dispatches >= 4  # steady state rides the group program
 
 
 def test_pair_rejects_mismatched_sessions(resources):
