@@ -9,9 +9,11 @@ pytree, and q8_0 blocks dequantize to float (optionally re-quantized to the
 engine's per-channel int8 layout afterwards — models/llama.quantize_params_int8).
 
 Format reference: the GGUF v2/v3 container spec (ggml project). Supported
-tensor encodings: F32, F16, Q8_0 (32-element blocks of fp16 scale + int8).
-Everything else raises with the tensor name so unsupported quantizations fail
-loudly.
+tensor encodings: F32, F16, Q8_0 (32-element blocks of fp16 scale + int8),
+and the K-quants Q4_K / Q6_K (256-element super-blocks) that make up the
+reference's final `llama-quantize ... Q4_K_M` artifact
+(reference prep_test_model.sh:34). Everything else raises with the tensor
+name so unsupported quantizations fail loudly.
 """
 from __future__ import annotations
 
@@ -26,6 +28,12 @@ GGUF_MAGIC = 0x46554747  # "GGUF" little-endian
 GGML_F32 = 0
 GGML_F16 = 1
 GGML_Q8_0 = 8
+GGML_Q4_K = 12
+GGML_Q6_K = 14
+
+QK_K = 256  # K-quant super-block size
+Q4_K_BLOCK_BYTES = 2 + 2 + 12 + QK_K // 2  # d, dmin, 6-bit scales/mins, nibbles
+Q6_K_BLOCK_BYTES = QK_K // 2 + QK_K // 4 + QK_K // 16 + 2  # ql, qh, scales, d
 
 _VALUE_READERS = {}
 
@@ -90,6 +98,61 @@ def _dequant_q8_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return out[:n_elems]
 
 
+def _dequant_q4_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """Q4_K: 256-element super-blocks of [fp16 d][fp16 dmin][12B 6-bit
+    scales/mins][128B nibbles]; w = d*sc*q - dmin*m per 32-element sub-block
+    (ggml dequantize_row_q4_K semantics)."""
+    blocks = raw.reshape(-1, Q4_K_BLOCK_BYTES)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)      # (nb, 1)
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)   # (nb, 1)
+    sb = blocks[:, 4:16]
+    # ggml get_scale_min_k4: sub-blocks 0-3 are the low 6 bits of bytes 0-3
+    # (scales) and 4-7 (mins); sub-blocks 4-7 pack low nibbles into bytes 8-11
+    # and the top 2 bits into bytes 0-3 / 4-7
+    sc = np.empty((nb, 8), np.float32)
+    mn = np.empty((nb, 8), np.float32)
+    sc[:, :4] = sb[:, 0:4] & 63
+    mn[:, :4] = sb[:, 4:8] & 63
+    sc[:, 4:] = (sb[:, 8:12] & 0x0F) | ((sb[:, 0:4] >> 6) << 4)
+    mn[:, 4:] = (sb[:, 8:12] >> 4) | ((sb[:, 4:8] >> 6) << 4)
+    scale = d * sc    # (nb, 8)
+    minv = dmin * mn  # (nb, 8)
+    # nibble layout: 32 bytes per 64 elements — low nibbles are sub-block 2c,
+    # high nibbles sub-block 2c+1
+    q = blocks[:, 16:].reshape(nb, 4, 32)
+    out = np.empty((nb, 4, 2, 32), np.float32)
+    out[:, :, 0, :] = (q & 0x0F).astype(np.float32) * scale[:, 0::2, None] - minv[:, 0::2, None]
+    out[:, :, 1, :] = (q >> 4).astype(np.float32) * scale[:, 1::2, None] - minv[:, 1::2, None]
+    return out.reshape(-1)[:n_elems]
+
+
+def _dequant_q6_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """Q6_K: 256-element super-blocks of [128B low nibbles][64B high 2-bit
+    pairs][16 int8 per-16 scales][fp16 d]; w = d*sc*(q-32)
+    (ggml dequantize_row_q6_K semantics)."""
+    blocks = raw.reshape(-1, Q6_K_BLOCK_BYTES)
+    nb = blocks.shape[0]
+    ql = blocks[:, 0:128].reshape(nb, 2, 64)
+    qh = blocks[:, 128:192].reshape(nb, 2, 32)
+    sc = blocks[:, 192:208].copy().view(np.int8).astype(np.float32).reshape(nb, 2, 8)
+    d = blocks[:, 208:210].copy().view(np.float16).astype(np.float32)  # (nb, 1)
+    # per 128-element half: elements 0-31 / 32-63 / 64-95 / 96-127 combine
+    # (low nibble of ql[0:32] | qh bits 0-1), (ql[32:64] | bits 2-3),
+    # (high nibble of ql[0:32] | bits 4-5), (ql[32:64] | bits 6-7)
+    v = np.concatenate(
+        [
+            (ql[:, :, 0:32] & 0x0F) | (((qh >> 0) & 3) << 4),
+            (ql[:, :, 32:64] & 0x0F) | (((qh >> 2) & 3) << 4),
+            (ql[:, :, 0:32] >> 4) | (((qh >> 4) & 3) << 4),
+            (ql[:, :, 32:64] >> 4) | (((qh >> 6) & 3) << 4),
+        ],
+        axis=2,
+    ).astype(np.int32) - 32  # (nb, 2, 128) in natural element order
+    out = d[:, :, None] * np.repeat(sc, 16, axis=2) * v  # scale index = l // 16
+    return out.reshape(-1)[:n_elems]
+
+
 def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
     """Parse a GGUF file -> (metadata dict, {tensor name: numpy array}).
 
@@ -135,10 +198,18 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
                 n_blocks = -(-n_elems // 32)
                 raw = np.frombuffer(_read_exact(f, n_blocks * 34), np.uint8)
                 arr = _dequant_q8_0(raw, n_elems)
+            elif ggml_type == GGML_Q4_K:
+                n_blocks = -(-n_elems // QK_K)
+                raw = np.frombuffer(_read_exact(f, n_blocks * Q4_K_BLOCK_BYTES), np.uint8)
+                arr = _dequant_q4_k(raw, n_elems)
+            elif ggml_type == GGML_Q6_K:
+                n_blocks = -(-n_elems // QK_K)
+                raw = np.frombuffer(_read_exact(f, n_blocks * Q6_K_BLOCK_BYTES), np.uint8)
+                arr = _dequant_q6_k(raw, n_elems)
             else:
                 raise ValueError(
                     f"tensor {name}: unsupported ggml type {ggml_type} "
-                    "(supported: F32, F16, Q8_0)"
+                    "(supported: F32, F16, Q8_0, Q4_K, Q6_K)"
                 )
             tensors[name] = arr.reshape(np_shape)
     return metadata, tensors
