@@ -92,10 +92,7 @@ def main():
     )
     parser.add_argument(
         "--skip", nargs="+", default=[],
-        choices=[
-            "codec", "encode", "ar", "selfplay", "batched", "bandwidth",
-            "train", "whisper",
-        ],
+        choices=list(SECTIONS),
     )
     parser.add_argument("--serving_batch", type=int, default=8)
     parser.add_argument(
@@ -127,9 +124,16 @@ def main():
         help="concurrent full-duplex calls in the duplexserve section",
     )
     parser.add_argument(
-        "--no_selfplay_pair", action="store_true",
-        help="A/B: run self-play as two independent fused programs instead of "
-             "the shared batch-2 pair program (lm/pair_session.py)",
+        "--selfplay_pair", action="store_true",
+        help="A/B: ride self-play on the shared batch-2 pair program. OFF by "
+             "default: cross-fed agents measured slower paired (87 vs 59 "
+             "ms/tick in-window — the group launch serializes behind the "
+             "partner's fetch); independent streams (duplexserve) still group.",
+    )
+    parser.add_argument(
+        "--no_duplex_group", action="store_true",
+        help="A/B: serve the duplexserve section with per-session programs "
+             "instead of the shared batch-R program + combined fetch",
     )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
@@ -146,7 +150,8 @@ def main():
             "--train_loss_block", str(args.train_loss_block),
             "--train_remat_policy", args.train_remat_policy,
             "--train_optimizer", args.train_optimizer,
-            *(["--no_selfplay_pair"] if args.no_selfplay_pair else []),
+            *(["--selfplay_pair"] if args.selfplay_pair else []),
+            *(["--no_duplex_group"] if args.no_duplex_group else []),
             "--duplex_sessions", str(args.duplex_sessions),
             "--seed", str(args.seed),
         ]
@@ -563,7 +568,7 @@ def main():
         agent.drain_pipeline()  # flush the in-flight chunk before switching modes
         agent.self_play_mode = True
         pair = None
-        if not args.no_selfplay_pair:
+        if args.selfplay_pair:
             from realtime_codec_agent_tpu.lm.pair_session import pair_self_play_agents
 
             pair = pair_self_play_agents(agent, agent_b)
@@ -627,7 +632,7 @@ def main():
             a.set_sampler()
             agents.append(a)
         coord = None
-        if not args.no_selfplay_pair:
+        if not args.no_duplex_group:
             coord = group_duplex_agents(agents)
             coord.prewarm()
         chunk_n = agents[0].chunk_size_samples

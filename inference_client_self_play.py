@@ -25,9 +25,10 @@ class InprocSelfPlayAgent:
     """RealtimeAgentMultiprocessing-protocol adapter over an in-process
     RealtimeAgent, so the self-play loop/UI runs either way. The TPU-native
     one-chip mode: both agents share one weight pytree
-    (resources.clone_for_self_play) and, when paired, their pipelined fused
-    chunks ride ONE batch-2 device program (lm/pair_session.py) — versus the
-    reference's one-llama.cpp-process-per-GPU layout
+    (resources.clone_for_self_play), each pipelined on its own fused program
+    (the measured-best layout for cross-fed agents; ``--pair`` rides one
+    batch-2 program instead) — versus the reference's
+    one-llama.cpp-process-per-GPU layout
     (reference inference_client_self_play.py:148-159)."""
 
     def __init__(self, agent):
@@ -97,7 +98,7 @@ def build_agents(args):
             config=config_b,
             self_play_mode=True,
         )
-        if not args.no_pair:
+        if args.pair:
             pair_self_play_agents(agent_a, agent_b)
         return InprocSelfPlayAgent(agent_a), InprocSelfPlayAgent(agent_b)
     agent_a = RealtimeAgentMultiprocessing(
@@ -146,12 +147,15 @@ def main():
     parser.add_argument("--device_b", type=int, default=None)
     parser.add_argument(
         "--inproc", action="store_true",
-        help="both agents in THIS process on one chip, pipelined and (unless "
-             "--no_pair) riding one batch-2 fused program per chunk",
+        help="both agents in THIS process on one chip, pipelined",
     )
     parser.add_argument(
-        "--no_pair", action="store_true",
-        help="with --inproc: keep each agent's fused chunks in separate programs",
+        "--pair", action="store_true",
+        help="with --inproc: ride both agents' fused chunks in one batch-2 "
+             "program. Measured SLOWER for cross-fed self-play (87 vs 59 "
+             "ms/tick in-window A/B): B's input is A's fetched output, so the "
+             "group launch serializes behind the fetch and the device bubbles. "
+             "Grouping wins only for independent streams (duplex serving).",
     )
     parser.add_argument("--opening_text", default="hello?")
     parser.add_argument("--seed", type=int, default=42)

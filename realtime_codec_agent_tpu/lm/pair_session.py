@@ -9,15 +9,22 @@ models/llama.forward_decode_pair: the weight matmuls batch over the R rows
 per-row outputs are packed in exactly the single program's layout so
 ``DuplexSession.resolve`` parses them unchanged.
 
-Two deployments:
+Two deployments, with opposite measured outcomes (in-window A/B,
+scripts/ab_group_dispatch.py):
 
-- **Dual-agent self-play** (R=2, ``pair_self_play_agents``): both agents of
-  inference_client_self_play.py on one chip. The reference instead pins two
-  llama.cpp processes to separate GPUs (inference_client_self_play.py:148-159).
-- **Duplex serving** (R>=2, ``group_duplex_agents``): N independent realtime
-  calls on one chip, each a full RealtimeAgent with its own KV cache, stream
-  state, events and trims — sharing only the weight read. No reference
+- **Duplex serving** (R>=2, ``group_duplex_agents``, the default for
+  serving/duplex_server.py): N INDEPENDENT realtime calls on one chip, each
+  a full RealtimeAgent with its own KV cache, stream state, events and trims
+  — sharing the weight read AND the tunnel's fixed per-fetch fee (one
+  combined ``GroupFetch`` per tick instead of one ~30 ms fetch per call).
+  Measured at R=4 full scale: 103 vs 117 ms/tick ungrouped. No reference
   counterpart exists (one GPU per call there).
+- **Dual-agent self-play** (R=2, ``pair_self_play_agents``, OFF by default):
+  cross-fed agents measured SLOWER paired (87 vs 59 ms/tick) — B's chunk-t
+  input is A's fetched t-1 output, so the group can never launch until the
+  previous group's fetch returns; the device bubbles behind that serial
+  chain. Two independent pipelined programs overlap compute with the fetch
+  RTTs instead. Kept as an opt-in (``--pair`` / ``--selfplay_pair``).
 
 Grouping is a pure scheduling overlay — token streams are bit-identical to
 the ungrouped sessions (pinned by tests/test_pair_session.py):
@@ -57,6 +64,40 @@ from ..ops.sampling import PENALTY_WINDOW, sample_token
 from .duplex_session import REJECTED_POS, DuplexSession
 
 
+class GroupFetch:
+    """One combined ``device_get`` for ALL rows of a launched group program.
+
+    The tunnel charges a fixed ~25-30 ms per ``device_get`` of an execution's
+    outputs, and it charges it PER CALL: R rows fetching their own slices pay
+    the fee R times — at R=4 that is the entire 100 ms budget (measured:
+    grouped and ungrouped duplex serving both ~118 ms/tick because both made
+    4 fetches). The first row's fetch pulls the whole stacked (ints, floats)
+    pair in one transfer; the rest read the cached host copy."""
+
+    def __init__(self, handles):
+        self._handles = handles
+        self._lock = threading.Lock()
+        self._host = None
+
+    def row(self, r: int):
+        with self._lock:
+            if self._host is None:
+                self._host = jax.device_get(self._handles)
+                self._handles = None
+            ints, floats = self._host
+        return ints[r], floats[r]
+
+
+class _GroupRow:
+    """A row's view of a GroupFetch (what LazyHandles.set receives at launch)."""
+
+    __slots__ = ("fetch", "r")
+
+    def __init__(self, fetch: GroupFetch, r: int):
+        self.fetch = fetch
+        self.r = r
+
+
 class LazyHandles:
     """Fetchable placeholder for a buffered (not yet launched) group dispatch.
 
@@ -94,6 +135,8 @@ class LazyHandles:
         if not self._event.wait(timeout):
             self._coord.flush_lazy(self)
             self._event.wait()
+        if isinstance(self._handles, _GroupRow):
+            return self._handles.fetch.row(self._handles.r)
         return jax.device_get(self._handles)
 
 
@@ -424,6 +467,7 @@ class GroupCoordinator:
             use_precomputed_tokens=use_pre,
             cache_view=view,
         )
+        group_fetch = GroupFetch((packed_is, packed_fs))
         for r, (s, eng, e) in enumerate(zip(self.sessions, engines, entries)):
             eng._k, eng._v = s._commit_chunk(
                 eng._k, eng._v, small_ks[r], small_vs[r], target_idxs[r]
@@ -438,7 +482,7 @@ class GroupCoordinator:
                 s.enc_ctx = enc_out[r]
             if s.dec_ctx is e["dec"]:
                 s.dec_ctx = dec_out[r]
-            e["lazy"].set((packed_is[r], packed_fs[r]))
+            e["lazy"].set(_GroupRow(group_fetch, r))
         self.paired_dispatches += 1
 
     # --------------------------------------------------------------- flush

@@ -1,0 +1,437 @@
+"""Duplex serving: R concurrent full-duplex calls on one chip, over TCP.
+
+The reference serves one call per llama.cpp GPU process (its FastRTC client
+spawns RealtimeAgentMultiprocessing per browser session,
+inference_client_fastrtc_v2.py:143) — there is no multi-call server to match.
+This is the TPU-native upgrade that the shared-weight batching enables: R
+complete RealtimeAgents (own KV cache, stream state, events, trims) ride
+their fused 100 ms chunks through ONE batch-R device program per tick
+(lm/pair_session.GroupCoordinator), with ONE combined result fetch — the
+tunnel's fixed per-fetch fee is paid once per tick instead of once per call.
+
+Design:
+
+- **Fixed slot pool.** ``max_calls`` agents are built at startup over one
+  weight pytree (``clone_for_self_play`` resources) and prewarmed; a call
+  claims a free slot (agent reset), a hangup releases it. The group program
+  has a static batch dimension, so idle slots keep dispatching silence
+  whenever at least one call is active — a constant per-tick cost that keeps
+  every chunk on the shared program (rows that skip a tick would degrade the
+  others to single dispatches). With zero active calls the drive loop idles
+  without touching the device.
+- **One drive thread owns all agents.** Grouping requires all sessions be
+  driven from a single thread (lm/pair_session.py); connection handlers only
+  move bytes and enqueue control requests. Each tick waits up to
+  ``chunk_size_secs`` for every active call's next chunk — stragglers get
+  silence injected (counted and reported as underruns), so one stalled
+  client cannot stall the other calls.
+- **Wire protocol** (TCP, length-prefixed frames; see duplex_client.py):
+  ``[1-byte type][4-byte big-endian length][payload]``. Types: ``J`` JSON
+  control/info, ``A`` int16 LE mono 16 kHz audio (exactly one 100 ms chunk
+  from the client; agent chunks back), ``E`` end-of-call. The session opens
+  with a client ``J {"type": "start", "config": {...}}`` and closes with the
+  server streaming the drained tail chunk, a ``J`` transcript/stats report,
+  then ``E``.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import queue
+import socket
+import socketserver
+import struct
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+FRAME_HEADER = struct.Struct(">cI")
+MAX_FRAME = 1 << 22
+
+# config fields a call may override at claim time — scalars that do not
+# change compiled shapes (chunk/context geometry is fixed by the slot pool)
+CLAIMABLE_CONFIG_FIELDS = (
+    "agent_opening_text", "agent_identity", "user_identity",
+    "temperature", "trans_temperature", "top_k", "top_p", "min_p",
+    "repeat_penalty", "presence_penalty", "frequency_penalty", "seed",
+    "force_trans_after_inactivity_secs", "force_response_after_inactivity_secs",
+)
+
+
+def read_frame(rfile) -> Optional[tuple]:
+    header = rfile.read(FRAME_HEADER.size)
+    if len(header) < FRAME_HEADER.size:
+        return None
+    ftype, length = FRAME_HEADER.unpack(header)
+    if length > MAX_FRAME:
+        raise ValueError(f"frame too large: {length}")
+    payload = b""
+    while len(payload) < length:
+        part = rfile.read(length - len(payload))
+        if not part:
+            return None
+        payload += part
+    return ftype, payload
+
+
+def write_frame(wfile, ftype: bytes, payload: bytes) -> None:
+    wfile.write(FRAME_HEADER.pack(ftype, len(payload)) + payload)
+    wfile.flush()
+
+
+def write_json(wfile, obj: dict) -> None:
+    write_frame(wfile, b"J", json.dumps(obj).encode())
+
+
+class _Slot:
+    def __init__(self, idx: int, agent):
+        self.idx = idx
+        self.agent = agent
+        self.active = False
+        self.in_q: "queue.Queue[np.ndarray]" = queue.Queue()
+        self.out_q: Optional[queue.Queue] = None
+        self.underruns = 0
+        self.chunks_in = 0
+        self.idle_ticks = 0
+        self.release_reply: Optional[queue.Queue] = None  # hangup pending input drain
+
+    def drain_input(self) -> None:
+        while True:
+            try:
+                self.in_q.get_nowait()
+            except queue.Empty:
+                return
+
+
+class DuplexServingServer:
+    """Owns the slot pool, the group coordinator, and the drive thread."""
+
+    def __init__(
+        self,
+        resources=None,
+        max_calls: int = 2,
+        config=None,
+        tiny: bool = False,
+        group: bool = True,
+        underrun_timeout_secs: Optional[float] = None,
+        codec_model=None,
+        llm_model_path: Optional[str] = None,
+    ):
+        from ..agent.agent import RealtimeAgent
+        from ..agent.config import RealtimeAgentConfig
+        from ..agent.resources import RealtimeAgentResources
+        from ..lm.pair_session import group_duplex_sessions
+
+        if max_calls < 1:
+            raise ValueError("max_calls must be >= 1")
+        self.base_config = config or RealtimeAgentConfig(
+            use_whisper=False, pipeline_chunks=True,
+            async_detours=True, incremental_trim=True,
+        )
+        if not self.base_config.pipeline_chunks:
+            raise ValueError("duplex serving requires pipeline_chunks=True")
+        base_res = resources or RealtimeAgentResources(
+            tiny=tiny, whisper_model=None, codec_model=codec_model,
+            llm_model_path=llm_model_path,
+        )
+        self.slots: List[_Slot] = []
+        for i in range(max_calls):
+            res_i = base_res if i == 0 else base_res.clone_for_self_play()
+            cfg_i = dataclasses.replace(self.base_config, seed=(self.base_config.seed or 0) + i)
+            self.slots.append(_Slot(i, RealtimeAgent(resources=res_i, config=cfg_i)))
+        self.coordinator = None
+        if group and max_calls >= 2:
+            sessions = [s.agent._session for s in self.slots]
+            if all(x is not None for x in sessions):
+                self.coordinator = group_duplex_sessions(sessions)
+        self.chunk_samples = self.slots[0].agent.chunk_size_samples
+        self.chunk_secs = self.base_config.chunk_size_secs
+        self.underrun_timeout = (
+            self.chunk_secs if underrun_timeout_secs is None else underrun_timeout_secs
+        )
+        self._ctrl: "queue.Queue[tuple]" = queue.Queue()
+        self._running = True
+        self._tick_count = 0
+        self._drive = threading.Thread(target=self._drive_loop, daemon=True)
+        self._silence = np.zeros(self.chunk_samples, np.float32)
+        self._drive.start()
+
+    def prewarm(self) -> None:
+        if self.coordinator is not None:
+            self.coordinator.prewarm()
+
+    # ----------------------------------------------------------- control API
+    # (called from connection threads; executed on the drive thread)
+
+    def claim(self, overrides: Dict) -> tuple:
+        bad = [k for k in overrides if k not in CLAIMABLE_CONFIG_FIELDS]
+        if bad:
+            raise ValueError(f"config fields not overridable per call: {bad}")
+        reply: "queue.Queue" = queue.Queue()
+        self._ctrl.put(("claim", overrides, reply))
+        ok, val = reply.get()
+        if not ok:
+            raise RuntimeError(val)
+        return val  # (slot_idx, out_q)
+
+    def release(self, slot_idx: int) -> dict:
+        reply: "queue.Queue" = queue.Queue()
+        self._ctrl.put(("release", slot_idx, reply))
+        ok, val = reply.get()
+        if not ok:
+            raise RuntimeError(val)
+        return val  # final report dict
+
+    def shutdown(self) -> None:
+        self._running = False
+        self._drive.join(timeout=30.0)
+
+    # ------------------------------------------------------------ drive loop
+
+    def _apply_ctrl(self) -> None:
+        while True:
+            try:
+                op = self._ctrl.get_nowait()
+            except queue.Empty:
+                return
+            kind = op[0]
+            if kind == "claim":
+                _, overrides, reply = op
+                slot = next((s for s in self.slots if not s.active), None)
+                if slot is None:
+                    reply.put((False, "server full: no free call slots"))
+                    continue
+                try:
+                    cfg = dataclasses.replace(
+                        self.base_config,
+                        **{**{"seed": (self.base_config.seed or 0) + slot.idx}, **overrides},
+                    )
+                    slot.agent.set_config(cfg)
+                    slot.agent.reset()
+                    slot.drain_input()
+                    slot.out_q = queue.Queue()
+                    slot.underruns = 0
+                    slot.chunks_in = 0
+                    slot.active = True
+                    reply.put((True, (slot.idx, slot.out_q)))
+                except Exception as ex:  # config error must not kill the loop
+                    reply.put((False, f"claim failed: {ex!r}"))
+            elif kind == "release":
+                _, idx, reply = op
+                slot = self.slots[idx]
+                if not slot.active:
+                    reply.put((True, {"type": "report", "chunks": slot.chunks_in,
+                                      "underruns": slot.underruns, "transcript": ""}))
+                    continue
+                # the handler enqueues every audio frame BEFORE the release,
+                # so all of this call's chunks are already in in_q: keep the
+                # slot ticking until they are consumed, then finalize
+                slot.release_reply = reply
+                if slot.in_q.empty():
+                    self._finalize_release(slot)
+
+    def _finalize_release(self, slot: _Slot) -> None:
+        reply, slot.release_reply = slot.release_reply, None
+        try:
+            tail = slot.agent.drain_pipeline()
+            slot.agent.join_detours()
+            report = {
+                "type": "report",
+                "transcript": slot.agent.format_transcript(),
+                "chunks": slot.chunks_in,
+                "underruns": slot.underruns,
+            }
+            if tail is not None and slot.out_q is not None:
+                slot.out_q.put(np.asarray(tail, np.float32))
+            slot.active = False
+            slot.out_q = None
+            reply.put((True, report))
+        except Exception as ex:
+            slot.active = False
+            slot.out_q = None
+            reply.put((False, f"release failed: {ex!r}"))
+
+    def _drive_loop(self) -> None:
+        while self._running:
+            self._apply_ctrl()
+            active = [s for s in self.slots if s.active]
+            if not active:
+                time.sleep(0.005)
+                continue
+            # gather each active call's chunk, waiting to the underrun deadline
+            # (calls that hung up never wait: their remaining chunks are all
+            # queued already; when drained, the release finalizes below)
+            deadline = time.monotonic() + self.underrun_timeout
+            inputs: Dict[int, np.ndarray] = {}
+            for slot in active:
+                if slot.release_reply is not None:
+                    try:
+                        inputs[slot.idx] = slot.in_q.get_nowait()
+                        slot.chunks_in += 1
+                    except queue.Empty:
+                        self._finalize_release(slot)
+                    continue
+                wait = max(0.0, deadline - time.monotonic())
+                try:
+                    inputs[slot.idx] = slot.in_q.get(timeout=wait)
+                    slot.chunks_in += 1
+                except queue.Empty:
+                    slot.underruns += 1
+                    inputs[slot.idx] = self._silence
+            # tick EVERY slot (idle rows dispatch silence so active rows keep
+            # riding the full batch-R program); deliver only active outputs
+            for slot in self.slots:
+                chunk = inputs.get(slot.idx, self._silence)
+                try:
+                    out = slot.agent.process_audio(chunk)
+                except Exception as ex:  # one call's failure must not kill the pool
+                    print(f"duplex slot {slot.idx} tick failed: {ex!r}", flush=True)
+                    if slot.active:
+                        slot.active = False
+                        slot.out_q = None
+                    try:
+                        slot.agent.reset()
+                    except Exception:
+                        pass
+                    continue
+                if slot.active and slot.out_q is not None and out is not None:
+                    slot.out_q.put(np.asarray(out, np.float32))
+                if not slot.active:
+                    # bound idle context growth: a periodic staggered reset is
+                    # far cheaper than letting the 80 s trim machinery fire on
+                    # rows nobody is listening to
+                    slot.idle_ticks += 1
+                    if slot.idle_ticks >= 600 + 37 * slot.idx:
+                        slot.agent.reset()
+                        slot.idle_ticks = 0
+                else:
+                    slot.idle_ticks = 0
+            self._tick_count += 1
+
+
+class _CallHandler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:
+        server: DuplexServingServer = self.server.duplex  # type: ignore[attr-defined]
+        rfile = self.request.makefile("rb")
+        wfile = self.request.makefile("wb")
+        slot_idx = None
+        writer = None
+        try:
+            first = read_frame(rfile)
+            if first is None or first[0] != b"J":
+                return
+            start = json.loads(first[1].decode())
+            if start.get("type") != "start":
+                write_json(wfile, {"type": "error", "message": "expected start"})
+                return
+            try:
+                slot_idx, out_q = server.claim(start.get("config") or {})
+            except Exception as ex:
+                write_json(wfile, {"type": "error", "message": str(ex)})
+                return
+            write_json(wfile, {
+                "type": "started",
+                "slot": slot_idx,
+                "chunk_size_samples": server.chunk_samples,
+                "sample_rate": 16000,
+            })
+            slot = server.slots[slot_idx]
+
+            done = threading.Event()
+
+            def pump_out():
+                while not done.is_set() or not out_q.empty():
+                    try:
+                        out = out_q.get(timeout=0.05)
+                    except queue.Empty:
+                        continue
+                    pcm = np.clip(np.nan_to_num(out), -1.0, 1.0)
+                    with wlock:
+                        write_frame(wfile, b"A", (pcm * 32767.0).astype("<i2").tobytes())
+
+            wlock = threading.Lock()
+            writer = threading.Thread(target=pump_out, daemon=True)
+            writer.start()
+
+            while True:
+                frame = read_frame(rfile)
+                if frame is None or frame[0] == b"E":
+                    break
+                ftype, payload = frame
+                if ftype == b"A":
+                    pcm = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+                    if pcm.shape[0] != server.chunk_samples:
+                        with wlock:
+                            write_json(wfile, {
+                                "type": "error",
+                                "message": f"chunk must be {server.chunk_samples} samples",
+                            })
+                        break
+                    slot.in_q.put(pcm)
+                # unknown J frames are ignored (forward compat)
+
+            report = server.release(slot_idx)
+            slot_idx = None
+            done.set()
+            writer.join(timeout=10.0)
+            with wlock:
+                write_json(wfile, report)
+                write_frame(wfile, b"E", b"")
+        except (ConnectionError, BrokenPipeError, OSError):
+            pass  # client went away: release below, no traceback spam
+        finally:
+            if slot_idx is not None:
+                try:
+                    server.release(slot_idx)
+                except Exception:
+                    pass
+            try:
+                wfile.close()
+                rfile.close()
+            except Exception:
+                pass
+
+
+class DuplexTCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def serve(duplex: DuplexServingServer, host: str = "127.0.0.1", port: int = 8766):
+    srv = DuplexTCPServer((host, port), _CallHandler)
+    srv.duplex = duplex  # type: ignore[attr-defined]
+    return srv
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Duplex serving: R concurrent calls on one chip")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8766)
+    ap.add_argument("--max_calls", type=int, default=4)
+    ap.add_argument("--llm_model_path", default=None,
+                    help="orbax dir / safetensors / HF dir / .gguf (incl. Q4_K_M)")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--no_group", action="store_true",
+                    help="serve each call with per-session programs (debug)")
+    args = ap.parse_args(argv)
+
+    duplex = DuplexServingServer(
+        max_calls=args.max_calls, tiny=args.tiny, group=not args.no_group,
+        llm_model_path=args.llm_model_path,
+    )
+    print(f"prewarming batch-{args.max_calls} group program...", flush=True)
+    duplex.prewarm()
+    srv = serve(duplex, args.host, args.port)
+    print(f"duplex serving on {args.host}:{args.port} "
+          f"(max_calls={args.max_calls})", flush=True)
+    try:
+        srv.serve_forever()
+    finally:
+        duplex.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--grouped_first", action="store_true")
+    ap.add_argument("--async_detours", action="store_true",
+                    help="serving-config agents (async_detours + incremental_trim): "
+                    "fetches ride each agent's pump thread, so the group launch "
+                    "is not serialized behind the previous fetch")
     args = ap.parse_args()
 
     from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
@@ -66,6 +70,8 @@ def main():
             force_trans_after_inactivity_secs=0.0,
             force_response_after_inactivity_secs=0.0,
             pipeline_chunks=True,
+            async_detours=args.async_detours,
+            incremental_trim=args.async_detours,
         )
         a = RealtimeAgent(
             resources=res_i, config=cfg_i, self_play_mode=(args.mode == "selfplay")

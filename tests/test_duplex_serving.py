@@ -1,0 +1,145 @@
+"""Duplex serving server: R concurrent full-duplex calls over TCP.
+
+Pins (tiny models, CPU):
+- two concurrent calls stream chunks and get agent audio + a final report;
+- a served call's audio is bit-identical to driving a direct RealtimeAgent
+  with the same seed/config on the same chunks (the slot pool + group
+  coordinator is a pure scheduling overlay);
+- claim/release reuses slots across sequential calls;
+- a full server rejects the (R+1)th concurrent call with a clean error.
+"""
+import threading
+
+import numpy as np
+import pytest
+
+from realtime_codec_agent_tpu.models.codec import JaxCodecModel, tiny_codec_config
+from realtime_codec_agent_tpu.serving.duplex_client import DuplexCall
+from realtime_codec_agent_tpu.serving.duplex_server import DuplexServingServer, serve
+
+N_CHUNKS = 6
+
+
+@pytest.fixture(scope="module")
+def duplex_srv():
+    codec = JaxCodecModel.random_init(tiny_codec_config(), seed=0)
+    duplex = DuplexServingServer(
+        max_calls=2, tiny=True, codec_model=codec,
+        underrun_timeout_secs=30.0,  # tests must never inject silence
+    )
+    srv = serve(duplex, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], duplex
+    srv.shutdown()
+    duplex.shutdown()
+
+
+def _stream(port, seed, chunks):
+    call = DuplexCall(port=port, config={"seed": seed})
+    for c in chunks:
+        call.send_chunk(c)
+    report = call.hangup()
+    return call, report
+
+
+def _user_chunks(seed, n, chunk_samples):
+    rng = np.random.default_rng(seed)
+    return [
+        (0.1 * rng.normal(size=chunk_samples)).astype(np.float32) for _ in range(n)
+    ]
+
+
+def test_two_concurrent_calls(duplex_srv):
+    port, duplex = duplex_srv
+    n = duplex.chunk_samples
+    chunks_a = _user_chunks(100, N_CHUNKS, n)
+    chunks_b = _user_chunks(200, N_CHUNKS, n)
+
+    results = {}
+
+    def run(name, seed, chunks):
+        results[name] = _stream(port, seed, chunks)
+
+    ta = threading.Thread(target=run, args=("a", 7, chunks_a))
+    tb = threading.Thread(target=run, args=("b", 8, chunks_b))
+    ta.start(); tb.start(); ta.join(60); tb.join(60)
+    assert set(results) == {"a", "b"}
+    for name in ("a", "b"):
+        call, report = results[name]
+        audio = call.collected_audio()
+        assert report["type"] == "report"
+        assert report["chunks"] == N_CHUNKS
+        assert report["underruns"] == 0
+        # pipelined: every processed chunk emits one output chunk (+ drain tail)
+        assert len(audio) >= N_CHUNKS * n
+        assert np.isfinite(audio).all()
+
+
+def test_served_call_matches_direct_agent(duplex_srv):
+    port, duplex = duplex_srv
+    n = duplex.chunk_samples
+    chunks = _user_chunks(300, N_CHUNKS, n)
+    call, report = _stream(port, 21, chunks)
+    served = call.collected_audio()
+    assert report["underruns"] == 0
+
+    import dataclasses
+
+    from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
+
+    cfg = dataclasses.replace(duplex.base_config, seed=21)
+    # fresh caches over the same weights: no interference with the live pool
+    agent = RealtimeAgent(
+        resources=duplex.slots[0].agent.resources.clone_for_self_play(), config=cfg
+    )
+    direct = []
+    for c in chunks:
+        out = agent.process_audio(c)
+        if out is not None:
+            direct.append(np.asarray(out, np.float32))
+    tail = agent.drain_pipeline()
+    if tail is not None:
+        direct.append(np.asarray(tail, np.float32))
+    direct_audio = np.concatenate(direct)
+
+    # the wire carries int16: apply the same transform to the direct audio
+    # and compare exactly (served floats are int16/32768 by construction)
+    direct_wire = (
+        np.clip(np.nan_to_num(direct_audio), -1.0, 1.0) * 32767.0
+    ).astype("<i2").astype(np.float32) / 32768.0
+    assert len(served) == len(direct_audio)
+    np.testing.assert_array_equal(served, direct_wire)
+
+
+def test_slot_reuse_and_server_full(duplex_srv):
+    port, duplex = duplex_srv
+    n = duplex.chunk_samples
+    chunks = _user_chunks(400, 2, n)
+
+    # occupy both slots, third call must be rejected cleanly
+    c1 = DuplexCall(port=port, config={"seed": 1})
+    c2 = DuplexCall(port=port, config={"seed": 2})
+    with pytest.raises(RuntimeError, match="server full"):
+        DuplexCall(port=port, config={"seed": 3})
+    for c in chunks:
+        c1.send_chunk(c)
+        c2.send_chunk(c)
+    r1 = c1.hangup()
+    r2 = c2.hangup()
+    assert r1["type"] == "report" and r2["type"] == "report"
+
+    # slots are free again
+    c3, r3 = _stream(port, 4, chunks)
+    assert r3["type"] == "report"
+    assert r3["chunks"] == 2
+
+
+def test_rejects_bad_config_and_bad_chunk(duplex_srv):
+    port, duplex = duplex_srv
+    with pytest.raises(RuntimeError, match="not overridable"):
+        DuplexCall(port=port, config={"chunk_size_secs": 0.2})
+    call = DuplexCall(port=port, config={})
+    call.send_chunk(np.zeros(duplex.chunk_samples + 1, np.float32))
+    report = call.hangup()
+    assert report.get("type") in ("error", "report")
