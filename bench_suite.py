@@ -618,7 +618,10 @@ def main():
                 seed=args.seed + i, use_whisper=False, agent_opening_text=None,
                 force_trans_after_inactivity_secs=0.0,
                 force_response_after_inactivity_secs=0.0,
-                pipeline_chunks=True,
+                # the serving config (duplex_server defaults): pump-thread
+                # fetches keep the group launch off the fetch critical path
+                # (measured 91 vs 103 ms/tick at R=4)
+                pipeline_chunks=True, async_detours=True, incremental_trim=True,
             )
             a = RealtimeAgent(resources=res_i, config=cfg_i)
             orig_i = a.set_sampler

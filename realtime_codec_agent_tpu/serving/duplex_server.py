@@ -399,6 +399,14 @@ class DuplexTCPServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
+    def handle_error(self, request, client_address):
+        import sys
+
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (BrokenPipeError, ConnectionResetError, TimeoutError)):
+            return  # client went away mid-call: not a server error
+        super().handle_error(request, client_address)
+
 
 def serve(duplex: DuplexServingServer, host: str = "127.0.0.1", port: int = 8766):
     srv = DuplexTCPServer((host, port), _CallHandler)
