@@ -76,8 +76,13 @@ def main():
     )
     parser.add_argument("--event_text_tokens", type=int, default=30)
     parser.add_argument(
-        "--int8", action="store_true",
-        help="int8 decode weights (the reference's q8_0 deployment artifact)",
+        "--bf16", action="store_true",
+        help="bf16 decode weights (checkpoint-native). Default is int8: the "
+             "reference's own deployment artifact is quantized (Q4_K_M via "
+             "llama-quantize, prep_test_model.sh:33-34), int8 is strictly "
+             "higher-fidelity than that, and it measured faster in both A/B "
+             "windows (RTF 0.3415 vs 0.3747; 0.380 vs 0.403 — the scripted "
+             "events' text generations are weight-read-bound)",
     )
     parser.add_argument(
         "--whisper", action="store_true",
@@ -129,7 +134,7 @@ def main():
             _CannedWhisperTokenizer(),
         )
     resources = RealtimeAgentResources(
-        tiny=args.tiny, whisper_model=whisper, quantize_int8=args.int8
+        tiny=args.tiny, whisper_model=whisper, quantize_int8=not args.bf16
     )
     config = RealtimeAgentConfig(
         seed=args.seed,

@@ -189,3 +189,33 @@ class RealtimeAgentResources:
         clone.aux_llm = clone.llm
         clone.whisper_model = self.whisper_model
         return clone
+
+    def clone_to_device(self, device) -> "RealtimeAgentResources":
+        """Full replica COMMITTED to another chip: weights + codec copied via
+        ``jax.device_put`` so every program built over the clone runs there.
+
+        This is the duplex-serving capacity axis: concurrent full-duplex
+        calls are INDEPENDENT, so multi-chip serving is replicated per-chip
+        pools with zero collectives — the idiomatic TPU layout when nothing
+        needs to communicate (vs. the reference's one-GPU-process-per-call,
+        inference_client_fastrtc_v2.py:143)."""
+        clone = object.__new__(RealtimeAgentResources)
+        clone.quantize_int8 = self.quantize_int8
+        clone.llm_model_path = self.llm_model_path
+        clone.llm_model_dir = self.llm_model_dir
+        clone.llm_n_ctx = self.llm_n_ctx
+        clone.tiny = self.tiny
+        clone.seed = self.seed
+        with jax.default_device(device):
+            codec_src = self.audio_tokenizer.codec_model
+            codec_copy = JaxCodecModel(
+                jax.device_put(codec_src.params, device), codec_src.config
+            )
+            clone.audio_tokenizer = AudioTokenizer(codec_model=codec_copy)
+            clone.tokenizer = self.tokenizer
+            clone.lm_config = self.lm_config
+            clone.lm_params = jax.device_put(self.lm_params, device)
+            clone.llm = DuplexLMEngine(clone.lm_params, clone.lm_config)
+            clone.aux_llm = clone.llm
+        clone.whisper_model = self.whisper_model
+        return clone

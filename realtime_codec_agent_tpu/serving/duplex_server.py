@@ -19,6 +19,13 @@ Design:
   every chunk on the shared program (rows that skip a tick would degrade the
   others to single dispatches). With zero active calls the drive loop idles
   without touching the device.
+- **Multi-chip = replicated pools** (``devices=[0,1,...]`` / ``--devices``):
+  concurrent calls are INDEPENDENT, so scaling past one chip's capacity
+  (measured R=4 at full scale, R=6 over budget) needs no collectives — the
+  slots split into one pool per chip, each with its own committed weight
+  copy (``RealtimeAgentResources.clone_to_device``), group coordinator and
+  drive thread. The idiomatic TPU layout when nothing communicates; compare
+  the reference's one-GPU-process-per-call.
 - **One drive thread owns all agents.** Grouping requires all sessions be
   driven from a single thread (lm/pair_session.py); connection handlers only
   move bytes and enqueue control requests. Each tick waits up to
@@ -36,6 +43,7 @@ Design:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import dataclasses
 import json
 import queue
@@ -91,6 +99,7 @@ class _Slot:
         self.idx = idx
         self.agent = agent
         self.active = False
+        self.pending_cfg = None  # claimed mid-tick; activates at next loop top
         self.in_q: "queue.Queue[np.ndarray]" = queue.Queue()
         self.out_q: Optional[queue.Queue] = None
         self.underruns = 0
@@ -106,92 +115,40 @@ class _Slot:
                 return
 
 
-class DuplexServingServer:
-    """Owns the slot pool, the group coordinator, and the drive thread."""
+class _Pool:
+    """One device's slice of the slot pool.
 
-    def __init__(
-        self,
-        resources=None,
-        max_calls: int = 2,
-        config=None,
-        tiny: bool = False,
-        group: bool = True,
-        underrun_timeout_secs: Optional[float] = None,
-        codec_model=None,
-        llm_model_path: Optional[str] = None,
-    ):
-        from ..agent.agent import RealtimeAgent
-        from ..agent.config import RealtimeAgentConfig
-        from ..agent.resources import RealtimeAgentResources
-        from ..lm.pair_session import group_duplex_sessions
+    Grouping requires (a) all grouped sessions share one weight pytree and
+    (b) one driving thread — both are per-device properties, so each device
+    gets its own coordinator and drive thread. Calls are independent, so
+    pools never communicate: multi-chip duplex serving is replication, not
+    collectives."""
 
-        if max_calls < 1:
-            raise ValueError("max_calls must be >= 1")
-        self.base_config = config or RealtimeAgentConfig(
-            use_whisper=False, pipeline_chunks=True,
-            async_detours=True, incremental_trim=True,
-        )
-        if not self.base_config.pipeline_chunks:
-            raise ValueError("duplex serving requires pipeline_chunks=True")
-        base_res = resources or RealtimeAgentResources(
-            tiny=tiny, whisper_model=None, codec_model=codec_model,
-            llm_model_path=llm_model_path,
-        )
-        self.slots: List[_Slot] = []
-        for i in range(max_calls):
-            res_i = base_res if i == 0 else base_res.clone_for_self_play()
-            cfg_i = dataclasses.replace(self.base_config, seed=(self.base_config.seed or 0) + i)
-            self.slots.append(_Slot(i, RealtimeAgent(resources=res_i, config=cfg_i)))
+    def __init__(self, server: "DuplexServingServer", idx: int, slots: List[_Slot]):
+        self.server = server
+        self.idx = idx
+        self.slots = slots
         self.coordinator = None
-        if group and max_calls >= 2:
-            sessions = [s.agent._session for s in self.slots]
-            if all(x is not None for x in sessions):
-                self.coordinator = group_duplex_sessions(sessions)
-        self.chunk_samples = self.slots[0].agent.chunk_size_samples
-        self.chunk_secs = self.base_config.chunk_size_secs
-        self.underrun_timeout = (
-            self.chunk_secs if underrun_timeout_secs is None else underrun_timeout_secs
-        )
         self._ctrl: "queue.Queue[tuple]" = queue.Queue()
-        self._running = True
+        self._ctrl_event = threading.Event()  # wakes a mid-gather wait
         self._tick_count = 0
         self._drive = threading.Thread(target=self._drive_loop, daemon=True)
-        self._silence = np.zeros(self.chunk_samples, np.float32)
-        self._drive.start()
 
-    def prewarm(self) -> None:
-        if self.coordinator is not None:
-            self.coordinator.prewarm()
-
-    # ----------------------------------------------------------- control API
-    # (called from connection threads; executed on the drive thread)
-
-    def claim(self, overrides: Dict) -> tuple:
-        bad = [k for k in overrides if k not in CLAIMABLE_CONFIG_FIELDS]
-        if bad:
-            raise ValueError(f"config fields not overridable per call: {bad}")
-        reply: "queue.Queue" = queue.Queue()
-        self._ctrl.put(("claim", overrides, reply))
-        ok, val = reply.get()
-        if not ok:
-            raise RuntimeError(val)
-        return val  # (slot_idx, out_q)
-
-    def release(self, slot_idx: int) -> dict:
-        reply: "queue.Queue" = queue.Queue()
-        self._ctrl.put(("release", slot_idx, reply))
-        ok, val = reply.get()
-        if not ok:
-            raise RuntimeError(val)
-        return val  # final report dict
-
-    def shutdown(self) -> None:
-        self._running = False
-        self._drive.join(timeout=30.0)
+    def put_ctrl(self, op: tuple) -> None:
+        self._ctrl.put(op)
+        self._ctrl_event.set()
 
     # ------------------------------------------------------------ drive loop
 
     def _apply_ctrl(self) -> None:
+        """Handle claim/release requests. Runs ONLY on the drive thread, but
+        both at the loop top and from inside a gather wait (so control never
+        stalls behind the underrun timeout) — claims therefore only STAGE the
+        slot (``pending_cfg``); activation + agent reset happen at the next
+        loop top, after the in-flight tick's silence dispatch, so a fresh
+        call never sees a pre-activation tick."""
+        srv = self.server
+        self._ctrl_event.clear()
         while True:
             try:
                 op = self._ctrl.get_nowait()
@@ -200,28 +157,38 @@ class DuplexServingServer:
             kind = op[0]
             if kind == "claim":
                 _, overrides, reply = op
-                slot = next((s for s in self.slots if not s.active), None)
+                slot = next(
+                    (s for s in self.slots if not s.active and s.pending_cfg is None),
+                    None,
+                )
                 if slot is None:
                     reply.put((False, "server full: no free call slots"))
                     continue
                 try:
                     cfg = dataclasses.replace(
-                        self.base_config,
-                        **{**{"seed": (self.base_config.seed or 0) + slot.idx}, **overrides},
+                        srv.base_config,
+                        **{**{"seed": (srv.base_config.seed or 0) + slot.idx}, **overrides},
                     )
-                    slot.agent.set_config(cfg)
-                    slot.agent.reset()
+                    # stale chunks cannot arrive after this reply (the
+                    # previous call's handler finished before the slot freed)
                     slot.drain_input()
                     slot.out_q = queue.Queue()
                     slot.underruns = 0
                     slot.chunks_in = 0
-                    slot.active = True
+                    slot.pending_cfg = cfg
                     reply.put((True, (slot.idx, slot.out_q)))
                 except Exception as ex:  # config error must not kill the loop
                     reply.put((False, f"claim failed: {ex!r}"))
             elif kind == "release":
                 _, idx, reply = op
-                slot = self.slots[idx]
+                slot = srv.slots[idx]
+                if slot.pending_cfg is not None and not slot.active:
+                    # claimed but never activated: nothing to drain
+                    slot.pending_cfg = None
+                    slot.out_q = None
+                    reply.put((True, {"type": "report", "chunks": 0,
+                                      "underruns": 0, "transcript": ""}))
+                    continue
                 if not slot.active:
                     reply.put((True, {"type": "report", "chunks": slot.chunks_in,
                                       "underruns": slot.underruns, "transcript": ""}))
@@ -232,6 +199,19 @@ class DuplexServingServer:
                 slot.release_reply = reply
                 if slot.in_q.empty():
                     self._finalize_release(slot)
+
+    def _activate_pending(self) -> None:
+        for slot in self.slots:
+            if slot.pending_cfg is None:
+                continue
+            cfg, slot.pending_cfg = slot.pending_cfg, None
+            try:
+                slot.agent.set_config(cfg)
+                slot.agent.reset()
+                slot.active = True
+            except Exception as ex:  # must not kill the pool
+                print(f"duplex slot {slot.idx} activation failed: {ex!r}", flush=True)
+                slot.out_q = None
 
     def _finalize_release(self, slot: _Slot) -> None:
         reply, slot.release_reply = slot.release_reply, None
@@ -254,17 +234,38 @@ class DuplexServingServer:
             slot.out_q = None
             reply.put((False, f"release failed: {ex!r}"))
 
+    def _gather_one(self, slot: _Slot, deadline: float):
+        """This slot's next chunk, waiting up to the underrun deadline;
+        control requests arriving mid-wait are handled immediately (staged,
+        never activated mid-tick) so claim/release latency is bounded by the
+        poll slice, not the underrun timeout."""
+        srv = self.server
+        while True:
+            remaining = deadline - time.monotonic()
+            try:
+                return slot.in_q.get(timeout=max(0.0, min(0.05, remaining)))
+            except queue.Empty:
+                if self._ctrl_event.is_set():
+                    self._apply_ctrl()
+                    if not slot.active:  # released mid-wait: stop waiting
+                        return srv._silence
+                if remaining <= 0.0 or not srv._running:
+                    slot.underruns += 1
+                    return srv._silence
+
     def _drive_loop(self) -> None:
-        while self._running:
+        srv = self.server
+        while srv._running:
             self._apply_ctrl()
+            self._activate_pending()
             active = [s for s in self.slots if s.active]
             if not active:
-                time.sleep(0.005)
+                self._ctrl_event.wait(timeout=0.005)
                 continue
             # gather each active call's chunk, waiting to the underrun deadline
             # (calls that hung up never wait: their remaining chunks are all
             # queued already; when drained, the release finalizes below)
-            deadline = time.monotonic() + self.underrun_timeout
+            deadline = time.monotonic() + srv.underrun_timeout
             inputs: Dict[int, np.ndarray] = {}
             for slot in active:
                 if slot.release_reply is not None:
@@ -274,17 +275,14 @@ class DuplexServingServer:
                     except queue.Empty:
                         self._finalize_release(slot)
                     continue
-                wait = max(0.0, deadline - time.monotonic())
-                try:
-                    inputs[slot.idx] = slot.in_q.get(timeout=wait)
+                got = self._gather_one(slot, deadline)
+                if got is not srv._silence:
                     slot.chunks_in += 1
-                except queue.Empty:
-                    slot.underruns += 1
-                    inputs[slot.idx] = self._silence
+                inputs[slot.idx] = got
             # tick EVERY slot (idle rows dispatch silence so active rows keep
             # riding the full batch-R program); deliver only active outputs
             for slot in self.slots:
-                chunk = inputs.get(slot.idx, self._silence)
+                chunk = inputs.get(slot.idx, srv._silence)
                 try:
                     out = slot.agent.process_audio(chunk)
                 except Exception as ex:  # one call's failure must not kill the pool
@@ -310,6 +308,146 @@ class DuplexServingServer:
                 else:
                     slot.idle_ticks = 0
             self._tick_count += 1
+
+
+class DuplexServingServer:
+    """Owns the slot pool(s): one `_Pool` (coordinator + drive thread) per
+    serving device; ``devices=None`` is the single-chip deployment."""
+
+    def __init__(
+        self,
+        resources=None,
+        max_calls: int = 2,
+        config=None,
+        tiny: bool = False,
+        group: bool = True,
+        underrun_timeout_secs: Optional[float] = None,
+        codec_model=None,
+        llm_model_path: Optional[str] = None,
+        quantize_int8: bool = False,
+        devices: Optional[List] = None,
+    ):
+        import jax
+
+        from ..agent.agent import RealtimeAgent
+        from ..agent.config import RealtimeAgentConfig
+        from ..agent.resources import RealtimeAgentResources
+        from ..lm.pair_session import group_duplex_sessions
+
+        if max_calls < 1:
+            raise ValueError("max_calls must be >= 1")
+        self.base_config = config or RealtimeAgentConfig(
+            use_whisper=False, pipeline_chunks=True,
+            async_detours=True, incremental_trim=True,
+        )
+        if not self.base_config.pipeline_chunks:
+            raise ValueError("duplex serving requires pipeline_chunks=True")
+        base_res = resources or RealtimeAgentResources(
+            tiny=tiny, whisper_model=None, codec_model=codec_model,
+            llm_model_path=llm_model_path, quantize_int8=quantize_int8,
+        )
+        if devices is not None:
+            devices = [
+                jax.devices()[d] if isinstance(d, int) else d for d in devices
+            ]
+            if len(devices) > max_calls:
+                raise ValueError("more devices than call slots")
+        n_pools = 1 if devices is None else len(devices)
+        # where the loaded weights already live: that pool reuses them in
+        # place instead of holding a second full copy on the same chip
+        home_dev = next(iter(jax.tree.leaves(base_res.lm_params)[0].devices()))
+
+        self.slots: List[_Slot] = []
+        self.pools: List[_Pool] = []
+        for p in range(n_pools):
+            dev = None if devices is None else devices[p]
+            lo = p * max_calls // n_pools
+            hi = (p + 1) * max_calls // n_pools
+            if hi == lo:
+                continue
+            if dev is None or dev == home_dev:
+                pool_res = base_res
+            else:
+                pool_res = base_res.clone_to_device(dev)
+            pool_slots = []
+            ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+            with ctx:
+                for i in range(lo, hi):
+                    res_i = pool_res if i == lo else pool_res.clone_for_self_play()
+                    cfg_i = dataclasses.replace(
+                        self.base_config, seed=(self.base_config.seed or 0) + i
+                    )
+                    pool_slots.append(
+                        _Slot(i, RealtimeAgent(resources=res_i, config=cfg_i))
+                    )
+            pool = _Pool(self, len(self.pools), pool_slots)
+            if group and len(pool_slots) >= 2:
+                sessions = [s.agent._session for s in pool_slots]
+                if all(x is not None for x in sessions):
+                    pool.coordinator = group_duplex_sessions(sessions)
+            self.slots.extend(pool_slots)
+            self.pools.append(pool)
+        self._pool_of = {s.idx: pool for pool in self.pools for s in pool.slots}
+        # single-pool deployments keep the flat attribute (tests, tooling)
+        self.coordinator = self.pools[0].coordinator if len(self.pools) == 1 else None
+        self.chunk_samples = self.slots[0].agent.chunk_size_samples
+        self.chunk_secs = self.base_config.chunk_size_secs
+        self.underrun_timeout = (
+            self.chunk_secs if underrun_timeout_secs is None else underrun_timeout_secs
+        )
+        self._running = True
+        self._silence = np.zeros(self.chunk_samples, np.float32)
+        for pool in self.pools:
+            pool._drive.start()
+
+    def prewarm(self) -> None:
+        # pools compile independently (distinct devices); parallel threads
+        # overlap the per-pool compile waits
+        if len(self.pools) == 1:
+            if self.pools[0].coordinator is not None:
+                self.pools[0].coordinator.prewarm()
+            return
+        threads = [
+            threading.Thread(target=pool.coordinator.prewarm)
+            for pool in self.pools
+            if pool.coordinator is not None
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    # ----------------------------------------------------------- control API
+    # (called from connection threads; executed on each pool's drive thread)
+
+    def claim(self, overrides: Dict) -> tuple:
+        bad = [k for k in overrides if k not in CLAIMABLE_CONFIG_FIELDS]
+        if bad:
+            raise ValueError(f"config fields not overridable per call: {bad}")
+        last_err = "server full: no free call slots"
+        for pool in self.pools:
+            reply: "queue.Queue" = queue.Queue()
+            pool.put_ctrl(("claim", overrides, reply))
+            ok, val = reply.get()
+            if ok:
+                return val  # (slot_idx, out_q)
+            last_err = val
+            if not str(val).startswith("server full"):
+                break  # config error: same on every pool, fail now
+        raise RuntimeError(last_err)
+
+    def release(self, slot_idx: int) -> dict:
+        reply: "queue.Queue" = queue.Queue()
+        self._pool_of[slot_idx].put_ctrl(("release", slot_idx, reply))
+        ok, val = reply.get()
+        if not ok:
+            raise RuntimeError(val)
+        return val  # final report dict
+
+    def shutdown(self) -> None:
+        self._running = False
+        for pool in self.pools:
+            pool._drive.join(timeout=30.0)
 
 
 class _CallHandler(socketserver.BaseRequestHandler):
@@ -424,11 +562,22 @@ def main(argv=None) -> None:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--no_group", action="store_true",
                     help="serve each call with per-session programs (debug)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 decode weights (q8_0-parity): the capacity lever "
+                    "past 4 concurrent calls on one chip")
+    ap.add_argument("--devices", default=None,
+                    help="comma-separated jax device indices, e.g. 0,1,2,3: "
+                    "max_calls split into one replicated pool per chip "
+                    "(independent calls need no collectives)")
     args = ap.parse_args(argv)
 
+    devices = None
+    if args.devices:
+        devices = [int(x) for x in args.devices.split(",")]
     duplex = DuplexServingServer(
         max_calls=args.max_calls, tiny=args.tiny, group=not args.no_group,
-        llm_model_path=args.llm_model_path,
+        llm_model_path=args.llm_model_path, quantize_int8=args.int8,
+        devices=devices,
     )
     print(f"prewarming batch-{args.max_calls} group program...", flush=True)
     duplex.prewarm()

@@ -49,6 +49,9 @@ def main():
                     help="serving-config agents (async_detours + incremental_trim): "
                     "fetches ride each agent's pump thread, so the group launch "
                     "is not serialized behind the previous fetch")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 decode weights (q8_0-parity): halves the per-tick "
+                    "weight read, the capacity lever past R=4")
     args = ap.parse_args()
 
     from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
@@ -61,7 +64,10 @@ def main():
     ccfg = tiny_codec_config() if args.tiny else CodecConfig()
     codec = JaxCodecModel.random_init(ccfg, seed=0)
     R = 2 if args.mode == "selfplay" else args.sessions
-    base_res = RealtimeAgentResources(tiny=args.tiny, codec_model=codec, whisper_model=None)
+    base_res = RealtimeAgentResources(
+        tiny=args.tiny, codec_model=codec, whisper_model=None,
+        quantize_int8=args.int8,
+    )
     agents = []
     for i in range(R):
         res_i = base_res if i == 0 else base_res.clone_for_self_play()

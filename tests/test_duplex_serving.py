@@ -6,7 +6,9 @@ Pins (tiny models, CPU):
   with the same seed/config on the same chunks (the slot pool + group
   coordinator is a pure scheduling overlay);
 - claim/release reuses slots across sequential calls;
-- a full server rejects the (R+1)th concurrent call with a clean error.
+- a full server rejects the (R+1)th concurrent call with a clean error;
+- devices=[d0,d1] splits the slots into per-chip replicated pools (weights
+  committed per device, bit-identical streams, claims spread across pools).
 """
 import threading
 
@@ -133,6 +135,85 @@ def test_slot_reuse_and_server_full(duplex_srv):
     c3, r3 = _stream(port, 4, chunks)
     assert r3["type"] == "report"
     assert r3["chunks"] == 2
+
+
+def test_multi_device_pools():
+    """devices=[d0, d1]: slots split into per-chip replicated pools — pool-1
+    weights committed to device 1, calls spread across pools, and a call
+    served from pool 1 is bit-identical to a direct agent (the multi-chip
+    layout is pure replication, zero collectives)."""
+    import dataclasses
+
+    import jax
+
+    from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
+
+    devs = jax.devices()[:2]
+    codec = JaxCodecModel.random_init(tiny_codec_config(), seed=0)
+    duplex = DuplexServingServer(
+        max_calls=4, tiny=True, codec_model=codec, devices=devs,
+        underrun_timeout_secs=30.0,
+    )
+    srv = serve(duplex, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    try:
+        assert len(duplex.pools) == 2
+        assert [s.idx for s in duplex.pools[1].slots] == [2, 3]
+        leaf = jax.tree.leaves(duplex.slots[2].agent.resources.lm_params)[0]
+        assert list(leaf.devices()) == [devs[1]]
+
+        n = duplex.chunk_samples
+        chunks = _user_chunks(500, N_CHUNKS, n)
+        # fill pool 0 so the third call lands on pool 1 (slot 2); no OTHER
+        # claim happens while this call streams — a concurrent activation
+        # stalls the pool for the reset's device work, and when an event is
+        # in flight the detour's replay placement in the OUTPUT is
+        # timing-dependent by design (realtime filler); token-level event
+        # identity is pinned by tests/test_async_detours.py
+        hold = [DuplexCall(port=port, config={"seed": s}) for s in (1, 2)]
+        call = DuplexCall(port=port, config={"seed": 31})
+        assert call.slot == 2
+        for c in chunks:
+            call.send_chunk(c)
+        report = call.hangup()
+        served = call.collected_audio()
+        assert report["underruns"] == 0
+
+        # claims spread across pools; a 5th concurrent call exceeds them
+        c4 = DuplexCall(port=port, config={"seed": 4})
+        c5 = DuplexCall(port=port, config={"seed": 5})
+        assert {c4.slot, c5.slot} == {2, 3}
+        with pytest.raises(RuntimeError, match="server full"):
+            DuplexCall(port=port, config={"seed": 6})
+        c4.hangup()
+        c5.hangup()
+        for h in hold:
+            h.hangup()
+
+        cfg = dataclasses.replace(duplex.base_config, seed=31)
+        agent = RealtimeAgent(
+            resources=duplex.slots[2].agent.resources.clone_for_self_play(),
+            config=cfg,
+        )
+        direct = []
+        for c in chunks:
+            out = agent.process_audio(c)
+            if out is not None:
+                direct.append(np.asarray(out, np.float32))
+        tail = agent.drain_pipeline()
+        if tail is not None:
+            direct.append(np.asarray(tail, np.float32))
+        direct_audio = np.concatenate(direct)
+        direct_wire = (
+            np.clip(np.nan_to_num(direct_audio), -1.0, 1.0) * 32767.0
+        ).astype("<i2").astype(np.float32) / 32768.0
+        assert len(served) == len(direct_audio)
+        np.testing.assert_array_equal(served, direct_wire)
+    finally:
+        srv.shutdown()
+        duplex.shutdown()
 
 
 def test_rejects_bad_config_and_bad_chunk(duplex_srv):
