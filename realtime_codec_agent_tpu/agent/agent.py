@@ -19,6 +19,8 @@ suffix (reference realtime_agent_v2.py:725-733).
 """
 from __future__ import annotations
 
+import copy
+import dataclasses
 import re
 import time
 from dataclasses import dataclass
@@ -512,6 +514,130 @@ class RealtimeAgent:
             audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
             last_n = 2 if audio_mode else 1
             self.resources.llm.eval(self.input_ids[start_pos:-last_n])
+
+    # --------------------------------------------------------- call snapshot
+    def snapshot(self) -> Dict[str, Any]:
+        """Full host-side state of this call at a quiescent chunk boundary —
+        the live-call checkpoint that enables server restarts and call
+        migration across chips/hosts (no reference counterpart; its only
+        resume discipline is training checkpoints).
+
+        The KV cache is NOT serialized: ``from_snapshot`` rebuilds it from
+        the token sequence — the same inference-resume discipline as the
+        post-edit recompute (reference realtime_agent_v2.py:725-733), so a
+        snapshot is a few hundred KB instead of ~600 MB of cache. Everything
+        that drives FUTURE tokens is captured: sequence, sampler step
+        counter (fold_in key derivation), codec stream rings, stats windows
+        (z-scores are control signals), inactivity timers. A restored call
+        continues with bit-identical tokens (pinned by
+        tests/test_snapshot.py); if an incremental trim rebuild was in
+        flight, the restore builds the post-trim cache directly (the trim
+        completes at the restore boundary instead of over the next chunks).
+
+        Quiesce first (``drain_pipeline()`` + ``join_detours()``, emit any
+        outputs); snapshot refuses to run with work in flight. External
+        TTS / external LLM streams cannot be migrated.
+        """
+        if self.config.use_external_tts or self.config.use_external_llm:
+            raise RuntimeError("snapshot does not support external TTS/LLM streams")
+        busy = []
+        if self._pending is not None:
+            busy.append("pipelined chunk in flight")
+        if self._detour_future is not None:
+            busy.append("detour in flight")
+        if self._backlog:
+            busy.append("backlog pending")
+        if self._ready or self._out_buffer is not None:
+            busy.append("outputs not yet emitted")
+        if busy:
+            raise RuntimeError(
+                "snapshot requires a quiescent agent (drain_pipeline + "
+                "join_detours first): " + "; ".join(busy)
+            )
+        at = self.resources.audio_tokenizer
+        trim_to = self.trim_to_secs
+        if self._trim_rebuild is not None:
+            trim_to = max(trim_to, self._trim_rebuild["to_secs"])
+        sess = self._session
+        return {
+            "config": dataclasses.replace(self.config),
+            "input_ids": list(self.input_ids),
+            "context_start_pos": self.context_start_pos,
+            "trim_to_secs": trim_to,
+            "ch1_inactivity_elapsed_secs": self.ch1_inactivity_elapsed_secs,
+            "ch2_inactivity_elapsed_secs": self.ch2_inactivity_elapsed_secs,
+            "ch2_activity_start_secs": self.ch2_activity_start_secs,
+            "audio_history_ch1": [np.asarray(a).copy() for a in self.audio_history_ch1],
+            "audio_history_ch2": [np.asarray(a).copy() for a in self.audio_history_ch2],
+            "audio_tokens_idx": list(self.audio_tokens_idx),
+            "transcript": copy.deepcopy(self.transcript),
+            "prob_event_speaker_token_id": self.prob_event_speaker_token_id,
+            "fused_probs": self._fused_probs,
+            "stats": self.stats.get_state(),
+            "engine_step": int(getattr(self.resources.llm, "_step", 0)),
+            "engine_n_tokens": int(self.resources.llm.n_tokens),
+            "enc_ctx": None if sess is None else np.asarray(sess.enc_ctx),
+            "dec_ctx": None if sess is None else np.asarray(sess.dec_ctx),
+            "at_tokenize_context": np.asarray(at.tokenize_context).copy(),
+            "at_detokenize_context": at.detokenize_context,
+        }
+
+    @classmethod
+    def from_snapshot(
+        cls,
+        resources: RealtimeAgentResources,
+        snap: Dict[str, Any],
+        self_play_mode: bool = False,
+    ) -> "RealtimeAgent":
+        """Reconstruct a live call from ``snapshot()`` output on (possibly
+        different) resources sharing the same weights/geometry — e.g. a pool
+        on another chip. The restored call's future token stream is
+        bit-identical to the uninterrupted one."""
+        agent = cls(resources=resources, config=snap["config"], self_play_mode=self_play_mode)
+        agent.restore_state(snap)
+        return agent
+
+    def restore_state(self, snap: Dict[str, Any]) -> None:
+        llm = self.resources.llm
+        at = self.resources.audio_tokenizer
+        self.input_ids = list(snap["input_ids"])
+        if self._session is not None:
+            self._session.bind_sequence(self.input_ids)
+        self.context_start_pos = int(snap["context_start_pos"])
+        self.trim_to_secs = float(snap["trim_to_secs"])
+        self.ch1_inactivity_elapsed_secs = float(snap["ch1_inactivity_elapsed_secs"])
+        self.ch2_inactivity_elapsed_secs = float(snap["ch2_inactivity_elapsed_secs"])
+        self.ch2_activity_start_secs = float(snap["ch2_activity_start_secs"])
+        self.audio_history_ch1 = [np.asarray(a) for a in snap["audio_history_ch1"]]
+        self.audio_history_ch2 = [np.asarray(a) for a in snap["audio_history_ch2"]]
+        self.audio_tokens_idx = list(snap["audio_tokens_idx"])
+        self.transcript = copy.deepcopy(snap["transcript"])
+        self.prob_event_speaker_token_id = snap["prob_event_speaker_token_id"]
+        self._fused_probs = snap["fused_probs"]
+        self.stats.set_state(snap["stats"])
+        if self._session is not None and snap["enc_ctx"] is not None:
+            self._session.enc_ctx = np.asarray(snap["enc_ctx"], np.float32)
+            self._session.dec_ctx = np.asarray(snap["dec_ctx"], np.int32)
+            self._session.chain = None
+        at.tokenize_context = np.asarray(snap["at_tokenize_context"]).copy()
+        at.detokenize_context = snap["at_detokenize_context"]
+        self._trim_rebuild = None
+        # KV cache rebuild from tokens (the resume discipline): header
+        # prefill, then the standard post-edit recompute for the suffix —
+        # identical cache content to the uninterrupted run by construction
+        llm.reset()
+        self.set_sampler()
+        llm.eval(self.input_ids[: self.context_start_pos])
+        self.recompute_kv_cache(self.context_start_pos)
+        if int(llm.n_tokens) != int(snap["engine_n_tokens"]):
+            raise RuntimeError(
+                f"snapshot restore cache-length mismatch: rebuilt "
+                f"{llm.n_tokens} vs snapshotted {snap['engine_n_tokens']}"
+            )
+        # evals advance the sampler step; future fold_in keys must continue
+        # from the snapshotted counter, not the rebuild's
+        llm._step = int(snap["engine_step"])
+        self._chain_dirty = True
 
     # -------------------------------------------------------- text generation
     def _native_generate_text(

@@ -68,6 +68,28 @@ class RealtimeAgentStats:
             if self.std == 0.0:
                 self.std = 1.0
 
+    # ------------------------------------------------------ snapshot/restore
+    def get_state(self) -> dict:
+        """Serializable state (call snapshot: z-scores are CONTROL signals —
+        VAD, forced events — so a restored call must continue the same
+        window, not a cold one)."""
+        return {
+            "ring": self._ring.copy(),
+            "count": self._count,
+            "head": self._head,
+            "last_zscore": self._last_zscore.copy(),
+            "mean": self.mean,
+            "std": self.std,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self._ring[:] = state["ring"]
+        self._count = int(state["count"])
+        self._head = int(state["head"])
+        self._last_zscore = np.asarray(state["last_zscore"], dtype=np.float64)
+        self.mean = float(state["mean"])
+        self.std = float(state["std"])
+
 
 class RealtimeAgentStatsCollection:
     """The three control-signal streams (reference realtime_agent_stats.py:42-51)."""
@@ -81,3 +103,15 @@ class RealtimeAgentStatsCollection:
         self.ch_abs_max.reset()
         self.event_prob.reset()
         self.tts_interrupt_score.reset()
+
+    def get_state(self) -> dict:
+        return {
+            "ch_abs_max": self.ch_abs_max.get_state(),
+            "event_prob": self.event_prob.get_state(),
+            "tts_interrupt_score": self.tts_interrupt_score.get_state(),
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.ch_abs_max.set_state(state["ch_abs_max"])
+        self.event_prob.set_state(state["event_prob"])
+        self.tts_interrupt_score.set_state(state["tts_interrupt_score"])

@@ -23,11 +23,18 @@ from .duplex_server import read_frame, write_frame, write_json
 
 class DuplexCall:
     def __init__(self, host: str = "127.0.0.1", port: int = 8766,
-                 config: Optional[dict] = None, timeout: float = 60.0):
+                 config: Optional[dict] = None, timeout: float = 60.0,
+                 snapshot: Optional[bytes] = None):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._rfile = self._sock.makefile("rb")
         self._wfile = self._sock.makefile("wb")
-        write_json(self._wfile, {"type": "start", "config": config or {}})
+        start: dict = {"type": "start", "config": config or {}}
+        if snapshot is not None:
+            # resume a migrated call (bytes from a prior call's .snapshot())
+            import base64
+
+            start["snapshot_b64"] = base64.b64encode(snapshot).decode()
+        write_json(self._wfile, start)
         frame = read_frame(self._rfile)
         if frame is None or frame[0] != b"J":
             raise ConnectionError("no start acknowledgement")
@@ -39,6 +46,7 @@ class DuplexCall:
         self.sample_rate = hello["sample_rate"]
         self.audio_out: "queue.Queue[np.ndarray]" = queue.Queue()
         self.report: Optional[dict] = None
+        self._snapshot_q: "queue.Queue[dict]" = queue.Queue()
         self._done = threading.Event()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
@@ -58,12 +66,29 @@ class DuplexCall:
                     msg = json.loads(payload.decode())
                     if msg.get("type") == "report":
                         self.report = msg
+                    elif msg.get("type") == "snapshot":
+                        self._snapshot_q.put(msg)
                     elif msg.get("type") == "error":
                         self.report = msg
+                        self._snapshot_q.put(msg)  # unblock a waiting snapshot()
         except (ConnectionError, OSError):
             pass
         finally:
             self._done.set()
+
+    def snapshot(self, timeout: float = 120.0) -> bytes:
+        """Live-call checkpoint: the server quiesces this call (any drained
+        audio still arrives) and returns its serialized state — pass to a
+        new ``DuplexCall(snapshot=...)`` on any server sharing the weights
+        to resume the call there (migration / restart)."""
+        import base64
+
+        write_json(self._wfile, {"type": "snapshot"})
+        self._wfile.flush()
+        msg = self._snapshot_q.get(timeout=timeout)
+        if msg.get("type") != "snapshot":
+            raise RuntimeError(msg.get("message", str(msg)))
+        return base64.b64decode(msg["data"])
 
     def send_chunk(self, chunk: np.ndarray) -> None:
         """One 100 ms chunk: float32 in [-1, 1] or int16, chunk_size_samples long."""

@@ -39,6 +39,14 @@ Design:
   with a client ``J {"type": "start", "config": {...}}`` and closes with the
   server streaming the drained tail chunk, a ``J`` transcript/stats report,
   then ``E``.
+- **Live-call migration.** A mid-call ``J {"type": "snapshot"}`` quiesces
+  the call on its drive thread and returns ``agent.snapshot()`` (base64
+  pickle) — the KV cache is NOT serialized; a resume rebuilds it from the
+  token sequence. Opening a new call with ``snapshot_b64`` in the start
+  frame resumes the call on any pool/server sharing the weights, with
+  bit-identical future tokens (pinned at the agent level by
+  tests/test_snapshot.py). Pickle is only accepted from peers that can
+  already open calls — deploy behind a trusted boundary.
 """
 from __future__ import annotations
 
@@ -57,7 +65,10 @@ from typing import Dict, List, Optional
 import numpy as np
 
 FRAME_HEADER = struct.Struct(">cI")
-MAX_FRAME = 1 << 22
+# large enough for a call-snapshot J frame (the audio history dominates:
+# ~256 KB/s of call; 128 MB covers ~7 min, and snapshots of longer calls
+# should trim their histories before migrating)
+MAX_FRAME = 1 << 27
 
 # config fields a call may override at claim time — scalars that do not
 # change compiled shapes (chunk/context geometry is fixed by the slot pool)
@@ -156,7 +167,7 @@ class _Pool:
                 return
             kind = op[0]
             if kind == "claim":
-                _, overrides, reply = op
+                _, overrides, snap, reply = op
                 slot = next(
                     (s for s in self.slots if not s.active and s.pending_cfg is None),
                     None,
@@ -165,20 +176,42 @@ class _Pool:
                     reply.put((False, "server full: no free call slots"))
                     continue
                 try:
+                    base = srv.base_config if snap is None else snap["config"]
                     cfg = dataclasses.replace(
-                        srv.base_config,
-                        **{**{"seed": (srv.base_config.seed or 0) + slot.idx}, **overrides},
+                        base,
+                        **{**{"seed": (base.seed or 0) + (slot.idx if snap is None else 0)},
+                           **overrides},
                     )
+                    if cfg.chunk_size_secs != srv.base_config.chunk_size_secs:
+                        raise ValueError("snapshot chunk geometry differs from this pool")
                     # stale chunks cannot arrive after this reply (the
                     # previous call's handler finished before the slot freed)
                     slot.drain_input()
                     slot.out_q = queue.Queue()
                     slot.underruns = 0
                     slot.chunks_in = 0
-                    slot.pending_cfg = cfg
+                    slot.pending_cfg = (cfg, snap)
                     reply.put((True, (slot.idx, slot.out_q)))
                 except Exception as ex:  # config error must not kill the loop
                     reply.put((False, f"claim failed: {ex!r}"))
+            elif kind == "snapshot":
+                _, idx, reply = op
+                slot = srv.slots[idx]
+                if not slot.active:
+                    reply.put((False, "snapshot: call not active"))
+                    continue
+                try:
+                    # quiesce WITHOUT losing audio: drained chunks go out
+                    while True:
+                        tail = slot.agent.drain_pipeline()
+                        if tail is None:
+                            break
+                        if slot.out_q is not None:
+                            slot.out_q.put(np.asarray(tail, np.float32))
+                    slot.agent.join_detours()
+                    reply.put((True, slot.agent.snapshot()))
+                except Exception as ex:
+                    reply.put((False, f"snapshot failed: {ex!r}"))
             elif kind == "release":
                 _, idx, reply = op
                 slot = srv.slots[idx]
@@ -204,10 +237,14 @@ class _Pool:
         for slot in self.slots:
             if slot.pending_cfg is None:
                 continue
-            cfg, slot.pending_cfg = slot.pending_cfg, None
+            (cfg, snap), slot.pending_cfg = slot.pending_cfg, None
             try:
                 slot.agent.set_config(cfg)
                 slot.agent.reset()
+                if snap is not None:
+                    # resume a migrated call: KV cache rebuilt from the
+                    # snapshot's token sequence (agent.restore_state)
+                    slot.agent.restore_state(snap)
                 slot.active = True
             except Exception as ex:  # must not kill the pool
                 print(f"duplex slot {slot.idx} activation failed: {ex!r}", flush=True)
@@ -420,14 +457,17 @@ class DuplexServingServer:
     # ----------------------------------------------------------- control API
     # (called from connection threads; executed on each pool's drive thread)
 
-    def claim(self, overrides: Dict) -> tuple:
+    def claim(self, overrides: Dict, snapshot: Optional[Dict] = None) -> tuple:
+        """Claim a free slot; with ``snapshot`` (an ``agent.snapshot()``
+        dict) the slot resumes that call instead of starting fresh — the
+        migration path across pools/servers."""
         bad = [k for k in overrides if k not in CLAIMABLE_CONFIG_FIELDS]
         if bad:
             raise ValueError(f"config fields not overridable per call: {bad}")
         last_err = "server full: no free call slots"
         for pool in self.pools:
             reply: "queue.Queue" = queue.Queue()
-            pool.put_ctrl(("claim", overrides, reply))
+            pool.put_ctrl(("claim", overrides, snapshot, reply))
             ok, val = reply.get()
             if ok:
                 return val  # (slot_idx, out_q)
@@ -435,6 +475,16 @@ class DuplexServingServer:
             if not str(val).startswith("server full"):
                 break  # config error: same on every pool, fail now
         raise RuntimeError(last_err)
+
+    def snapshot_call(self, slot_idx: int) -> Dict:
+        """Live-call checkpoint: quiesces the slot on its drive thread
+        (drained audio is still delivered) and returns ``agent.snapshot()``."""
+        reply: "queue.Queue" = queue.Queue()
+        self._pool_of[slot_idx].put_ctrl(("snapshot", slot_idx, reply))
+        ok, val = reply.get()
+        if not ok:
+            raise RuntimeError(val)
+        return val
 
     def release(self, slot_idx: int) -> dict:
         reply: "queue.Queue" = queue.Queue()
@@ -465,8 +515,16 @@ class _CallHandler(socketserver.BaseRequestHandler):
             if start.get("type") != "start":
                 write_json(wfile, {"type": "error", "message": "expected start"})
                 return
+            snap = None
+            if start.get("snapshot_b64"):
+                # migration resume: pickle is only accepted from peers that
+                # can already open calls — deploy behind a trusted boundary
+                import base64
+                import pickle
+
+                snap = pickle.loads(base64.b64decode(start["snapshot_b64"]))
             try:
-                slot_idx, out_q = server.claim(start.get("config") or {})
+                slot_idx, out_q = server.claim(start.get("config") or {}, snapshot=snap)
             except Exception as ex:
                 write_json(wfile, {"type": "error", "message": str(ex)})
                 return
@@ -509,7 +567,24 @@ class _CallHandler(socketserver.BaseRequestHandler):
                             })
                         break
                     slot.in_q.put(pcm)
-                # unknown J frames are ignored (forward compat)
+                elif ftype == b"J":
+                    msg = json.loads(payload.decode())
+                    if msg.get("type") == "snapshot":
+                        # live-call checkpoint: quiesce + serialize; the
+                        # client can resume it on any pool/server via the
+                        # start frame's snapshot_b64
+                        import base64
+                        import pickle
+
+                        try:
+                            snap = server.snapshot_call(slot_idx)
+                            data = base64.b64encode(pickle.dumps(snap)).decode()
+                            with wlock:
+                                write_json(wfile, {"type": "snapshot", "data": data})
+                        except Exception as ex:
+                            with wlock:
+                                write_json(wfile, {"type": "error", "message": str(ex)})
+                    # other J frames are ignored (forward compat)
 
             report = server.release(slot_idx)
             slot_idx = None

@@ -216,6 +216,43 @@ def test_multi_device_pools():
         duplex.shutdown()
 
 
+def test_call_migration_via_snapshot(duplex_srv):
+    """Mid-call snapshot over the wire, then resume as a NEW call (the
+    migration path): the resumed call carries the session forward — token
+    sequence, transcript, timers — and keeps streaming. Bit-exactness of
+    the continuation is pinned at the agent level (tests/test_snapshot.py);
+    this pins the serving protocol plumbing."""
+    port, duplex = duplex_srv
+    n = duplex.chunk_samples
+    chunks = _user_chunks(600, N_CHUNKS, n)
+
+    call = DuplexCall(port=port, config={"seed": 41})
+    for c in chunks[:3]:
+        call.send_chunk(c)
+    blob = call.snapshot()
+    assert isinstance(blob, bytes) and len(blob) > 0
+    import pickle
+
+    snap = pickle.loads(blob)
+    seq_len_at_snapshot = len(snap["input_ids"])
+    assert seq_len_at_snapshot > 0
+    report1 = call.hangup()
+    assert report1["type"] == "report"
+
+    resumed = DuplexCall(port=port, snapshot=blob)
+    for c in chunks[3:]:
+        resumed.send_chunk(c)
+    report2 = resumed.hangup()
+    audio2 = resumed.collected_audio()
+    assert report2["type"] == "report"
+    assert report2["chunks"] == N_CHUNKS - 3
+    assert len(audio2) >= (N_CHUNKS - 3) * n
+    assert np.isfinite(audio2).all()
+    # the resumed slot's sequence grew FROM the snapshot, not from a reset
+    slot = duplex.slots[resumed.slot]
+    assert len(slot.agent.input_ids) > seq_len_at_snapshot
+
+
 def test_rejects_bad_config_and_bad_chunk(duplex_srv):
     port, duplex = duplex_srv
     with pytest.raises(RuntimeError, match="not overridable"):
