@@ -46,7 +46,7 @@ def release_device_memory():
 # section OOMed at every seq_len after the inference sections ran first), so
 # the full suite runs each group in its own subprocess with a fresh device.
 SECTIONS = [
-    "codec", "encode", "ar", "selfplay", "duplexserve",
+    "codec", "encode", "ar", "selfplay", "duplexserve", "snapshot",
     "batched", "bandwidth", "train", "whisper",
 ]
 GROUPS = [
@@ -57,6 +57,7 @@ GROUPS = [
     ["whisper"],
     ["ar", "selfplay"],
     ["duplexserve"],
+    ["snapshot"],
 ]
 
 
@@ -666,6 +667,74 @@ def main():
                 (R * coord.paired_dispatches) / max(1, total),
                 f"fraction of chunks riding the shared batch-{R} program",
             )
+
+    # ---- 10. live-call snapshot/restore (migration cost) ---------------------
+    if "snapshot" not in args.skip:
+        import pickle
+
+        from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
+        from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
+
+        res = RealtimeAgentResources(
+            tiny=args.tiny, codec_model=codec, whisper_model=None
+        )
+        cfg = RealtimeAgentConfig(
+            seed=args.seed, use_whisper=False, agent_opening_text=None,
+            force_trans_after_inactivity_secs=0.0,
+            force_response_after_inactivity_secs=0.0,
+            pipeline_chunks=True, async_detours=True, incremental_trim=True,
+        )
+        a = RealtimeAgent(resources=res, config=cfg)
+        orig = a.set_sampler
+
+        def pinned(for_trans=False, suppress_end_audio=False):
+            orig(for_trans=for_trans, suppress_end_audio=suppress_end_audio)
+            res.llm.settings.min_token_id = res.tokenizer.codec_vocab_start
+
+        a.set_sampler = pinned
+        a.set_sampler()
+        chunk_n = a.chunk_size_samples
+        n_call = 100  # a 10 s call at capture time
+        stream = (0.1 * np.random.default_rng(args.seed + 7).normal(
+            size=(n_call + 2) * chunk_n)).astype(np.float32)
+        for t in range(n_call):
+            a.process_audio(stream[t * chunk_n : (t + 1) * chunk_n])
+        while a.drain_pipeline() is not None:
+            pass
+        t0 = time.perf_counter()
+        snap = a.snapshot()
+        cap_ms = (time.perf_counter() - t0) * 1e3
+        blob = pickle.dumps(snap)
+        # restore = fresh agent + KV rebuild from tokens + first live chunk
+        # (includes the new session's program loads from the persistent
+        # cache — what a migration to a fresh process actually pays)
+        t0 = time.perf_counter()
+        b = RealtimeAgent.from_snapshot(res.clone_for_self_play(), snap)
+        b.resources.llm.settings.min_token_id = res.tokenizer.codec_vocab_start
+        b.process_audio(stream[n_call * chunk_n : (n_call + 1) * chunk_n])
+        while b.drain_pipeline() is not None:
+            pass
+        rest_ms = (time.perf_counter() - t0) * 1e3
+        emit("snapshot_capture_ms", cap_ms,
+             "ms to quiesce+serialize a live 10 s call")
+        emit("snapshot_restore_cold_ms", rest_ms,
+             "ms to resume in a FRESH agent (program loads + KV rebuild + first chunk)")
+        # the serving path restores into an already-warm pool slot
+        # (duplex_server reuses the slot's prewarmed agent): only the
+        # config/reset + KV rebuild from tokens + first chunk remain
+        t0 = time.perf_counter()
+        b.set_config(cfg)
+        b.reset()
+        b.restore_state(snap)
+        b.resources.llm.settings.min_token_id = res.tokenizer.codec_vocab_start
+        b.process_audio(stream[(n_call + 1) * chunk_n : (n_call + 2) * chunk_n])
+        while b.drain_pipeline() is not None:
+            pass
+        warm_ms = (time.perf_counter() - t0) * 1e3
+        emit("snapshot_restore_warm_ms", warm_ms,
+             "ms to resume into a prewarmed serving slot (KV rebuild + first chunk)")
+        emit("snapshot_bytes", len(blob),
+             "pickled call state (KV cache not serialized)")
 
 
 if __name__ == "__main__":

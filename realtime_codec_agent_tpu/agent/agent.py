@@ -171,7 +171,26 @@ class RealtimeAgent:
 
         self.stats = RealtimeAgentStatsCollection(config)
         self.profilers = RealtimeAgentProfilerCollection(config)
-        self._session = self._make_session() if config.use_fused_step else None
+        # a DuplexSession's jitted programs are keyed by geometry + token
+        # ids; rebuilding it on every set_config forces program reloads
+        # (seconds over the tunnel) — serving claims and live UI config
+        # tweaks only change sampler/timer scalars, so REUSE the session
+        # whenever the build inputs are unchanged
+        session_key = (
+            config.use_fused_step,
+            self.chunk_size_samples,
+            self.crossfade_ramps[0],
+            self.end_header_token_id,
+            self.start_audio_token_id,
+            self.end_audio_token_id,
+            self.agent_speaker_token_id,
+            self.user_speaker_token_id,
+            id(self.resources.llm),
+            id(getattr(self.resources.audio_tokenizer, "codec_model", None)),
+        )
+        if getattr(self, "_session_key", None) != session_key:
+            self._session = self._make_session() if config.use_fused_step else None
+            self._session_key = session_key
         self._fused_probs = None  # (p_end_audio, p_agent, p_user) from the last fused chunk
         # pipelined-mode state: one in-flight fused dispatch + one buffered
         # synchronous output (mutually exclusive), and a single fetcher thread
@@ -1464,7 +1483,13 @@ class RealtimeAgent:
 
         # event inside this chunk: teacher-force the accepted frames (already
         # sampled + committed by the fused program) and replay from the event
-        # frame with the already-encoded user tokens
+        # frame with the already-encoded user tokens.
+        # Grouped serving: the speculative successor may be BUFFERED in the
+        # coordinator — realize it as a single halted no-op NOW, before the
+        # replay's engine evals donate/rebind this row's cache. Otherwise a
+        # partner row's dispatch can fill the group mid-replay and launch
+        # with this row's just-donated (deleted) cache buffer.
+        self._flush_pair_row()
         out_prefix = self._commit_accepted_frames(res) if not res.halted_input else None
         out_chunk, out_ids = self._process_chunk_sync(
             pending["audio"], res.user_tokens, False, False, out_prefix=out_prefix
@@ -1664,6 +1689,11 @@ class RealtimeAgent:
         # just-dispatched successor ran halted and is re-dispatched there)
         def replay_job():
             t0 = time.perf_counter()
+            # grouped serving: the speculative successor may be BUFFERED in
+            # the coordinator — realize it BEFORE any engine eval here, or a
+            # partner row's dispatch can launch the group against this row's
+            # mid-replay (donated, deleted) cache buffer
+            self._flush_pair_row()
             out_prefix = (
                 self._commit_accepted_frames(res) if not res.halted_input else None
             )

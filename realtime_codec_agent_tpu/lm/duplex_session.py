@@ -541,7 +541,7 @@ class DuplexSession:
         if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
             views = [0]  # cache-view disabled: only the full-view program runs
         else:
-            gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+            gran = self.view_granularity(cache_len)
             views = sorted(set(range(gran, cache_len, gran))) + [0]
         bias_ids, bias_vals = eng.settings.bias_arrays()
         chain = {
@@ -605,6 +605,18 @@ class DuplexSession:
             self._dev_settings_key = key
         return self._dev_scalars, self._dev_bias
 
+    @staticmethod
+    def view_granularity(cache_len: int) -> int:
+        """Cache-view bucket size. Coarse (4096) by default — a handful of
+        program variants. ``RTCA_VIEW_GRAN`` overrides for A/B: finer
+        buckets read less cache per frame but compile more variants."""
+        import os
+
+        env = os.environ.get("RTCA_VIEW_GRAN")
+        if env:
+            return max(256, int(env))
+        return 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+
     def _cache_view_bucket(self) -> int:
         """Static attention-read bound for the next fused chunk: the host
         n_tokens mirror (which may lag one in-flight pipelined chunk) plus
@@ -622,7 +634,7 @@ class DuplexSession:
         if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
             return 0
         cache_len = self.engine._k.shape[2]
-        gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+        gran = self.view_granularity(cache_len)
         need = self.engine.n_tokens + 4 * self.chunk_frames + 64
         view = ((need + gran - 1) // gran) * gran
         return 0 if view >= cache_len else view

@@ -443,6 +443,19 @@ class GroupCoordinator:
             scals.append(sc)
             bis.append(bi)
             bvs.append(bv)
+        try:
+            self._launch_inner(entries, engines, ut, use_pre, view, scals, bis, bvs)
+        except Exception:
+            # entries already left _buffered: resolve every lazy with a
+            # synthesized halted no-op so no fetch thread deadlocks, then
+            # let the dispatching row's keep-running machinery handle it
+            for e, s in zip(entries, self.sessions):
+                e["lazy"].cancel(
+                    s.chunk_frames, s.chunk_samples + s.preroll_samples
+                )
+            raise
+
+    def _launch_inner(self, entries, engines, ut, use_pre, view, scals, bis, bvs) -> None:
         (
             small_ks, small_vs, target_idxs,
             enc_out, dec_out, new_chains,
@@ -518,17 +531,28 @@ class GroupCoordinator:
         # back whatever the session held if it had moved on (resync/replay)
         cur = (s.chain, s.enc_ctx, s.dec_ctx)
         s.chain, s.enc_ctx, s.dec_ctx = entry["chain"], entry["enc"], entry["dec"]
-        handles = s._dispatch_chunk_single(
-            entry["audio"],
-            commit_decode=entry["commit_decode"],
-            user_tokens=entry["user_tokens"],
-        )
-        if cur[0] is not entry["chain"]:
-            s.chain = cur[0]
-        if cur[1] is not entry["enc"]:
-            s.enc_ctx = cur[1]
-        if cur[2] is not entry["dec"]:
-            s.dec_ctx = cur[2]
+        try:
+            handles = s._dispatch_chunk_single(
+                entry["audio"],
+                commit_decode=entry["commit_decode"],
+                user_tokens=entry["user_tokens"],
+            )
+        except Exception:
+            # a failed flush must still RESOLVE the lazy (a waiter may be
+            # parked on it — an unset lazy deadlocks the fetch thread);
+            # synthesize a halted no-op and let the error propagate to the
+            # flusher, whose keep-running machinery resyncs the chain
+            entry["lazy"].cancel(
+                s.chunk_frames, s.chunk_samples + s.preroll_samples
+            )
+            raise
+        finally:
+            if cur[0] is not entry["chain"]:
+                s.chain = cur[0]
+            if cur[1] is not entry["enc"]:
+                s.enc_ctx = cur[1]
+            if cur[2] is not entry["dec"]:
+                s.dec_ctx = cur[2]
         entry["lazy"].set(handles)
         self.single_dispatches += 1
 
@@ -557,7 +581,7 @@ class GroupCoordinator:
         if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
             views = [0]
         else:
-            gran = 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+            gran = DuplexSession.view_granularity(cache_len)
             views = sorted(set(range(gran, cache_len, gran))) + [0]
         halted = {
             "prev_pair": jnp.zeros((2,), jnp.int32),

@@ -323,7 +323,10 @@ class _Pool:
                 try:
                     out = slot.agent.process_audio(chunk)
                 except Exception as ex:  # one call's failure must not kill the pool
+                    import traceback
+
                     print(f"duplex slot {slot.idx} tick failed: {ex!r}", flush=True)
+                    traceback.print_exc()
                     if slot.active:
                         slot.active = False
                         slot.out_q = None
