@@ -254,6 +254,75 @@ def test_grouped_serving_three_rows_matches_ungrouped(resources):
     assert coord.paired_dispatches >= 4  # steady state rides the group program
 
 
+def test_flush_failure_resolves_lazy(resources):
+    """A flush whose single dispatch raises must still resolve the buffered
+    LazyHandles (synthesized halted no-op) — an unset lazy deadlocks the
+    fetch thread parked on it."""
+    a = make_agent(resources, seed=11)
+    b = make_agent(resources, seed=12)
+    pair = pair_self_play_agents(a, b)
+    zero = np.zeros(1600, np.float32)
+    a.process_audio(zero, None)
+    b.process_audio(zero, None)
+
+    sa = a._session
+    sa.bind_sequence(a.input_ids)
+    sa.sync_chain()
+    lazy = sa.dispatch_chunk(zero)  # buffers (partner never dispatches)
+    assert pair._buffered
+
+    orig = sa._dispatch_chunk_single
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected dispatch failure")
+
+    sa._dispatch_chunk_single = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            pair.flush(sa)
+    finally:
+        sa._dispatch_chunk_single = orig
+    assert not pair._buffered
+    res, _ = sa.resolve(lazy)  # resolves instantly: no deadlock
+    assert res.halted_input
+    for ag in (a, b):
+        while ag.drain_pipeline() is not None:
+            pass
+
+
+def test_launch_failure_resolves_all_lazies(resources):
+    """A group launch that raises must resolve EVERY row's LazyHandles."""
+    a = make_agent(resources, seed=11)
+    b = make_agent(resources, seed=12)
+    pair = pair_self_play_agents(a, b)
+    zero = np.zeros(1600, np.float32)
+    a.process_audio(zero, None)
+    b.process_audio(zero, None)
+
+    for ag in (a, b):
+        s = ag._session
+        s.bind_sequence(ag.input_ids)
+        s.sync_chain()
+
+    orig_group = pair._fused_group
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected launch failure")
+
+    pair._fused_group = boom
+    try:
+        lazy_a = a._session.dispatch_chunk(zero)  # buffers
+        with pytest.raises(RuntimeError, match="injected"):
+            b._session.dispatch_chunk(zero)  # fills the group -> launch raises
+    finally:
+        pair._fused_group = orig_group
+    res_a, _ = a._session.resolve(lazy_a)
+    assert res_a.halted_input
+    for ag in (a, b):
+        while ag.drain_pipeline() is not None:
+            pass
+
+
 def test_pair_rejects_mismatched_sessions(resources):
     a = make_agent(resources, seed=11)
     b = make_agent(resources, seed=12)
