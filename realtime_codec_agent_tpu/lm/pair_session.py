@@ -133,6 +133,7 @@ class LazyHandles:
         if immediate and not self._event.is_set():
             self._coord.flush_lazy(self)
         if not self._event.wait(timeout):
+            self._coord.timeout_flushes += 1
             self._coord.flush_lazy(self)
             self._event.wait()
         if isinstance(self._handles, _GroupRow):
@@ -166,6 +167,7 @@ class GroupCoordinator:
         self._buffered: Dict[int, Dict] = {}
         self.paired_dispatches = 0
         self.single_dispatches = 0
+        self.timeout_flushes = 0  # 2 s lazy timeouts: should stay 0 outside drains
         self._build_group_jit(s0)
         for s in self.sessions:
             s._pair = self

@@ -164,27 +164,21 @@ def test_sync_paired_session_flushes_immediately(resources):
     a2 = make_agent(resources, seed=11, pipeline=False)
     b2 = make_agent(resources, seed=12, pipeline=False)
     pair = pair_self_play_agents(a2, b2)
-    import time
 
     zero = np.zeros(1600, np.float32)
     out_a, ids_a = zero, None
     out_b, ids_b = zero, None
-    # warm-up iteration (XLA compiles land here), same cross-feed pattern
-    out_a_, ids_a_ = a2.process_audio(out_b, ids_b)
-    out_b, ids_b = b2.process_audio(out_a, ids_a)
-    out_a, ids_a = out_a_, ids_a_
-    t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(4):
         out_a_, ids_a_ = a2.process_audio(out_b, ids_b)
         out_b, ids_b = b2.process_audio(out_a, ids_a)
         out_a, ids_a = out_a_, ids_a_
-    dt = time.perf_counter() - t0
 
     assert a2.input_ids == a1.input_ids
     assert b2.input_ids == b1.input_ids
-    # no 2 s LazyHandles timeouts fired: 6 steady-state sync chunks must
-    # resolve well under one timeout period (immediate-flush path)
-    assert dt < 1.9
+    # the immediate-flush path resolved every chunk: no 2 s LazyHandles
+    # timeout ever fired (counter assertion — wall-clock bounds were flaky
+    # under parallel test load)
+    assert pair.timeout_flushes == 0
     # warm-in chunks take the stepwise path; everything after flushes single
     assert pair.single_dispatches >= 6
     assert pair.paired_dispatches == 0
