@@ -85,6 +85,14 @@ class AgentHandler:
                 info.sampling_rate,
                 info.audio_history,
             )
+        # live-call checkpoint: resume later with --resume_snapshot
+        try:
+            import pickle
+
+            with open(os.path.join(output_dir, f"snapshot_{stamp}.pkl"), "wb") as f:
+                pickle.dump(self.agent.snapshot(), f)
+        except Exception as ex:  # external streams / mid-event: best-effort
+            print(f"snapshot dump skipped: {ex!r}")
 
 
 CONFIG_CONTROLS = [
@@ -128,6 +136,11 @@ CONFIG_CONTROLS = [
 def main():
     parser = argparse.ArgumentParser(description="Live FastRTC duplex client")
     add_common_inference_args(parser)
+    parser.add_argument(
+        "--resume_snapshot", default=None, metavar="PKL",
+        help="resume a previous call from a recordings/snapshot_*.pkl "
+        "(bit-identical continuation; weights must match)",
+    )
     args = parser.parse_args()
 
     try:
@@ -150,6 +163,12 @@ def main():
         llm_model_path=args.llm_model_path,
         tiny=args.tiny,
     )
+    if args.resume_snapshot:
+        import pickle
+
+        with open(args.resume_snapshot, "rb") as f:
+            agent.restore(pickle.load(f))
+        print(f"resumed call from {args.resume_snapshot}")
     handler = AgentHandler(agent)
     defaults = RealtimeAgentConfig(
         pipeline_chunks=True, async_detours=True, incremental_trim=True

@@ -2031,6 +2031,10 @@ class RealtimeAgentMultiprocessing:
         self.set_config_flag = ctx.Value(c_bool, False)
         self.reset_flag = ctx.Value(c_bool, False)
         self.get_info_flag = ctx.Value(c_bool, False)
+        self.snapshot_flag = ctx.Value(c_bool, False)
+        self.restore_flag = ctx.Value(c_bool, False)
+        self.snapshot_queue = ctx.SimpleQueue()
+        self.restore_queue = ctx.SimpleQueue()
 
         self.execute_process = ctx.Process(
             target=self.execute,
@@ -2100,6 +2104,33 @@ class RealtimeAgentMultiprocessing:
                     )
                     self.get_info_flag.value = False
 
+                if self.snapshot_flag.value:
+                    # quiesce WITHOUT dropping audio: drained chunks go to
+                    # the speaker as usual, then serialize the call state
+                    try:
+                        while True:
+                            drained = agent.drain_pipeline()
+                            if drained is None:
+                                break
+                            self.output_queue.put((drained, None))
+                        agent.join_detours()
+                        self.snapshot_queue.put((True, agent.snapshot()))
+                    except Exception as ex:
+                        self.snapshot_queue.put((False, repr(ex)))
+                    self.snapshot_flag.value = False
+
+                if self.restore_flag.value:
+                    snap = self.restore_queue.get()
+                    try:
+                        agent.set_config(snap["config"])
+                        agent.reset()
+                        agent.restore_state(snap)
+                        self._drain_queue(self.input_queue)
+                        print(">>> Agent restored from snapshot! <<<")
+                    except Exception as ex:
+                        print(f"snapshot restore failed: {ex!r}")
+                    self.restore_flag.value = False
+
                 now = datetime.now()
                 if not self.input_queue.empty():
                     input_audio = self.input_queue.get()
@@ -2152,6 +2183,25 @@ class RealtimeAgentMultiprocessing:
     def get_info(self) -> RealtimeAgentMultiprocessingInfo:
         self.get_info_flag.value = True
         return self.info_queue.get()
+
+    def snapshot(self) -> Dict[str, Any]:
+        """Live-call checkpoint from the child process (the agent quiesces;
+        drained audio still reaches the output queue)."""
+        self.snapshot_flag.value = True
+        ok, val = self.snapshot_queue.get()
+        if not ok:
+            raise RuntimeError(val)
+        return val
+
+    def restore(self, snap: Dict[str, Any]) -> None:
+        """Resume a snapshotted call in the child (set_config + reset +
+        restore_state); pending queued input is dropped."""
+        # flag FIRST: the child must be reading the queue before a payload
+        # larger than the pipe buffer is written, or put() deadlocks
+        self.restore_flag.value = True
+        self.restore_queue.put(snap)
+        while self.restore_flag.value:
+            time.sleep(0.01)
 
     def queue_input(self, input) -> None:
         self.input_queue.put(input)

@@ -72,3 +72,45 @@ def test_set_config_and_reset(mp_agent):
     mp_agent.queue_input(np.zeros(1600, dtype=np.float32))
     outs = collect_outputs(mp_agent, 1, timeout=60.0)
     assert outs and outs[0][0].shape == (1600,)
+
+
+def test_snapshot_restore_across_process_boundary(mp_agent):
+    """snapshot() quiesces the child and ships the call state to the parent
+    (pickle across the SimpleQueue); restore() resumes it in the child.
+    Bit-exactness of the continuation is pinned at the agent level
+    (tests/test_snapshot.py); this pins the IPC plumbing."""
+    mp_agent.reset()
+    rng = np.random.default_rng(3)
+    n_in = 6
+    for _ in range(n_in):
+        mp_agent.queue_input((0.1 * rng.normal(size=1600)).astype(np.float32))
+    collect_outputs(mp_agent, n_in, timeout=120.0)
+
+    snap = mp_agent.snapshot()
+    assert snap["engine_n_tokens"] > 0
+    seq_len = len(snap["input_ids"])
+    assert snap["config"].pipeline_chunks
+
+    # a reset wipes the call...
+    mp_agent.reset()
+    assert mp_agent.get_info().total_secs == 0.0
+    # ...and restore brings it back; the call continues from the snapshot
+    mp_agent.restore(snap)
+    info = mp_agent.get_info()
+    assert info.total_secs == pytest.approx(n_in * 0.1, abs=1e-6)
+    mp_agent.queue_input(np.zeros(1600, dtype=np.float32))
+    outs = collect_outputs(mp_agent, 1, timeout=120.0)
+    assert outs and outs[0][0].shape == (1600,)
+    # the queued chunk commits when the child's idle-drain resolves it
+    import time
+
+    deadline = time.time() + 60.0
+    info2 = mp_agent.get_info()
+    while info2.total_secs <= info.total_secs and time.time() < deadline:
+        time.sleep(0.1)
+        info2 = mp_agent.get_info()
+    assert len(info2.sequence) > 0
+    assert info2.total_secs > info.total_secs
+    # the sequence grew FROM the snapshot, not from a fresh header
+    snap2 = mp_agent.snapshot()
+    assert len(snap2["input_ids"]) > seq_len
