@@ -47,6 +47,7 @@ class DuplexCall:
         self.audio_out: "queue.Queue[np.ndarray]" = queue.Queue()
         self.report: Optional[dict] = None
         self._snapshot_q: "queue.Queue[dict]" = queue.Queue()
+        self._stats_q: "queue.Queue[dict]" = queue.Queue()
         self._done = threading.Event()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
@@ -68,6 +69,8 @@ class DuplexCall:
                         self.report = msg
                     elif msg.get("type") == "snapshot":
                         self._snapshot_q.put(msg)
+                    elif msg.get("type") == "stats":
+                        self._stats_q.put(msg)
                     elif msg.get("type") == "error":
                         self.report = msg
                         self._snapshot_q.put(msg)  # unblock a waiting snapshot()
@@ -89,6 +92,13 @@ class DuplexCall:
         if msg.get("type") != "snapshot":
             raise RuntimeError(msg.get("message", str(msg)))
         return base64.b64decode(msg["data"])
+
+    def stats(self, timeout: float = 30.0) -> dict:
+        """Server monitoring snapshot: active calls, per-pool tick counts,
+        group-program ride fraction, per-slot underruns."""
+        write_json(self._wfile, {"type": "stats"})
+        self._wfile.flush()
+        return self._stats_q.get(timeout=timeout)
 
     def send_chunk(self, chunk: np.ndarray) -> None:
         """One 100 ms chunk: float32 in [-1, 1] or int16, chunk_size_samples long."""

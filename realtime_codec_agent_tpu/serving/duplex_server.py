@@ -237,7 +237,7 @@ class _Pool:
         for slot in self.slots:
             if slot.pending_cfg is None:
                 continue
-            (cfg, snap), slot.pending_cfg = slot.pending_cfg, None
+            cfg, snap = slot.pending_cfg
             try:
                 slot.agent.set_config(cfg)
                 slot.agent.reset()
@@ -249,6 +249,10 @@ class _Pool:
             except Exception as ex:  # must not kill the pool
                 print(f"duplex slot {slot.idx} activation failed: {ex!r}", flush=True)
                 slot.out_q = None
+            finally:
+                # cleared only AFTER activation: the slot stays visibly busy
+                # (claims skip it, stats counts it) throughout
+                slot.pending_cfg = None
 
     def _finalize_release(self, slot: _Slot) -> None:
         reply, slot.release_reply = slot.release_reply, None
@@ -497,6 +501,44 @@ class DuplexServingServer:
             raise RuntimeError(val)
         return val  # final report dict
 
+    def stats(self) -> Dict:
+        """Monitoring snapshot (racy scalar reads — fine for observability):
+        per-pool tick counts, group-program ride fraction, per-slot call
+        state. Exposed over the wire as ``J {"type": "stats"}``."""
+        pools = []
+        for pool in self.pools:
+            coord = pool.coordinator
+            paired = coord.paired_dispatches if coord else 0
+            single = coord.single_dispatches if coord else 0
+            rows = len(pool.slots)
+            total = paired * rows + single
+            pools.append({
+                "ticks": pool._tick_count,
+                "paired_dispatches": paired,
+                "single_dispatches": single,
+                "group_fraction": (paired * rows / total) if total else None,
+                "timeout_flushes": coord.timeout_flushes if coord else 0,
+                "slots": [
+                    {
+                        "idx": s.idx,
+                        "active": s.active,
+                        "chunks_in": s.chunks_in,
+                        "underruns": s.underruns,
+                    }
+                    for s in pool.slots
+                ],
+            })
+        return {
+            "type": "stats",
+            "max_calls": len(self.slots),
+            # claimed-but-not-yet-activated slots count: the claim reply is
+            # already out, so the call exists from the client's view
+            "active_calls": sum(
+                1 for s in self.slots if s.active or s.pending_cfg is not None
+            ),
+            "pools": pools,
+        }
+
     def shutdown(self) -> None:
         self._running = False
         for pool in self.pools:
@@ -572,7 +614,10 @@ class _CallHandler(socketserver.BaseRequestHandler):
                     slot.in_q.put(pcm)
                 elif ftype == b"J":
                     msg = json.loads(payload.decode())
-                    if msg.get("type") == "snapshot":
+                    if msg.get("type") == "stats":
+                        with wlock:
+                            write_json(wfile, server.stats())
+                    elif msg.get("type") == "snapshot":
                         # live-call checkpoint: quiesce + serialize; the
                         # client can resume it on any pool/server via the
                         # start frame's snapshot_b64

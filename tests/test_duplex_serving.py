@@ -229,6 +229,9 @@ def test_call_migration_via_snapshot(duplex_srv):
     call = DuplexCall(port=port, config={"seed": 41})
     for c in chunks[:3]:
         call.send_chunk(c)
+    st = call.stats()
+    assert st["type"] == "stats"
+    assert st["max_calls"] == 2 and st["active_calls"] >= 1
     blob = call.snapshot()
     assert isinstance(blob, bytes) and len(blob) > 0
     import pickle
@@ -251,6 +254,8 @@ def test_call_migration_via_snapshot(duplex_srv):
     # the resumed slot's sequence grew FROM the snapshot, not from a reset
     slot = duplex.slots[resumed.slot]
     assert len(slot.agent.input_ids) > seq_len_at_snapshot
+    st2 = duplex.stats()
+    assert st2["pools"][0]["ticks"] >= N_CHUNKS
 
 
 def test_rejects_bad_config_and_bad_chunk(duplex_srv):
