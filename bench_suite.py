@@ -136,6 +136,11 @@ def main():
         help="A/B: serve the duplexserve section with per-session programs "
              "instead of the shared batch-R program + combined fetch",
     )
+    parser.add_argument(
+        "--duplex_int8", action="store_true",
+        help="int8 decode weights for the duplexserve section (the capacity "
+             "lever: R=6 at ~1.0x/call on one chip)",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -153,6 +158,7 @@ def main():
             "--train_optimizer", args.train_optimizer,
             *(["--selfplay_pair"] if args.selfplay_pair else []),
             *(["--no_duplex_group"] if args.no_duplex_group else []),
+            *(["--duplex_int8"] if args.duplex_int8 else []),
             "--duplex_sessions", str(args.duplex_sessions),
             "--seed", str(args.seed),
         ]
@@ -610,7 +616,8 @@ def main():
 
         R = args.duplex_sessions
         base_res = RealtimeAgentResources(
-            tiny=args.tiny, codec_model=codec, whisper_model=None
+            tiny=args.tiny, codec_model=codec, whisper_model=None,
+            quantize_int8=args.duplex_int8,
         )
         agents = []
         for i in range(R):
@@ -658,7 +665,7 @@ def main():
             "duplex_serving_rtf", dt / (n * 0.1),
             f"x_realtime serving {R} concurrent full-duplex calls "
             "(lower is better; <1 = every call realtime)",
-            sessions=R,
+            sessions=R, int8=args.duplex_int8,
         )
         if coord is not None:
             total = coord.paired_dispatches * R + coord.single_dispatches
