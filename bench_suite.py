@@ -706,8 +706,7 @@ def main():
             size=(n_call + 2) * chunk_n)).astype(np.float32)
         for t in range(n_call):
             a.process_audio(stream[t * chunk_n : (t + 1) * chunk_n])
-        while a.drain_pipeline() is not None:
-            pass
+        a.quiesce()
         t0 = time.perf_counter()
         snap = a.snapshot()
         cap_ms = (time.perf_counter() - t0) * 1e3
@@ -719,8 +718,7 @@ def main():
         b = RealtimeAgent.from_snapshot(res.clone_for_self_play(), snap)
         b.resources.llm.settings.min_token_id = res.tokenizer.codec_vocab_start
         b.process_audio(stream[n_call * chunk_n : (n_call + 1) * chunk_n])
-        while b.drain_pipeline() is not None:
-            pass
+        b.quiesce()
         rest_ms = (time.perf_counter() - t0) * 1e3
         emit("snapshot_capture_ms", cap_ms,
              "ms to quiesce+serialize a live 10 s call")
@@ -735,8 +733,7 @@ def main():
         b.restore_state(snap)
         b.resources.llm.settings.min_token_id = res.tokenizer.codec_vocab_start
         b.process_audio(stream[(n_call + 1) * chunk_n : (n_call + 2) * chunk_n])
-        while b.drain_pipeline() is not None:
-            pass
+        b.quiesce()
         warm_ms = (time.perf_counter() - t0) * 1e3
         emit("snapshot_restore_warm_ms", warm_ms,
              "ms to resume into a prewarmed serving slot (KV rebuild + first chunk)")

@@ -535,6 +535,21 @@ class RealtimeAgent:
             self.resources.llm.eval(self.input_ids[start_pos:-last_n])
 
     # --------------------------------------------------------- call snapshot
+    def quiesce(self) -> List[np.ndarray]:
+        """Drain ALL in-flight work (pipelined chunks, detours, banked
+        outputs) and return every remaining output chunk, oldest first.
+        After this, ``snapshot()``'s preconditions hold. Callers that owe
+        the audio to a consumer (serving, the mp wrapper) must deliver the
+        returned chunks — dropping them loses the call's tail."""
+        outs: List[np.ndarray] = []
+        while True:
+            out = self.drain_pipeline()
+            if out is None:
+                break
+            outs.append(out)
+        self.join_detours()
+        return outs
+
     def snapshot(self) -> Dict[str, Any]:
         """Full host-side state of this call at a quiescent chunk boundary —
         the live-call checkpoint that enables server restarts and call
@@ -575,8 +590,17 @@ class RealtimeAgent:
             )
         at = self.resources.audio_tokenizer
         trim_to = self.trim_to_secs
+        eng_n = int(self.resources.llm.n_tokens)
         if self._trim_rebuild is not None:
+            # an in-flight rebuild completes at the restore boundary: record
+            # the TARGET trim, and the cache length the restore will rebuild
+            # under it (the live cache is still pre-trim here)
             trim_to = max(trim_to, self._trim_rebuild["to_secs"])
+            frames = self.frames_from_secs(trim_to)
+            trim_pos = self.audio_tokens_idx[frames] if frames else 0
+            audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
+            last_n = 2 if audio_mode else 1
+            eng_n = (len(self.input_ids) - last_n) - trim_pos + self.context_start_pos
         sess = self._session
         return {
             "config": dataclasses.replace(self.config),
@@ -594,7 +618,7 @@ class RealtimeAgent:
             "fused_probs": self._fused_probs,
             "stats": self.stats.get_state(),
             "engine_step": int(getattr(self.resources.llm, "_step", 0)),
-            "engine_n_tokens": int(self.resources.llm.n_tokens),
+            "engine_n_tokens": eng_n,
             "enc_ctx": None if sess is None else np.asarray(sess.enc_ctx),
             "dec_ctx": None if sess is None else np.asarray(sess.dec_ctx),
             "at_tokenize_context": np.asarray(at.tokenize_context).copy(),
@@ -2035,6 +2059,7 @@ class RealtimeAgentMultiprocessing:
         self.restore_flag = ctx.Value(c_bool, False)
         self.snapshot_queue = ctx.SimpleQueue()
         self.restore_queue = ctx.SimpleQueue()
+        self.restore_reply_queue = ctx.SimpleQueue()
 
         self.execute_process = ctx.Process(
             target=self.execute,
@@ -2108,12 +2133,8 @@ class RealtimeAgentMultiprocessing:
                     # quiesce WITHOUT dropping audio: drained chunks go to
                     # the speaker as usual, then serialize the call state
                     try:
-                        while True:
-                            drained = agent.drain_pipeline()
-                            if drained is None:
-                                break
+                        for drained in agent.quiesce():
                             self.output_queue.put((drained, None))
-                        agent.join_detours()
                         self.snapshot_queue.put((True, agent.snapshot()))
                     except Exception as ex:
                         self.snapshot_queue.put((False, repr(ex)))
@@ -2127,8 +2148,11 @@ class RealtimeAgentMultiprocessing:
                         agent.restore_state(snap)
                         self._drain_queue(self.input_queue)
                         print(">>> Agent restored from snapshot! <<<")
+                        self.restore_reply_queue.put((True, None))
                     except Exception as ex:
-                        print(f"snapshot restore failed: {ex!r}")
+                        # the agent is left freshly reset; the parent must
+                        # see the failure, not a silent blank call
+                        self.restore_reply_queue.put((False, repr(ex)))
                     self.restore_flag.value = False
 
                 now = datetime.now()
@@ -2200,8 +2224,9 @@ class RealtimeAgentMultiprocessing:
         # larger than the pipe buffer is written, or put() deadlocks
         self.restore_flag.value = True
         self.restore_queue.put(snap)
-        while self.restore_flag.value:
-            time.sleep(0.01)
+        ok, err = self.restore_reply_queue.get()
+        if not ok:
+            raise RuntimeError(f"snapshot restore failed in child: {err}")
 
     def queue_input(self, input) -> None:
         self.input_queue.put(input)

@@ -46,8 +46,11 @@ class DuplexCall:
         self.sample_rate = hello["sample_rate"]
         self.audio_out: "queue.Queue[np.ndarray]" = queue.Queue()
         self.report: Optional[dict] = None
-        self._snapshot_q: "queue.Queue[dict]" = queue.Queue()
-        self._stats_q: "queue.Queue[dict]" = queue.Queue()
+        self.last_snapshot_chunks: Optional[int] = None
+        # one reply queue for request/response exchanges (snapshot, stats):
+        # the client serializes requests, and errors route here too so a
+        # waiting request fails fast instead of timing out
+        self._reply_q: "queue.Queue[dict]" = queue.Queue()
         self._done = threading.Event()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
@@ -67,38 +70,47 @@ class DuplexCall:
                     msg = json.loads(payload.decode())
                     if msg.get("type") == "report":
                         self.report = msg
-                    elif msg.get("type") == "snapshot":
-                        self._snapshot_q.put(msg)
-                    elif msg.get("type") == "stats":
-                        self._stats_q.put(msg)
+                    elif msg.get("type") in ("snapshot", "stats"):
+                        self._reply_q.put(msg)
                     elif msg.get("type") == "error":
                         self.report = msg
-                        self._snapshot_q.put(msg)  # unblock a waiting snapshot()
+                        self._reply_q.put(msg)  # unblock a waiting request
         except (ConnectionError, OSError):
             pass
         finally:
             self._done.set()
 
+    def _request(self, rtype: str, timeout: float) -> dict:
+        # drop stale unsolicited errors so they can't poison this exchange
+        while True:
+            try:
+                self._reply_q.get_nowait()
+            except queue.Empty:
+                break
+        write_json(self._wfile, {"type": rtype})
+        self._wfile.flush()
+        msg = self._reply_q.get(timeout=timeout)
+        if msg.get("type") != rtype:
+            raise RuntimeError(msg.get("message", str(msg)))
+        return msg
+
     def snapshot(self, timeout: float = 120.0) -> bytes:
-        """Live-call checkpoint: the server quiesces this call (any drained
-        audio still arrives) and returns its serialized state — pass to a
-        new ``DuplexCall(snapshot=...)`` on any server sharing the weights
-        to resume the call there (migration / restart)."""
+        """Live-call checkpoint: the server consumes queued chunks, quiesces
+        this call (all audio still arrives), and returns its serialized
+        state — pass to a new ``DuplexCall(snapshot=...)`` on any server
+        sharing the weights to resume the call there (migration / restart).
+        ``last_snapshot_chunks`` then holds the number of input chunks the
+        checkpoint consumed (the resend alignment point)."""
         import base64
 
-        write_json(self._wfile, {"type": "snapshot"})
-        self._wfile.flush()
-        msg = self._snapshot_q.get(timeout=timeout)
-        if msg.get("type") != "snapshot":
-            raise RuntimeError(msg.get("message", str(msg)))
+        msg = self._request("snapshot", timeout)
+        self.last_snapshot_chunks = msg.get("chunks")
         return base64.b64decode(msg["data"])
 
     def stats(self, timeout: float = 30.0) -> dict:
         """Server monitoring snapshot: active calls, per-pool tick counts,
         group-program ride fraction, per-slot underruns."""
-        write_json(self._wfile, {"type": "stats"})
-        self._wfile.flush()
-        return self._stats_q.get(timeout=timeout)
+        return self._request("stats", timeout)
 
     def send_chunk(self, chunk: np.ndarray) -> None:
         """One 100 ms chunk: float32 in [-1, 1] or int16, chunk_size_samples long."""

@@ -142,6 +142,7 @@ class _Pool:
         self.coordinator = None
         self._ctrl: "queue.Queue[tuple]" = queue.Queue()
         self._ctrl_event = threading.Event()  # wakes a mid-gather wait
+        self._gathered_this_tick: set = set()
         self._tick_count = 0
         self._drive = threading.Thread(target=self._drive_loop, daemon=True)
 
@@ -157,7 +158,10 @@ class _Pool:
         stalls behind the underrun timeout) — claims therefore only STAGE the
         slot (``pending_cfg``); activation + agent reset happen at the next
         loop top, after the in-flight tick's silence dispatch, so a fresh
-        call never sees a pre-activation tick."""
+        call never sees a pre-activation tick. A release for a slot whose
+        chunk was ALREADY gathered this tick defers its finalization to the
+        next loop top — finalizing under it would compute the report before
+        that chunk processes and drop its output."""
         srv = self.server
         self._ctrl_event.clear()
         while True:
@@ -184,6 +188,20 @@ class _Pool:
                     )
                     if cfg.chunk_size_secs != srv.base_config.chunk_size_secs:
                         raise ValueError("snapshot chunk geometry differs from this pool")
+                    if self.coordinator is not None:
+                        # the batch-R group program bakes the session
+                        # geometry + speaker token ids in; a config that
+                        # rebuilds the slot's session would detach it from
+                        # the coordinator and degrade the whole pool
+                        for f in ("agent_identity", "user_identity",
+                                  "chunk_fade_secs", "use_fused_step",
+                                  "pipeline_chunks"):
+                            if getattr(cfg, f) != getattr(srv.base_config, f):
+                                raise ValueError(
+                                    f"{f} cannot change per call on a grouped "
+                                    "pool (run with --no_group for per-call "
+                                    "identities)"
+                                )
                     # stale chunks cannot arrive after this reply (the
                     # previous call's handler finished before the slot freed)
                     slot.drain_input()
@@ -201,15 +219,25 @@ class _Pool:
                     reply.put((False, "snapshot: call not active"))
                     continue
                 try:
-                    # quiesce WITHOUT losing audio: drained chunks go out
+                    # chunks still queued in in_q are part of the call: a
+                    # checkpoint that excluded them would silently lose the
+                    # audio between the client's last send and the snapshot
                     while True:
-                        tail = slot.agent.drain_pipeline()
-                        if tail is None:
+                        try:
+                            chunk = slot.in_q.get_nowait()
+                        except queue.Empty:
                             break
+                        slot.chunks_in += 1
+                        out = slot.agent.process_audio(chunk)
+                        if slot.out_q is not None and out is not None:
+                            slot.out_q.put(np.asarray(out, np.float32))
+                    # then quiesce WITHOUT losing audio: tails go out too
+                    for tail in slot.agent.quiesce():
                         if slot.out_q is not None:
                             slot.out_q.put(np.asarray(tail, np.float32))
-                    slot.agent.join_detours()
-                    reply.put((True, slot.agent.snapshot()))
+                    # chunks_in rides along so a migrating client can align
+                    # its resend point with what the checkpoint consumed
+                    reply.put((True, (slot.agent.snapshot(), slot.chunks_in)))
                 except Exception as ex:
                     reply.put((False, f"snapshot failed: {ex!r}"))
             elif kind == "release":
@@ -230,7 +258,7 @@ class _Pool:
                 # so all of this call's chunks are already in in_q: keep the
                 # slot ticking until they are consumed, then finalize
                 slot.release_reply = reply
-                if slot.in_q.empty():
+                if slot.in_q.empty() and slot.idx not in self._gathered_this_tick:
                     self._finalize_release(slot)
 
     def _activate_pending(self) -> None:
@@ -248,6 +276,11 @@ class _Pool:
                 slot.active = True
             except Exception as ex:  # must not kill the pool
                 print(f"duplex slot {slot.idx} activation failed: {ex!r}", flush=True)
+                if slot.out_q is not None:
+                    # the claim was already acked: the exception rides the
+                    # audio queue so the handler can send a wire error
+                    # instead of leaving the client streaming into a void
+                    slot.out_q.put(ex)
                 slot.out_q = None
             finally:
                 # cleared only AFTER activation: the slot stays visibly busy
@@ -257,7 +290,16 @@ class _Pool:
     def _finalize_release(self, slot: _Slot) -> None:
         reply, slot.release_reply = slot.release_reply, None
         try:
+            # deliver the ONE in-flight pipelined chunk, then stop: a full
+            # quiesce at hangup would keep following event-replay redispatch
+            # chains and emit response audio past the client's last input
+            # (measured: 12 vs the direct agent's 7 chunks), breaking the
+            # served==direct bit-identity contract. The client hung up —
+            # in-flight event resolution is truncated by design; use the
+            # snapshot path for a lossless handover.
             tail = slot.agent.drain_pipeline()
+            if tail is not None and slot.out_q is not None:
+                slot.out_q.put(np.asarray(tail, np.float32))
             slot.agent.join_detours()
             report = {
                 "type": "report",
@@ -265,8 +307,6 @@ class _Pool:
                 "chunks": slot.chunks_in,
                 "underruns": slot.underruns,
             }
-            if tail is not None and slot.out_q is not None:
-                slot.out_q.put(np.asarray(tail, np.float32))
             slot.active = False
             slot.out_q = None
             reply.put((True, report))
@@ -290,6 +330,14 @@ class _Pool:
                     self._apply_ctrl()
                     if not slot.active:  # released mid-wait: stop waiting
                         return srv._silence
+                    if slot.release_reply is not None:
+                        # this slot's client hung up mid-wait: all its
+                        # chunks are queued already, so stop waiting (the
+                        # release branch handles it from the next loop top)
+                        try:
+                            return slot.in_q.get_nowait()
+                        except queue.Empty:
+                            return srv._silence
                 if remaining <= 0.0 or not srv._running:
                     slot.underruns += 1
                     return srv._silence
@@ -297,6 +345,7 @@ class _Pool:
     def _drive_loop(self) -> None:
         srv = self.server
         while srv._running:
+            self._gathered_this_tick = set()
             self._apply_ctrl()
             self._activate_pending()
             active = [s for s in self.slots if s.active]
@@ -313,6 +362,7 @@ class _Pool:
                     try:
                         inputs[slot.idx] = slot.in_q.get_nowait()
                         slot.chunks_in += 1
+                        self._gathered_this_tick.add(slot.idx)
                     except queue.Empty:
                         self._finalize_release(slot)
                     continue
@@ -320,6 +370,7 @@ class _Pool:
                 if got is not srv._silence:
                     slot.chunks_in += 1
                 inputs[slot.idx] = got
+                self._gathered_this_tick.add(slot.idx)
             # tick EVERY slot (idle rows dispatch silence so active rows keep
             # riding the full batch-R program); deliver only active outputs
             for slot in self.slots:
@@ -483,9 +534,11 @@ class DuplexServingServer:
                 break  # config error: same on every pool, fail now
         raise RuntimeError(last_err)
 
-    def snapshot_call(self, slot_idx: int) -> Dict:
-        """Live-call checkpoint: quiesces the slot on its drive thread
-        (drained audio is still delivered) and returns ``agent.snapshot()``."""
+    def snapshot_call(self, slot_idx: int) -> tuple:
+        """Live-call checkpoint: consumes any queued input chunks, quiesces
+        the slot on its drive thread (all audio still delivered), and
+        returns ``(agent.snapshot(), chunks_consumed)`` — the count lets a
+        migrating client align its resend point."""
         reply: "queue.Queue" = queue.Queue()
         self._pool_of[slot_idx].put_ctrl(("snapshot", slot_idx, reply))
         ok, val = reply.get()
@@ -589,6 +642,13 @@ class _CallHandler(socketserver.BaseRequestHandler):
                         out = out_q.get(timeout=0.05)
                     except queue.Empty:
                         continue
+                    if isinstance(out, Exception):  # activation failed
+                        with wlock:
+                            write_json(wfile, {
+                                "type": "error",
+                                "message": f"call activation failed: {out}",
+                            })
+                        return
                     pcm = np.clip(np.nan_to_num(out), -1.0, 1.0)
                     with wlock:
                         write_frame(wfile, b"A", (pcm * 32767.0).astype("<i2").tobytes())
@@ -625,10 +685,13 @@ class _CallHandler(socketserver.BaseRequestHandler):
                         import pickle
 
                         try:
-                            snap = server.snapshot_call(slot_idx)
+                            snap, n_chunks = server.snapshot_call(slot_idx)
                             data = base64.b64encode(pickle.dumps(snap)).decode()
                             with wlock:
-                                write_json(wfile, {"type": "snapshot", "data": data})
+                                write_json(wfile, {
+                                    "type": "snapshot", "data": data,
+                                    "chunks": n_chunks,
+                                })
                         except Exception as ex:
                             with wlock:
                                 write_json(wfile, {"type": "error", "message": str(ex)})

@@ -234,6 +234,9 @@ def test_call_migration_via_snapshot(duplex_srv):
     assert st["max_calls"] == 2 and st["active_calls"] >= 1
     blob = call.snapshot()
     assert isinstance(blob, bytes) and len(blob) > 0
+    # the checkpoint consumed everything sent so far: the client's resend
+    # alignment point
+    assert call.last_snapshot_chunks == 3
     import pickle
 
     snap = pickle.loads(blob)

@@ -146,6 +146,36 @@ def test_snapshot_restore_across_trims(resources):
     _assert_streams_equal(outs_a, outs_b)
 
 
+def test_snapshot_mid_trim_rebuild_restores(resources):
+    """A snapshot taken WHILE an incremental-trim rebuild is in flight must
+    restore (the trim completes at the restore boundary): the recorded cache
+    length has to match the post-trim cache the restore builds, not the live
+    pre-swap cache. Two restores from the same snapshot continue
+    identically."""
+    a = make_agent(resources, trims=True)
+    samples = a.chunk_size_samples
+    chunks = _chunks(5000, 40, samples)
+    snap = None
+    for i, c in enumerate(chunks):
+        a.process_audio(c)
+        if a._trim_rebuild is not None and i > 12:
+            while a.drain_pipeline() is not None:
+                pass
+            if a._trim_rebuild is not None:  # still mid-rebuild after drain
+                snap = a.snapshot()
+                break
+    assert snap is not None, "never caught a rebuild in flight"
+    snap = pickle.loads(pickle.dumps(snap))
+
+    cont = _chunks(6000, 6, samples)
+    outs = []
+    for _ in range(2):
+        b = RealtimeAgent.from_snapshot(resources.clone_for_self_play(), snap)
+        _pin(b)
+        outs.append(_drive(b, cont))
+    _assert_streams_equal(outs[0], outs[1])
+
+
 def test_snapshot_requires_quiescence(resources):
     a = make_agent(resources)
     samples = a.chunk_size_samples
