@@ -635,7 +635,11 @@ class RealtimeAgent:
         """Reconstruct a live call from ``snapshot()`` output on (possibly
         different) resources sharing the same weights/geometry — e.g. a pool
         on another chip. The restored call's future token stream is
-        bit-identical to the uninterrupted one."""
+        bit-identical to the uninterrupted one — EXCEPT when the snapshot
+        caught an incremental trim rebuild in flight: the restore completes
+        the trim immediately (deterministic across restores, pinned by
+        tests), while the original would keep serving the pre-trim cache
+        until its scheduled swap chunk."""
         agent = cls(resources=resources, config=snap["config"], self_play_mode=self_play_mode)
         agent.restore_state(snap)
         return agent
@@ -2130,9 +2134,18 @@ class RealtimeAgentMultiprocessing:
                     self.get_info_flag.value = False
 
                 if self.snapshot_flag.value:
-                    # quiesce WITHOUT dropping audio: drained chunks go to
-                    # the speaker as usual, then serialize the call state
+                    # consume already-queued mic chunks first (they are part
+                    # of the call), then quiesce WITHOUT dropping audio:
+                    # everything still reaches the speaker before the
+                    # checkpoint is serialized
                     try:
+                        while not self.input_queue.empty():
+                            queued = self.input_queue.get()
+                            if isinstance(queued, np.ndarray):
+                                queued = (queued, None)
+                            queued_out = agent.process_audio(*queued)
+                            if queued_out is not None:
+                                self.output_queue.put((queued_out, None))
                         for drained in agent.quiesce():
                             self.output_queue.put((drained, None))
                         self.snapshot_queue.put((True, agent.snapshot()))

@@ -81,18 +81,27 @@ class DuplexCall:
             self._done.set()
 
     def _request(self, rtype: str, timeout: float) -> dict:
-        # drop stale unsolicited errors so they can't poison this exchange
-        while True:
-            try:
-                self._reply_q.get_nowait()
-            except queue.Empty:
-                break
-        write_json(self._wfile, {"type": rtype})
+        # request ids match replies to requests: a late reply from a
+        # previously timed-out request (same type) must not satisfy this one
+        self._rid = getattr(self, "_rid", 0) + 1
+        rid = self._rid
+        write_json(self._wfile, {"type": rtype, "rid": rid})
         self._wfile.flush()
-        msg = self._reply_q.get(timeout=timeout)
-        if msg.get("type") != rtype:
-            raise RuntimeError(msg.get("message", str(msg)))
-        return msg
+        deadline = time.monotonic() + timeout
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError(f"{rtype} request timed out")
+            msg = self._reply_q.get(timeout=remaining)
+            if msg.get("type") == "error" and msg.get("rid") in (rid, None):
+                # rid-less errors are connection-level (e.g. bad chunk):
+                # they end the exchange too
+                raise RuntimeError(msg.get("message", str(msg)))
+            if msg.get("rid") != rid:
+                continue  # stale reply from an earlier timed-out request
+            if msg.get("type") != rtype:
+                raise RuntimeError(msg.get("message", str(msg)))
+            return msg
 
     def snapshot(self, timeout: float = 120.0) -> bytes:
         """Live-call checkpoint: the server consumes queued chunks, quiesces

@@ -45,8 +45,11 @@ Design:
   token sequence. Opening a new call with ``snapshot_b64`` in the start
   frame resumes the call on any pool/server sharing the weights, with
   bit-identical future tokens (pinned at the agent level by
-  tests/test_snapshot.py). Pickle is only accepted from peers that can
-  already open calls — deploy behind a trusted boundary.
+  tests/test_snapshot.py; a snapshot that catches a trim rebuild mid-flight
+  completes the trim at the restore — deterministic across restores, but
+  the origin serves its pre-trim cache until its scheduled swap). Pickle is
+  only accepted from peers that can already open calls — deploy behind a
+  trusted boundary.
 """
 from __future__ import annotations
 
@@ -111,6 +114,7 @@ class _Slot:
         self.agent = agent
         self.active = False
         self.pending_cfg = None  # claimed mid-tick; activates at next loop top
+        self.claim_gen = 0  # bumps per claim: stale releases must not kill a re-claimed slot
         self.in_q: "queue.Queue[np.ndarray]" = queue.Queue()
         self.out_q: Optional[queue.Queue] = None
         self.underruns = 0
@@ -143,6 +147,7 @@ class _Pool:
         self._ctrl: "queue.Queue[tuple]" = queue.Queue()
         self._ctrl_event = threading.Event()  # wakes a mid-gather wait
         self._gathered_this_tick: set = set()
+        self._deferred_ops: List[tuple] = []  # ctrl ops retried at loop top
         self._tick_count = 0
         self._drive = threading.Thread(target=self._drive_loop, daemon=True)
 
@@ -195,28 +200,38 @@ class _Pool:
                         # the coordinator and degrade the whole pool
                         for f in ("agent_identity", "user_identity",
                                   "chunk_fade_secs", "use_fused_step",
-                                  "pipeline_chunks"):
+                                  "pipeline_chunks", "end_header_token",
+                                  "start_audio_token", "end_audio_token"):
                             if getattr(cfg, f) != getattr(srv.base_config, f):
                                 raise ValueError(
                                     f"{f} cannot change per call on a grouped "
                                     "pool (run with --no_group for per-call "
                                     "identities)"
                                 )
-                    # stale chunks cannot arrive after this reply (the
-                    # previous call's handler finished before the slot freed)
-                    slot.drain_input()
+                    # a FRESH in_q per claim: a previous call's handler may
+                    # still hold the old queue (e.g. after an activation
+                    # failure) — its stray frames must not reach this call
+                    slot.in_q = queue.Queue()
                     slot.out_q = queue.Queue()
                     slot.underruns = 0
                     slot.chunks_in = 0
+                    slot.claim_gen += 1
                     slot.pending_cfg = (cfg, snap)
-                    reply.put((True, (slot.idx, slot.out_q)))
+                    reply.put((True, (slot.idx, slot.claim_gen, slot.in_q, slot.out_q)))
                 except Exception as ex:  # config error must not kill the loop
                     reply.put((False, f"claim failed: {ex!r}"))
             elif kind == "snapshot":
-                _, idx, reply = op
+                _, idx, gen, reply = op
                 slot = srv.slots[idx]
-                if not slot.active:
+                if gen != slot.claim_gen or not slot.active:
                     reply.put((False, "snapshot: call not active"))
+                    continue
+                if slot.idx in self._gathered_this_tick:
+                    # this tick already holds the slot's gathered chunk; a
+                    # snapshot now would process newer queued chunks before
+                    # it (order break) and exclude it from the checkpoint —
+                    # retry at the next loop top
+                    self._deferred_ops.append(op)
                     continue
                 try:
                     # chunks still queued in in_q are part of the call: a
@@ -241,8 +256,14 @@ class _Pool:
                 except Exception as ex:
                     reply.put((False, f"snapshot failed: {ex!r}"))
             elif kind == "release":
-                _, idx, reply = op
+                _, idx, gen, reply = op
                 slot = srv.slots[idx]
+                if gen != slot.claim_gen:
+                    # stale release (the slot was re-claimed after this
+                    # caller's call ended/failed): must not touch the new call
+                    reply.put((True, {"type": "report", "chunks": 0,
+                                      "underruns": 0, "transcript": ""}))
+                    continue
                 if slot.pending_cfg is not None and not slot.active:
                     # claimed but never activated: nothing to drain
                     slot.pending_cfg = None
@@ -346,6 +367,11 @@ class _Pool:
         srv = self.server
         while srv._running:
             self._gathered_this_tick = set()
+            if self._deferred_ops:
+                ops, self._deferred_ops = self._deferred_ops, []
+                for op in ops:
+                    self._ctrl.put(op)
+                self._ctrl_event.set()
             self._apply_ctrl()
             self._activate_pending()
             active = [s for s in self.slots if s.active]
@@ -518,7 +544,10 @@ class DuplexServingServer:
     def claim(self, overrides: Dict, snapshot: Optional[Dict] = None) -> tuple:
         """Claim a free slot; with ``snapshot`` (an ``agent.snapshot()``
         dict) the slot resumes that call instead of starting fresh — the
-        migration path across pools/servers."""
+        migration path across pools/servers. Returns
+        ``(slot_idx, claim_gen, in_q, out_q)``: the generation + queue
+        handles scope the caller to ITS claim (a stale release/snapshot
+        after the slot is re-claimed is a no-op)."""
         bad = [k for k in overrides if k not in CLAIMABLE_CONFIG_FIELDS]
         if bad:
             raise ValueError(f"config fields not overridable per call: {bad}")
@@ -528,27 +557,27 @@ class DuplexServingServer:
             pool.put_ctrl(("claim", overrides, snapshot, reply))
             ok, val = reply.get()
             if ok:
-                return val  # (slot_idx, out_q)
+                return val  # (slot_idx, claim_gen, in_q, out_q)
             last_err = val
             if not str(val).startswith("server full"):
                 break  # config error: same on every pool, fail now
         raise RuntimeError(last_err)
 
-    def snapshot_call(self, slot_idx: int) -> tuple:
+    def snapshot_call(self, slot_idx: int, claim_gen: int) -> tuple:
         """Live-call checkpoint: consumes any queued input chunks, quiesces
         the slot on its drive thread (all audio still delivered), and
         returns ``(agent.snapshot(), chunks_consumed)`` — the count lets a
         migrating client align its resend point."""
         reply: "queue.Queue" = queue.Queue()
-        self._pool_of[slot_idx].put_ctrl(("snapshot", slot_idx, reply))
+        self._pool_of[slot_idx].put_ctrl(("snapshot", slot_idx, claim_gen, reply))
         ok, val = reply.get()
         if not ok:
             raise RuntimeError(val)
         return val
 
-    def release(self, slot_idx: int) -> dict:
+    def release(self, slot_idx: int, claim_gen: int) -> dict:
         reply: "queue.Queue" = queue.Queue()
-        self._pool_of[slot_idx].put_ctrl(("release", slot_idx, reply))
+        self._pool_of[slot_idx].put_ctrl(("release", slot_idx, claim_gen, reply))
         ok, val = reply.get()
         if not ok:
             raise RuntimeError(val)
@@ -622,7 +651,9 @@ class _CallHandler(socketserver.BaseRequestHandler):
 
                 snap = pickle.loads(base64.b64decode(start["snapshot_b64"]))
             try:
-                slot_idx, out_q = server.claim(start.get("config") or {}, snapshot=snap)
+                slot_idx, claim_gen, in_q, out_q = server.claim(
+                    start.get("config") or {}, snapshot=snap
+                )
             except Exception as ex:
                 write_json(wfile, {"type": "error", "message": str(ex)})
                 return
@@ -632,7 +663,6 @@ class _CallHandler(socketserver.BaseRequestHandler):
                 "chunk_size_samples": server.chunk_samples,
                 "sample_rate": 16000,
             })
-            slot = server.slots[slot_idx]
 
             done = threading.Event()
 
@@ -671,12 +701,13 @@ class _CallHandler(socketserver.BaseRequestHandler):
                                 "message": f"chunk must be {server.chunk_samples} samples",
                             })
                         break
-                    slot.in_q.put(pcm)
+                    in_q.put(pcm)
                 elif ftype == b"J":
                     msg = json.loads(payload.decode())
+                    rid = msg.get("rid")  # echoed so the client can match replies
                     if msg.get("type") == "stats":
                         with wlock:
-                            write_json(wfile, server.stats())
+                            write_json(wfile, {**server.stats(), "rid": rid})
                     elif msg.get("type") == "snapshot":
                         # live-call checkpoint: quiesce + serialize; the
                         # client can resume it on any pool/server via the
@@ -685,19 +716,22 @@ class _CallHandler(socketserver.BaseRequestHandler):
                         import pickle
 
                         try:
-                            snap, n_chunks = server.snapshot_call(slot_idx)
+                            snap, n_chunks = server.snapshot_call(slot_idx, claim_gen)
                             data = base64.b64encode(pickle.dumps(snap)).decode()
                             with wlock:
                                 write_json(wfile, {
                                     "type": "snapshot", "data": data,
-                                    "chunks": n_chunks,
+                                    "chunks": n_chunks, "rid": rid,
                                 })
                         except Exception as ex:
                             with wlock:
-                                write_json(wfile, {"type": "error", "message": str(ex)})
+                                write_json(wfile, {
+                                    "type": "error", "message": str(ex),
+                                    "rid": rid,
+                                })
                     # other J frames are ignored (forward compat)
 
-            report = server.release(slot_idx)
+            report = server.release(slot_idx, claim_gen)
             slot_idx = None
             done.set()
             writer.join(timeout=10.0)
@@ -709,7 +743,7 @@ class _CallHandler(socketserver.BaseRequestHandler):
         finally:
             if slot_idx is not None:
                 try:
-                    server.release(slot_idx)
+                    server.release(slot_idx, claim_gen)
                 except Exception:
                     pass
             try:
