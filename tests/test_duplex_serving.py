@@ -261,6 +261,43 @@ def test_call_migration_via_snapshot(duplex_srv):
     assert st2["pools"][0]["ticks"] >= N_CHUNKS
 
 
+def test_stale_release_and_activation_failure(duplex_srv):
+    """Claim generations: a stale release (after the slot was re-claimed)
+    must not kill the new call; a corrupt snapshot resume surfaces as a
+    wire error instead of a silent dead call."""
+    import pickle
+    import time
+
+    port, duplex = duplex_srv
+
+    # stale release is a no-op on the re-claimed slot
+    idx1, gen1, _, _ = duplex.claim({"seed": 51})
+    duplex.release(idx1, gen1)
+    idx2, gen2, _, _ = duplex.claim({"seed": 52})
+    assert idx2 == idx1 and gen2 == gen1 + 1
+    stale = duplex.release(idx1, gen1)  # the OLD call's handler retrying
+    assert stale["chunks"] == 0
+    # the new claim is still live (pending or active)
+    slot = duplex.slots[idx2]
+    assert slot.active or slot.pending_cfg is not None
+    duplex.release(idx2, gen2)
+
+    # corrupt snapshot: restore fails at activation -> client gets an error
+    good = DuplexCall(port=port, config={"seed": 53})
+    good.send_chunk(np.zeros(duplex.chunk_samples, np.float32))
+    blob = good.snapshot()
+    good.hangup()
+    snap = pickle.loads(blob)
+    snap["engine_n_tokens"] += 1  # restore's cache-length check must fire
+    bad = DuplexCall(port=port, snapshot=pickle.dumps(snap))
+    deadline = time.time() + 60.0
+    while bad.report is None and time.time() < deadline:
+        time.sleep(0.05)
+    assert bad.report is not None and bad.report["type"] == "error"
+    assert "activation failed" in bad.report["message"]
+    bad.hangup()
+
+
 def test_rejects_bad_config_and_bad_chunk(duplex_srv):
     port, duplex = duplex_srv
     with pytest.raises(RuntimeError, match="not overridable"):
