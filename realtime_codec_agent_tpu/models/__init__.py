@@ -3,6 +3,7 @@ from .llama import (
     DuplexLMConfig,
     init_lm_params,
     llama32_1b_config,
+    qwen25_config,
     tiny_lm_config,
     forward,
     logits_from_hidden,

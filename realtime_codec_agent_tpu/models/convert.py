@@ -51,10 +51,17 @@ def _np_native(t) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def hf_config_to_lm_config(hf_cfg: Dict, **overrides) -> DuplexLMConfig:
-    """HF LlamaConfig dict (config.json) -> DuplexLMConfig."""
+    """HF LlamaConfig/Qwen2Config dict (config.json) -> DuplexLMConfig.
+
+    Qwen2-family checkpoints (model_type "qwen2" / Qwen2ForCausalLM) differ
+    from Llama only by q/k/v projection biases — detected here so
+    load_hf_llama serves both families from one numeric path."""
     rope_scaling = hf_cfg.get("rope_scaling") or {}
     rope_type = rope_scaling.get("rope_type", rope_scaling.get("type"))
+    archs = " ".join(hf_cfg.get("architectures") or [])
+    is_qwen2 = hf_cfg.get("model_type") == "qwen2" or "Qwen2" in archs
     fields = dict(
+        attn_bias=bool(hf_cfg.get("attention_bias", is_qwen2)),
         vocab_size=hf_cfg["vocab_size"],
         hidden_size=hf_cfg["hidden_size"],
         intermediate_size=hf_cfg["intermediate_size"],
@@ -82,7 +89,7 @@ def hf_config_to_lm_config(hf_cfg: Dict, **overrides) -> DuplexLMConfig:
 
 
 def lm_params_from_hf(state_dict: Dict, cfg: DuplexLMConfig, dtype=None) -> Dict:
-    """HF LlamaForCausalLM state_dict -> models/llama.py param pytree.
+    """HF LlamaForCausalLM / Qwen2ForCausalLM state_dict -> param pytree.
 
     Accepts torch tensors or numpy arrays. Linear weights are stored (out,in)
     by torch and transposed to (in,out). Keys may carry the ``model.``
@@ -128,6 +135,10 @@ def lm_params_from_hf(state_dict: Dict, cfg: DuplexLMConfig, dtype=None) -> Dict
                 "w_down": lin(p + "mlp.down_proj.weight"),
             }
         )
+        if cfg.attn_bias:
+            layers[-1]["bq"] = dev(p + "self_attn.q_proj.bias")
+            layers[-1]["bk"] = dev(p + "self_attn.k_proj.bias")
+            layers[-1]["bv"] = dev(p + "self_attn.v_proj.bias")
     params = {
         "embed_tokens": dev("embed_tokens.weight"),
         "layers": layers,

@@ -216,16 +216,19 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
 
 
 def gguf_to_lm_config(metadata: Dict[str, Any], **overrides):
-    """GGUF llama-arch metadata -> DuplexLMConfig."""
+    """GGUF llama/qwen2-arch metadata -> DuplexLMConfig."""
     from .llama import DuplexLMConfig
 
+    arch = metadata.get("general.architecture", "llama")
+
     def m(key, default=None):
-        return metadata.get(f"llama.{key}", default)
+        return metadata.get(f"{arch}.{key}", default)
 
     n_heads = int(m("attention.head_count"))
     hidden = int(m("embedding_length"))
     fields = dict(
-        vocab_size=int(metadata.get("llama.vocab_size", 0)),
+        attn_bias=arch == "qwen2",
+        vocab_size=int(m("vocab_size", 0)),
         hidden_size=hidden,
         intermediate_size=int(m("feed_forward_length")),
         num_layers=int(m("block_count")),
@@ -262,7 +265,7 @@ def load_gguf_llama(path: str, dtype=None, max_context: int = 16384, **config_ov
 
     metadata, tensors = read_gguf(path)
     arch = metadata.get("general.architecture")
-    if arch not in (None, "llama"):
+    if arch not in (None, "llama", "qwen2"):
         raise ValueError(f"unsupported GGUF architecture: {arch}")
 
     rename = {
@@ -275,6 +278,10 @@ def load_gguf_llama(path: str, dtype=None, max_context: int = 16384, **config_ov
         "attn_q.weight": "self_attn.q_proj.weight",
         "attn_k.weight": "self_attn.k_proj.weight",
         "attn_v.weight": "self_attn.v_proj.weight",
+        # qwen2 arch carries q/k/v projection biases
+        "attn_q.bias": "self_attn.q_proj.bias",
+        "attn_k.bias": "self_attn.k_proj.bias",
+        "attn_v.bias": "self_attn.v_proj.bias",
         "attn_output.weight": "self_attn.o_proj.weight",
         "ffn_norm.weight": "post_attention_layernorm.weight",
         "ffn_gate.weight": "mlp.gate_proj.weight",

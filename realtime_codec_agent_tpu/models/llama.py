@@ -52,6 +52,9 @@ class DuplexLMConfig:
     rms_eps: float = 1e-5
     max_context: int = 16384
     tie_embeddings: bool = False
+    # Qwen2-family geometry: biases on the q/k/v projections only (o_proj
+    # and the MLP stay bias-free). Llama-family checkpoints keep this off.
+    attn_bias: bool = False
     # codec embedding bridge (CodecLlamaConfig, reference codec_llama.py:14-29)
     codec_vocab_start: int = 0  # 0 => vanilla model, no codec routing
     num_codebooks: int = 1
@@ -111,6 +114,39 @@ def llama32_1b_config(vocab_size: int, codec_vocab_start: int = 0, **overrides) 
     )
 
 
+_QWEN25_GEOMETRIES = {
+    # hidden, intermediate, layers, heads, kv_heads, tied
+    "0.5b": (896, 4864, 24, 14, 2, True),
+    "1.5b": (1536, 8960, 28, 12, 2, True),
+    "3b": (2048, 11008, 36, 16, 2, True),
+    "7b": (3584, 18944, 28, 28, 4, False),
+}
+
+
+def qwen25_config(variant: str, vocab_size: int, codec_vocab_start: int = 0, **overrides) -> DuplexLMConfig:
+    """Qwen2.5 geometry (alternative duplex-LM base family). Same graph as
+    Llama except q/k/v biases (``attn_bias``), rope theta 1e6, no llama3
+    rope scaling; real checkpoints load via convert.load_hf_llama /
+    gguf.load_gguf_llama, which detect the family from config.json /
+    GGUF arch metadata — this helper pins the published geometries."""
+    h, inter, layers, heads, kv, tied = _QWEN25_GEOMETRIES[variant.lower()]
+    return DuplexLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=h,
+        intermediate_size=inter,
+        num_layers=layers,
+        num_heads=heads,
+        num_kv_heads=kv,
+        head_dim=h // heads,
+        rope_theta=1000000.0,
+        rms_eps=1e-6,
+        tie_embeddings=tied,
+        attn_bias=True,
+        codec_vocab_start=codec_vocab_start,
+        **overrides,
+    )
+
+
 def tiny_lm_config(vocab_size: int, codec_vocab_start: int = 0, **overrides) -> DuplexLMConfig:
     defaults = dict(
         vocab_size=vocab_size,
@@ -157,6 +193,10 @@ def init_lm_params(key, cfg: DuplexLMConfig, with_codec_embed: bool = False) -> 
                 "w_down": rnd(k3, (cfg.intermediate_size, h)),
             }
         )
+        if cfg.attn_bias:
+            layers[-1]["bq"] = jnp.zeros((cfg.q_dim,), dtype)
+            layers[-1]["bk"] = jnp.zeros((cfg.kv_dim,), dtype)
+            layers[-1]["bv"] = jnp.zeros((cfg.kv_dim,), dtype)
     params = {
         "embed_tokens": rnd(keys[0], (cfg.vocab_size, h)),
         "layers": layers,
@@ -246,27 +286,40 @@ def fuse_lm_params_for_decode(params: Dict) -> Dict:
         if "wqkv" in blk:
             layers.append(blk)
             continue
-        nblk = {k2: v2 for k2, v2 in blk.items() if k2 not in ("wq", "wk", "wv", "w_gate", "w_up")}
+        nblk = {
+            k2: v2
+            for k2, v2 in blk.items()
+            if k2 not in ("wq", "wk", "wv", "w_gate", "w_up", "bq", "bk", "bv")
+        }
         nblk["wqkv"] = cat([blk["wq"], blk["wk"], blk["wv"]])
         nblk["w_gu"] = cat([blk["w_gate"], blk["w_up"]])
+        if "bq" in blk:
+            nblk["bqkv"] = jnp.concatenate([blk["bq"], blk["bk"], blk["bv"]])
         layers.append(nblk)
     out["layers"] = layers
     return out
 
 
 def _attn_qkv(y, blk, cfg: DuplexLMConfig, dtype):
-    """Project y to (q, k, v), transparently handling the fused layout."""
+    """Project y to (q, k, v), transparently handling the fused layout and
+    optional Qwen2-style q/k/v biases (``bq``/``bk``/``bv``, fused
+    ``bqkv``)."""
     if "wqkv" in blk:
         qkv = nn.qdot(y, blk["wqkv"], out_dtype=dtype)
+        if "bqkv" in blk:
+            qkv = qkv + blk["bqkv"].astype(dtype)
         q = qkv[..., : cfg.q_dim]
         k = qkv[..., cfg.q_dim : cfg.q_dim + cfg.kv_dim]
         v = qkv[..., cfg.q_dim + cfg.kv_dim :]
         return q, k, v
-    return (
-        nn.qdot(y, blk["wq"], out_dtype=dtype),
-        nn.qdot(y, blk["wk"], out_dtype=dtype),
-        nn.qdot(y, blk["wv"], out_dtype=dtype),
-    )
+    q = nn.qdot(y, blk["wq"], out_dtype=dtype)
+    k = nn.qdot(y, blk["wk"], out_dtype=dtype)
+    v = nn.qdot(y, blk["wv"], out_dtype=dtype)
+    if "bq" in blk:
+        q = q + blk["bq"].astype(dtype)
+        k = k + blk["bk"].astype(dtype)
+        v = v + blk["bv"].astype(dtype)
+    return q, k, v
 
 
 def _mlp(y, blk, dtype):

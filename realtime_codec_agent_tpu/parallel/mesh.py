@@ -69,8 +69,8 @@ def default_mesh_shape(n_devices: int) -> Dict[str, int]:
     return dict(dp=dp, fsdp=fsdp, tp=tp)
 
 
-def _layer_specs() -> Dict[str, P]:
-    return {
+def _layer_specs(keys=None) -> Dict[str, P]:
+    specs = {
         "attn_norm": P(),
         "wq": P("fsdp", "tp"),
         "wk": P("fsdp", "tp"),
@@ -80,7 +80,14 @@ def _layer_specs() -> Dict[str, P]:
         "w_gate": P("fsdp", "tp"),
         "w_up": P("fsdp", "tp"),
         "w_down": P("tp", "fsdp"),
+        # Qwen2-family q/k/v biases: tiny vectors, replicated
+        "bq": P(None),
+        "bk": P(None),
+        "bv": P(None),
     }
+    if keys is None:
+        return specs
+    return {k: specs[k] for k in keys}
 
 
 def lm_param_specs(params, pp: bool = False) -> Dict:
@@ -91,10 +98,11 @@ def lm_param_specs(params, pp: bool = False) -> Dict:
     each stage holds its L/pp contiguous layers (parallel/pipeline.py)."""
     if isinstance(params["layers"], dict):
         layer_specs = {
-            k: P("pp" if pp else None, *spec) for k, spec in _layer_specs().items()
+            k: P("pp" if pp else None, *spec)
+            for k, spec in _layer_specs(params["layers"].keys()).items()
         }
     else:
-        layer_specs = [_layer_specs() for _ in params["layers"]]
+        layer_specs = [_layer_specs(blk.keys()) for blk in params["layers"]]
     specs = {
         "embed_tokens": P("tp", "fsdp"),
         "layers": layer_specs,
@@ -139,7 +147,7 @@ def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh, rows_axis=None)
 
     def layer_spec(blk):
         col, row = P(None, "tp"), P("tp", None)
-        return {
+        specs = {
             "attn_norm": P(),
             "wq": matmul_spec(blk["wq"], col),
             "wk": matmul_spec(blk["wk"], col),
@@ -150,6 +158,10 @@ def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh, rows_axis=None)
             "w_up": matmul_spec(blk["w_up"], col),
             "w_down": matmul_spec(blk["w_down"], row),
         }
+        for b in ("bq", "bk", "bv"):
+            if b in blk:
+                specs[b] = P()
+        return specs
 
     specs = {
         "embed_tokens": P(),

@@ -461,3 +461,62 @@ def test_gguf_tied_embeddings(tmp_path):
     np.testing.assert_array_equal(
         np.isfinite(np.asarray(logits)), np.ones((1, 3, VOCAB), bool)
     )
+
+
+def test_gguf_qwen2_arch(tmp_path):
+    """A qwen2-arch GGUF (q/k/v biases, rope 1e6, tied head) loads and matches
+    the HF-path conversion of the same weights exactly at F32."""
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.models.convert import lm_params_from_hf
+    from realtime_codec_agent_tpu.models.llama import forward, logits_from_hidden
+
+    rng = np.random.default_rng(4)
+    tensors = _weights(rng)
+    del tensors["output.weight"]  # Qwen2.5 small variants tie the head
+    for i in range(LAYERS):
+        tensors[f"blk.{i}.attn_q.bias"] = rng.normal(size=(HEADS * DH,)).astype(np.float32) * 0.1
+        tensors[f"blk.{i}.attn_k.bias"] = rng.normal(size=(KV * DH,)).astype(np.float32) * 0.1
+        tensors[f"blk.{i}.attn_v.bias"] = rng.normal(size=(KV * DH,)).astype(np.float32) * 0.1
+    meta = {
+        "general.architecture": "qwen2",
+        "general.alignment": 32,
+        "qwen2.embedding_length": H,
+        "qwen2.block_count": LAYERS,
+        "qwen2.attention.head_count": HEADS,
+        "qwen2.attention.head_count_kv": KV,
+        "qwen2.feed_forward_length": FFN,
+        "qwen2.rope.freq_base": 1000000.0,
+        "qwen2.attention.layer_norm_rms_epsilon": 1e-6,
+        "qwen2.vocab_size": VOCAB,
+    }
+    path = tmp_path / "tiny_qwen2.gguf"
+    write_gguf(path, meta, tensors, {})
+
+    params, cfg = load_gguf_llama(str(path), dtype="float32", max_context=64)
+    assert cfg.attn_bias and cfg.tie_embeddings
+    assert cfg.rope_theta == 1000000.0 and cfg.rope_scaling is None
+    assert all("bq" in blk for blk in params["layers"])
+
+    hf_sd = {
+        "embed_tokens.weight": tensors["token_embd.weight"],
+        "norm.weight": tensors["output_norm.weight"],
+    }
+    per = {
+        "attn_q": "self_attn.q_proj", "attn_k": "self_attn.k_proj",
+        "attn_v": "self_attn.v_proj", "attn_output": "self_attn.o_proj",
+        "ffn_gate": "mlp.gate_proj", "ffn_up": "mlp.up_proj",
+        "ffn_down": "mlp.down_proj", "attn_norm": "input_layernorm",
+        "ffn_norm": "post_attention_layernorm",
+    }
+    for i in range(LAYERS):
+        for g, h in per.items():
+            hf_sd[f"layers.{i}.{h}.weight"] = tensors[f"blk.{i}.{g}.weight"]
+        for g in ("attn_q", "attn_k", "attn_v"):
+            hf_sd[f"layers.{i}.{per[g]}.bias"] = tensors[f"blk.{i}.{g}.bias"]
+    ref_params = lm_params_from_hf(hf_sd, cfg, dtype="float32")
+
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(1, 12)))
+    got = logits_from_hidden(params, forward(params, ids, cfg)[0], cfg)
+    want = logits_from_hidden(ref_params, forward(ref_params, ids, cfg)[0], cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
