@@ -85,6 +85,11 @@ def main():
              "events' text generations are weight-read-bound)",
     )
     parser.add_argument(
+        "--int4", action="store_true",
+        help="int4 decode weights (affine per-32 groups — the exact Q4_K_M "
+             "structure, ops/int4_matmul.py): lowest-bandwidth decode path",
+    )
+    parser.add_argument(
         "--whisper", action="store_true",
         help="run on-TPU Whisper transcription inside scripted trans events "
              "(random small.en-geometry weights; decode text is canned)",
@@ -134,7 +139,8 @@ def main():
             _CannedWhisperTokenizer(),
         )
     resources = RealtimeAgentResources(
-        tiny=args.tiny, whisper_model=whisper, quantize_int8=not args.bf16
+        tiny=args.tiny, whisper_model=whisper,
+        quantize_int8=not args.bf16 and not args.int4, quantize_int4=args.int4,
     )
     config = RealtimeAgentConfig(
         seed=args.seed,

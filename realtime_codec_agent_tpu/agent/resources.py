@@ -56,6 +56,7 @@ class RealtimeAgentResources:
         tiny: bool = False,
         seed: int = 0,
         quantize_int8: bool = False,
+        quantize_int4: bool = False,
         _shared_lm_params=None,
     ):
         # every entrypoint that builds resources gets the persistent compile
@@ -64,7 +65,10 @@ class RealtimeAgentResources:
         from ..utils.jax_cache import enable_compilation_cache
 
         enable_compilation_cache()
+        if quantize_int8 and quantize_int4:
+            raise ValueError("quantize_int8 and quantize_int4 are exclusive")
         self.quantize_int8 = quantize_int8
+        self.quantize_int4 = quantize_int4
         self.llm_model_path = llm_model_path
         self.llm_model_dir = os.path.dirname(llm_model_path) if llm_model_path else None
         self.llm_n_ctx = llm_n_ctx
@@ -104,12 +108,22 @@ class RealtimeAgentResources:
         else:
             lm_params = init_lm_params(jax.random.PRNGKey(seed), self.lm_config)
         if _shared_lm_params is None:
-            from ..models.llama import fuse_lm_params_for_decode, quantize_params_int8
+            from ..models.llama import (
+                fuse_lm_params_for_decode,
+                quantize_params_int4,
+                quantize_params_int8,
+            )
 
             if quantize_int8:
                 # int8 decode weights: the TPU counterpart of the reference's
                 # q8_0 GGUF deployment artifact (prep_test_model.sh:27-31)
                 lm_params = jax.jit(quantize_params_int8)(lm_params)
+            elif quantize_int4:
+                # int4 decode weights (Q4_K_M counterpart): native GGUF Q4_K
+                # leaves pass through bit-exact; dense leaves (safetensors /
+                # orbax / the artifact's Q6_K tensors) quantize to affine
+                # int4 groups here
+                lm_params = jax.jit(quantize_params_int4)(lm_params)
             # fuse QKV and gate|up once at load: 4 matmuls per decode layer
             # instead of 7 (skinny decode GEMVs are per-op-overhead-bound).
             # RTCA_FUSE_QKV=0 keeps the canonical layout (A/B benchmarking)
@@ -151,6 +165,7 @@ class RealtimeAgentResources:
             params, cfg = load_gguf_llama(
                 path,
                 max_context=self.llm_n_ctx,
+                int4=self.quantize_int4,
                 codec_vocab_start=self.lm_config.codec_vocab_start,
             )
             self.lm_config = cfg
@@ -174,6 +189,7 @@ class RealtimeAgentResources:
         shared codec/tokenizer/params (reference realtime_agent_resources.py:41-49)."""
         clone = object.__new__(RealtimeAgentResources)
         clone.quantize_int8 = self.quantize_int8
+        clone.quantize_int4 = self.quantize_int4
         clone.llm_model_path = self.llm_model_path
         clone.llm_model_dir = self.llm_model_dir
         clone.llm_n_ctx = self.llm_n_ctx
@@ -201,6 +217,7 @@ class RealtimeAgentResources:
         inference_client_fastrtc_v2.py:143)."""
         clone = object.__new__(RealtimeAgentResources)
         clone.quantize_int8 = self.quantize_int8
+        clone.quantize_int4 = self.quantize_int4
         clone.llm_model_path = self.llm_model_path
         clone.llm_model_dir = self.llm_model_dir
         clone.llm_n_ctx = self.llm_n_ctx

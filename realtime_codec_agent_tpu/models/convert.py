@@ -38,8 +38,9 @@ def _np(t) -> np.ndarray:
 def _np_native(t) -> np.ndarray:
     """Like _np but KEEPS the checkpoint dtype when numpy can express it
     (f16/f32 stay as-is — upload bytes matter at full scale); torch bf16
-    still upcasts to f32 (numpy has no native bf16)."""
-    if isinstance(t, np.ndarray):
+    still upcasts to f32 (numpy has no native bf16). Dict leaves
+    (pre-quantized native GGUF imports) pass through."""
+    if isinstance(t, (np.ndarray, dict)):
         return t
     if hasattr(t, "dtype") and "bfloat16" in str(t.dtype):
         return t.detach().to("cpu").float().numpy()
@@ -117,7 +118,12 @@ def lm_params_from_hf(state_dict: Dict, cfg: DuplexLMConfig, dtype=None) -> Dict
         return cast(jnp.asarray(get(key)))
 
     def lin(key: str) -> "jnp.ndarray":
-        return cast_t(jnp.asarray(get(key)))
+        w = get(key)
+        if isinstance(w, dict):
+            # pre-quantized leaf (native GGUF Q4_K int4 import) — already in
+            # (in, out) orientation, uploads verbatim (ops/nn.qdot consumes it)
+            return {k: jnp.asarray(v) for k, v in w.items()}
+        return cast_t(jnp.asarray(w))
 
     layers = []
     for i in range(cfg.num_layers):

@@ -98,10 +98,12 @@ def _dequant_q8_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return out[:n_elems]
 
 
-def _dequant_q4_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
-    """Q4_K: 256-element super-blocks of [fp16 d][fp16 dmin][12B 6-bit
-    scales/mins][128B nibbles]; w = d*sc*q - dmin*m per 32-element sub-block
-    (ggml dequantize_row_q4_K semantics)."""
+def _q4_k_components(raw: np.ndarray, n_elems: int):
+    """Decompose Q4_K super-blocks into ``(q, scale, minv)`` with
+    ``w[i] = q[i] * scale[i // 32] - minv[i // 32]`` — ggml's
+    dequantize_row_q4_K decomposition with the per-32-element affine group
+    kept EXPLICIT so it can map losslessly onto the engine's int4 leaf
+    layout (ops/int4_matmul.py). q is uint8 in [0, 15]."""
     blocks = raw.reshape(-1, Q4_K_BLOCK_BYTES)
     nb = blocks.shape[0]
     d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)      # (nb, 1)
@@ -120,11 +122,44 @@ def _dequant_q4_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
     minv = dmin * mn  # (nb, 8)
     # nibble layout: 32 bytes per 64 elements — low nibbles are sub-block 2c,
     # high nibbles sub-block 2c+1
-    q = blocks[:, 16:].reshape(nb, 4, 32)
-    out = np.empty((nb, 4, 2, 32), np.float32)
-    out[:, :, 0, :] = (q & 0x0F).astype(np.float32) * scale[:, 0::2, None] - minv[:, 0::2, None]
-    out[:, :, 1, :] = (q >> 4).astype(np.float32) * scale[:, 1::2, None] - minv[:, 1::2, None]
-    return out.reshape(-1)[:n_elems]
+    qn = blocks[:, 16:].reshape(nb, 4, 32)
+    q = np.empty((nb, 4, 2, 32), np.uint8)
+    q[:, :, 0, :] = qn & 0x0F
+    q[:, :, 1, :] = qn >> 4
+    assert n_elems % 32 == 0
+    return (
+        q.reshape(-1)[:n_elems],
+        scale.reshape(-1)[: n_elems // 32],
+        minv.reshape(-1)[: n_elems // 32],
+    )
+
+
+def _dequant_q4_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """Q4_K: 256-element super-blocks of [fp16 d][fp16 dmin][12B 6-bit
+    scales/mins][128B nibbles]; w = d*sc*q - dmin*m per 32-element sub-block
+    (ggml dequantize_row_q4_K semantics)."""
+    q, scale, minv = _q4_k_components(raw, n_elems)
+    out = q.astype(np.float32).reshape(-1, 32) * scale[:, None] - minv[:, None]
+    return out.reshape(-1)
+
+
+def _int4_leaf_from_q4k(q: np.ndarray, scale: np.ndarray, minv: np.ndarray,
+                        out_dim: int, in_dim: int) -> Dict[str, np.ndarray]:
+    """Q4_K components of a torch-orientation (out, in) Linear weight ->
+    the engine's (K, N) = (in, out) int4 leaf ``{"q4", "d", "m"}``
+    (ops/int4_matmul.py layout), BIT-EXACTLY: same q values, same per-group
+    f32 scale/min, just repacked. ggml quantizes along ne0 = the input dim,
+    so Q4_K's 32-element groups run along K — precisely the per-group-of-K
+    affine structure the kernel dequantizes in VMEM."""
+    assert in_dim % 32 == 0, (out_dim, in_dim)
+    qt = q.reshape(out_dim, in_dim).T                    # (K, N)
+    q3 = qt.reshape(in_dim // 32, 32, out_dim)
+    packed = q3[:, :16, :] | (q3[:, 16:, :] << 4)        # group-contiguous halves
+    return {
+        "q4": np.ascontiguousarray(packed.reshape(in_dim // 2, out_dim)),
+        "d": np.ascontiguousarray(scale.reshape(out_dim, in_dim // 32).T),
+        "m": np.ascontiguousarray(minv.reshape(out_dim, in_dim // 32).T),
+    }
 
 
 def _dequant_q6_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
@@ -153,12 +188,19 @@ def _dequant_q6_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return out.reshape(-1)[:n_elems]
 
 
-def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
+def read_gguf(
+    path: str, keep_q4k=None
+) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
     """Parse a GGUF file -> (metadata dict, {tensor name: numpy array}).
 
     Tensors come back in ggml's row-major orientation: a 2D tensor with
     ggml dims [ne0, ne1] is returned with numpy shape (ne1, ne0) — for
-    llama-arch Linear weights that is torch's (out, in)."""
+    llama-arch Linear weights that is torch's (out, in).
+
+    ``keep_q4k(name) -> bool`` opts 2D Q4_K tensors out of dequantization:
+    they come back as the engine's native ``{"q4", "d", "m"}`` int4 leaf in
+    (in, out) orientation (already transposed — no further ``.T``), a
+    bit-exact repack of the Q4_K groups (_int4_leaf_from_q4k)."""
     metadata: Dict[str, Any] = {}
     infos = []
     with open(path, "rb") as f:
@@ -201,6 +243,12 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
             elif ggml_type == GGML_Q4_K:
                 n_blocks = -(-n_elems // QK_K)
                 raw = np.frombuffer(_read_exact(f, n_blocks * Q4_K_BLOCK_BYTES), np.uint8)
+                if keep_q4k is not None and keep_q4k(name) and len(dims) == 2:
+                    q, scale, minv = _q4_k_components(raw, n_elems)
+                    tensors[name] = _int4_leaf_from_q4k(
+                        q, scale, minv, out_dim=np_shape[0], in_dim=np_shape[1]
+                    )
+                    continue
                 arr = _dequant_q4_k(raw, n_elems)
             elif ggml_type == GGML_Q6_K:
                 n_blocks = -(-n_elems // QK_K)
@@ -254,16 +302,36 @@ def gguf_to_lm_config(metadata: Dict[str, Any], **overrides):
     return DuplexLMConfig(**fields)
 
 
-def load_gguf_llama(path: str, dtype=None, max_context: int = 16384, **config_overrides):
+_LAYER_MATMULS = (
+    "attn_q.weight", "attn_k.weight", "attn_v.weight", "attn_output.weight",
+    "ffn_gate.weight", "ffn_up.weight", "ffn_down.weight",
+)
+
+
+def load_gguf_llama(
+    path: str, dtype=None, max_context: int = 16384, int4: bool = False,
+    **config_overrides,
+):
     """Load a llama-arch GGUF file -> (params pytree, DuplexLMConfig).
 
     The GGUF tensor names (token_embd / blk.N.attn_q / ffn_gate / output ...)
     rename onto the HF layout and flow through the verified HF converter
     (models/convert.lm_params_from_hf), so GGUF and safetensors checkpoints
-    share one numeric path."""
+    share one numeric path.
+
+    ``int4=True`` imports Q4_K layer matmuls as NATIVE int4 decode leaves
+    (bit-exact repack, no dequantize/requantize round-trip) — the reference's
+    Q4_K_M deployment artifact (prep_test_model.sh:33-34) then runs its
+    4-bit weights directly on the TPU fused-dequant kernel. Non-Q4_K layer
+    tensors (Q4_K_M keeps some attn_v/ffn_down at Q6_K) still dequantize
+    dense; pair with models/llama.quantize_params_int4 to quantize those
+    (already-native leaves pass through untouched)."""
     from .convert import lm_params_from_hf
 
-    metadata, tensors = read_gguf(path)
+    keep = None
+    if int4:
+        keep = lambda name: name.startswith("blk.") and name.split(".", 2)[2] in _LAYER_MATMULS
+    metadata, tensors = read_gguf(path, keep_q4k=keep)
     arch = metadata.get("general.architecture")
     if arch not in (None, "llama", "qwen2"):
         raise ValueError(f"unsupported GGUF architecture: {arch}")

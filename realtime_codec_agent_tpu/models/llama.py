@@ -278,6 +278,10 @@ def fuse_lm_params_for_decode(params: Dict) -> Dict:
                 "q": jnp.concatenate([w["q"] for w in ws], axis=1),
                 "s": jnp.concatenate([w["s"] for w in ws], axis=0),
             }
+        if isinstance(ws[0], dict) and "q4" in ws[0]:
+            # int4 leaves: q4 (K/2, N), d/m (K/G, N) all concat on the
+            # output axis — column-identical to fusing then quantizing.
+            return {k: jnp.concatenate([w[k] for w in ws], axis=1) for k in ("q4", "d", "m")}
         return jnp.concatenate(list(ws), axis=1)
 
     out = dict(params)
@@ -883,6 +887,8 @@ def quantize_params_int8(params: Dict) -> Dict:
     that dominates batch-1 decode."""
 
     def quant(w):
+        if isinstance(w, dict):
+            return w  # already quantized (e.g. a native GGUF Q4_K leaf)
         wf = jnp.asarray(w, jnp.float32)
         scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
         scale = jnp.maximum(scale, 1e-12)
@@ -900,4 +906,61 @@ def quantize_params_int8(params: Dict) -> Dict:
     ]
     if "lm_head" in params:
         out["lm_head"] = quant(params["lm_head"])
+    return out
+
+
+def quantize_params_int4(params: Dict, group: int = 32) -> Dict:
+    """Affine int4 quantization of the decode-path layer matmuls — the TPU
+    counterpart of the reference's Q4_K_M deployment artifact
+    (prep_test_model.sh:33-34). Per-``group``-of-K affine (scale + min)
+    quantization, matching Q4_K's 32-element sub-block structure, packed in
+    the {"q4", "d", "m"} layout consumed by ops/nn.qdot /
+    ops/int4_matmul.int4_matmul (~0.75 B/weight at group=32).
+
+    The lm_head stays int8: Q4_K_M itself keeps output-adjacent tensors at
+    higher precision (Q6_K), and the 131k-codec-vocab logits are the
+    quality-critical matmul. Embeddings and norms stay dense (gathers read
+    only the needed rows). Leaves that are already quantized dicts (native
+    GGUF imports) pass through untouched.
+    """
+
+    def quant4(w):
+        if isinstance(w, dict):
+            return w
+        wf = jnp.asarray(w, jnp.float32)
+        k, n = wf.shape
+        if k % group or group % 2:
+            raise ValueError(f"int4 group {group} must divide K={k}")
+        kg = k // group
+        g3 = wf.reshape(kg, group, n)
+        wmax = g3.max(axis=1)
+        wmin = g3.min(axis=1)
+        d = jnp.maximum((wmax - wmin) / 15.0, 1e-12)
+        m = -wmin
+        q = jnp.clip(jnp.round((g3 + m[:, None, :]) / d[:, None, :]), 0, 15).astype(
+            jnp.uint8
+        )
+        gh = group // 2
+        packed = (q[:, :gh, :] | (q[:, gh:, :] << 4)).reshape(k // 2, n)
+        return {"q4": packed, "d": d, "m": m}
+
+    def quant8(w):
+        if isinstance(w, dict):
+            return w
+        wf = jnp.asarray(w, jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": scale}
+
+    names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "wqkv", "w_gu")
+    out = dict(params)
+    out["layers"] = [
+        {
+            **blk,
+            **{name: quant4(blk[name]) for name in names if name in blk},
+        }
+        for blk in params["layers"]
+    ]
+    if "lm_head" in params:
+        out["lm_head"] = quant8(params["lm_head"])
     return out

@@ -64,6 +64,22 @@ def qdot(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
                 x, w["q"].astype(jnp.bfloat16), preferred_element_type=jnp.float32
             )
             y = y * w["s"]
+    elif isinstance(w, dict) and "q4" in w:
+        # affine int4 groups {"q4","d","m"} (models/llama.quantize_params_int4,
+        # exact GGUF Q4_K import) — same routing rule as int8: the opaque
+        # kernel for loop-resident decode shapes, XLA dequant+dot elsewhere.
+        if _use_pallas_int8(x):
+            from .int4_matmul import int4_matmul
+
+            y = int4_matmul(x, w["q4"], w["d"], w["m"])
+        else:
+            from .int4_matmul import dequant_int4
+
+            y = jnp.dot(
+                x,
+                dequant_int4(w["q4"], w["d"], w["m"]).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
     else:
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return y if out_dtype is None else y.astype(out_dtype)

@@ -143,6 +143,12 @@ def shard_lm_for_inference(params, k_cache, v_cache, mesh: Mesh, rows_axis=None)
         output axis."""
         if isinstance(w, dict) and "q" in w:
             return {"q": spec, "s": P(spec[1])}
+        if isinstance(w, dict) and "q4" in w:
+            # int4 leaves: q4 (K/2, N) and d/m (K/G, N) share the raw
+            # weight's (K, N) axis semantics; group-contiguous nibble
+            # packing keeps K-axis (row-parallel) shard boundaries on
+            # whole groups (ops/int4_matmul.py layout note).
+            return {"q4": spec, "d": spec, "m": spec}
         return spec
 
     def layer_spec(blk):

@@ -446,6 +446,7 @@ class DuplexServingServer:
         codec_model=None,
         llm_model_path: Optional[str] = None,
         quantize_int8: bool = False,
+        quantize_int4: bool = False,
         devices: Optional[List] = None,
     ):
         import jax
@@ -466,6 +467,7 @@ class DuplexServingServer:
         base_res = resources or RealtimeAgentResources(
             tiny=tiny, whisper_model=None, codec_model=codec_model,
             llm_model_path=llm_model_path, quantize_int8=quantize_int8,
+            quantize_int4=quantize_int4,
         )
         if devices is not None:
             devices = [
@@ -785,6 +787,9 @@ def main(argv=None) -> None:
     ap.add_argument("--int8", action="store_true",
                     help="int8 decode weights (q8_0-parity): the capacity lever "
                     "past 4 concurrent calls on one chip")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 decode weights (Q4_K_M-parity; a .gguf "
+                    "--llm_model_path imports Q4_K tensors bit-exactly)")
     ap.add_argument("--devices", default=None,
                     help="comma-separated jax device indices, e.g. 0,1,2,3: "
                     "max_calls split into one replicated pool per chip "
@@ -797,7 +802,7 @@ def main(argv=None) -> None:
     duplex = DuplexServingServer(
         max_calls=args.max_calls, tiny=args.tiny, group=not args.no_group,
         llm_model_path=args.llm_model_path, quantize_int8=args.int8,
-        devices=devices,
+        quantize_int4=args.int4, devices=devices,
     )
     print(f"prewarming batch-{args.max_calls} group program...", flush=True)
     duplex.prewarm()

@@ -172,6 +172,11 @@ def main(argv=None):
         help="int8 decode weights (serve the reference's q8_0-parity artifact)",
     )
     parser.add_argument(
+        "--int4", action="store_true",
+        help="int4 decode weights (the reference's Q4_K_M artifact, imported "
+        "bit-exactly from a .gguf path)",
+    )
+    parser.add_argument(
         "--mesh", default=None, metavar="DPxTP",
         help="multi-chip serving mesh, e.g. 2x4: stream rows data-parallel "
              "over dp, weights/KV-heads tensor-parallel over tp (requires "
@@ -182,6 +187,7 @@ def main(argv=None):
     resources = RealtimeAgentResources(
         llm_model_path=args.llm_model_path, tiny=args.tiny, whisper_model=None,
         quantize_int8=args.int8,
+        quantize_int4=args.int4,
         # completions serving keeps the reference's full 16k context headroom
         # (the realtime agent's policy-sized default doesn't apply here)
         llm_n_ctx=16384,

@@ -520,3 +520,77 @@ def test_gguf_qwen2_arch(tmp_path):
     got = logits_from_hidden(params, forward(params, ids, cfg)[0], cfg)
     want = logits_from_hidden(ref_params, forward(ref_params, ids, cfg)[0], cfg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gguf_native_int4_import_bit_exact(tmp_path):
+    """``int4=True`` imports Q4_K layer matmuls as the engine's native
+    {'q4','d','m'} leaves: no dequantize/requantize round-trip, so
+    dequantizing the leaf reproduces the dense-dequant load BITWISE — the
+    reference's Q4_K_M artifact runs its exact 4-bit weights on TPU."""
+    import jax.numpy as jnp
+
+    from realtime_codec_agent_tpu.ops.int4_matmul import dequant_int4
+
+    # k-quants need ne0 (input dim) % 256 == 0
+    h, ffn, heads, kv, dh, vocab, layers = 256, 512, 4, 2, 64, 96, 1
+    rng = np.random.default_rng(13)
+    t = {
+        "token_embd.weight": rng.normal(size=(vocab, h)).astype(np.float32) * 0.05,
+        "output_norm.weight": np.ones(h, np.float32),
+        "output.weight": rng.normal(size=(vocab, h)).astype(np.float32) * 0.05,
+    }
+    matmuls = []
+    for i in range(layers):
+        t[f"blk.{i}.attn_norm.weight"] = np.ones(h, np.float32)
+        t[f"blk.{i}.attn_q.weight"] = rng.normal(size=(heads * dh, h)).astype(np.float32) * 0.05
+        t[f"blk.{i}.attn_k.weight"] = rng.normal(size=(kv * dh, h)).astype(np.float32) * 0.05
+        t[f"blk.{i}.attn_v.weight"] = rng.normal(size=(kv * dh, h)).astype(np.float32) * 0.05
+        t[f"blk.{i}.attn_output.weight"] = rng.normal(size=(h, heads * dh)).astype(np.float32) * 0.05
+        t[f"blk.{i}.ffn_norm.weight"] = np.ones(h, np.float32)
+        t[f"blk.{i}.ffn_gate.weight"] = rng.normal(size=(ffn, h)).astype(np.float32) * 0.05
+        t[f"blk.{i}.ffn_up.weight"] = rng.normal(size=(ffn, h)).astype(np.float32) * 0.05
+        t[f"blk.{i}.ffn_down.weight"] = rng.normal(size=(h, ffn)).astype(np.float32) * 0.05
+        matmuls.extend(
+            (f"blk.{i}.{nm}.weight", nm2)
+            for nm, nm2 in (
+                ("attn_q", "wq"), ("attn_k", "wk"), ("attn_v", "wv"),
+                ("attn_output", "wo"), ("ffn_gate", "w_gate"),
+                ("ffn_up", "w_up"), ("ffn_down", "w_down"),
+            )
+        )
+    meta = dict(_META)
+    meta.update({
+        "llama.embedding_length": h, "llama.feed_forward_length": ffn,
+        "llama.attention.head_count": heads, "llama.attention.head_count_kv": kv,
+        "llama.rope.dimension_count": dh, "llama.vocab_size": vocab,
+        "llama.block_count": layers,
+    })
+    encodings = {name: GGML_Q4_K for name, _ in matmuls}
+    path = tmp_path / "q4_native.gguf"
+    write_gguf(path, meta, t, encodings)
+
+    dense, cfg = load_gguf_llama(str(path), dtype="float32", max_context=64)
+    native, cfg4 = load_gguf_llama(str(path), dtype="float32", max_context=64, int4=True)
+    assert cfg4 == cfg
+
+    for i in range(layers):
+        for _, pname in matmuls[i * 7:(i + 1) * 7]:
+            leaf = native["layers"][i][pname]
+            assert leaf["q4"].dtype == jnp.uint8
+            got = np.asarray(dequant_int4(leaf["q4"], leaf["d"], leaf["m"]))
+            want = np.asarray(dense["layers"][i][pname])
+            np.testing.assert_array_equal(got, want, err_msg=pname)
+    # non-matmul tensors load dense as before
+    np.testing.assert_array_equal(
+        np.asarray(native["embed_tokens"]), np.asarray(dense["embed_tokens"])
+    )
+
+    # the native params run the forward path (qdot routes the int4 leaves)
+    from realtime_codec_agent_tpu.models.llama import forward, logits_from_hidden
+
+    ids = jnp.asarray(rng.integers(0, vocab, size=(1, 8)))
+    got = logits_from_hidden(native, forward(native, ids, cfg)[0], cfg)
+    want = logits_from_hidden(dense, forward(dense, ids, cfg)[0], cfg)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2
+    )
