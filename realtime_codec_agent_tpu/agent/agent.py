@@ -2077,10 +2077,30 @@ class RealtimeAgentMultiprocessing:
 
     def wait_until_running(self) -> None:
         while not self.is_running():
+            self._check_child_alive("agent startup")
             time.sleep(0.01)
 
     def is_running(self) -> bool:
         return self.running.value
+
+    def _check_child_alive(self, what: str) -> None:
+        """Every parent-side wait must be liveness-aware: if the child dies
+        (startup crash, OOM-kill) a bare flag-poll or SimpleQueue.get() would
+        hang the caller forever — fail loudly instead."""
+        if not self.execute_process.is_alive():
+            raise RuntimeError(
+                f"agent child process died while waiting for {what} "
+                f"(exitcode {self.execute_process.exitcode})"
+            )
+
+    def _get_from_child(self, queue, what: str):
+        """SimpleQueue.get with a child-liveness watchdog (SimpleQueue has no
+        timeout). empty() is checked BEFORE liveness so a reply the child put
+        just before exiting is still delivered."""
+        while queue.empty():
+            self._check_child_alive(what)
+            time.sleep(0.005)
+        return queue.get()
 
     def execute(self, config, self_play_mode, device_id, idle_tol_secs, **resources_kwargs):
         if device_id is not None:
@@ -2209,23 +2229,25 @@ class RealtimeAgentMultiprocessing:
     def reset(self) -> None:
         self.reset_flag.value = True
         while self.reset_flag.value:
+            self._check_child_alive("reset")
             time.sleep(0.01)
 
     def set_config_and_reset(self, config) -> None:
         self.set_config_flag.value = True
         self.config_queue.put(config)
         while self.set_config_flag.value or self.reset_flag.value:
+            self._check_child_alive("set_config")
             time.sleep(0.01)
 
     def get_info(self) -> RealtimeAgentMultiprocessingInfo:
         self.get_info_flag.value = True
-        return self.info_queue.get()
+        return self._get_from_child(self.info_queue, "get_info")
 
     def snapshot(self) -> Dict[str, Any]:
         """Live-call checkpoint from the child process (the agent quiesces;
         drained audio still reaches the output queue)."""
         self.snapshot_flag.value = True
-        ok, val = self.snapshot_queue.get()
+        ok, val = self._get_from_child(self.snapshot_queue, "snapshot")
         if not ok:
             raise RuntimeError(val)
         return val
@@ -2237,7 +2259,7 @@ class RealtimeAgentMultiprocessing:
         # larger than the pipe buffer is written, or put() deadlocks
         self.restore_flag.value = True
         self.restore_queue.put(snap)
-        ok, err = self.restore_reply_queue.get()
+        ok, err = self._get_from_child(self.restore_reply_queue, "restore")
         if not ok:
             raise RuntimeError(f"snapshot restore failed in child: {err}")
 
@@ -2245,6 +2267,8 @@ class RealtimeAgentMultiprocessing:
         self.input_queue.put(input)
 
     def next_output(self, block: bool = False):
-        if not block and self.output_queue.empty():
-            return None
-        return self.output_queue.get()
+        if not block:
+            if self.output_queue.empty():
+                return None
+            return self.output_queue.get()
+        return self._get_from_child(self.output_queue, "next_output")

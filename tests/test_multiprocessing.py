@@ -114,3 +114,18 @@ def test_snapshot_restore_across_process_boundary(mp_agent):
     # the sequence grew FROM the snapshot, not from a fresh header
     snap2 = mp_agent.snapshot()
     assert len(snap2["input_ids"]) > seq_len
+
+
+def test_dead_child_raises_instead_of_hanging():
+    """A child that crashes during startup (here: a nonexistent model path)
+    must surface as a RuntimeError from the parent-side wait, not an infinite
+    wait_until_running poll — every parent wait is liveness-aware."""
+    with pytest.raises(RuntimeError, match="child process died"):
+        RealtimeAgentMultiprocessing(
+            config=RealtimeAgentConfig(
+                pipeline_chunks=True, use_whisper=False, agent_opening_text=None
+            ),
+            tiny=True,
+            whisper_model=None,
+            llm_model_path="/nonexistent/model.gguf",
+        )
