@@ -106,6 +106,11 @@ def main():
         "--serving_int8", action="store_true",
         help="int8 decode weights for the batched section (q8_0-parity artifact)",
     )
+    parser.add_argument(
+        "--serving_int4", action="store_true",
+        help="int4 decode weights for the batched section (Q4_K_M-parity "
+             "affine groups, ops/int4_matmul.py)",
+    )
     parser.add_argument("--train_seq_len", type=int, default=2048)
     parser.add_argument("--train_steps", type=int, default=5)
     parser.add_argument("--train_batch", type=int, default=1)
@@ -141,6 +146,10 @@ def main():
         help="int8 decode weights for the duplexserve section (the capacity "
              "lever: R=6 at ~1.0x/call on one chip)",
     )
+    parser.add_argument(
+        "--duplex_int4", action="store_true",
+        help="int4 decode weights for the duplexserve section",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -150,6 +159,7 @@ def main():
             "--serving_prefill", str(args.serving_prefill),
             "--serving_context", str(args.serving_context),
             *(["--serving_int8"] if args.serving_int8 else []),
+            *(["--serving_int4"] if args.serving_int4 else []),
             "--train_seq_len", str(args.train_seq_len),
             "--train_steps", str(args.train_steps),
             "--train_batch", str(args.train_batch),
@@ -159,6 +169,7 @@ def main():
             *(["--selfplay_pair"] if args.selfplay_pair else []),
             *(["--no_duplex_group"] if args.no_duplex_group else []),
             *(["--duplex_int8"] if args.duplex_int8 else []),
+            *(["--duplex_int4"] if args.duplex_int4 else []),
             "--duplex_sessions", str(args.duplex_sessions),
             "--seed", str(args.seed),
         ]
@@ -236,6 +247,10 @@ def main():
             from realtime_codec_agent_tpu.models.llama import quantize_params_int8
 
             lparams = quantize_params_int8(lparams)
+        elif args.serving_int4:
+            from realtime_codec_agent_tpu.models.llama import quantize_params_int4
+
+            lparams = _jax.jit(quantize_params_int4)(lparams)
         beng = BatchedDecodeEngine(
             lparams, lcfg, batch_size=args.serving_batch,
             max_context=args.serving_context,
@@ -268,7 +283,8 @@ def main():
             f"aggregate tokens/second, {args.serving_batch} concurrent streams, "
             f"{spd} tokens/dispatch, ~{args.serving_prefill}-token occupancy "
             f"in a {args.serving_context} cache"
-            f"{', int8 weights' if args.serving_int8 else ''} (higher is better)",
+            f"{', int8 weights' if args.serving_int8 else ''}"
+            f"{', int4 weights' if args.serving_int4 else ''} (higher is better)",
         )
         del beng, lparams
         release_device_memory()
@@ -617,7 +633,7 @@ def main():
         R = args.duplex_sessions
         base_res = RealtimeAgentResources(
             tiny=args.tiny, codec_model=codec, whisper_model=None,
-            quantize_int8=args.duplex_int8,
+            quantize_int8=args.duplex_int8, quantize_int4=args.duplex_int4,
         )
         agents = []
         for i in range(R):
@@ -665,7 +681,7 @@ def main():
             "duplex_serving_rtf", dt / (n * 0.1),
             f"x_realtime serving {R} concurrent full-duplex calls "
             "(lower is better; <1 = every call realtime)",
-            sessions=R, int8=args.duplex_int8,
+            sessions=R, int8=args.duplex_int8, int4=args.duplex_int4,
         )
         if coord is not None:
             total = coord.paired_dispatches * R + coord.single_dispatches
