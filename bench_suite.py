@@ -111,6 +111,11 @@ def main():
         help="int4 decode weights for the batched section (Q4_K_M-parity "
              "affine groups, ops/int4_matmul.py)",
     )
+    parser.add_argument(
+        "--bandwidth_quant", choices=["none", "int8", "int4"], default="none",
+        help="weight format for the bandwidth section's AR decode loop "
+             "(A/B the per-step weight-read bytes across formats)",
+    )
     parser.add_argument("--train_seq_len", type=int, default=2048)
     parser.add_argument("--train_steps", type=int, default=5)
     parser.add_argument("--train_batch", type=int, default=1)
@@ -160,6 +165,7 @@ def main():
             "--serving_context", str(args.serving_context),
             *(["--serving_int8"] if args.serving_int8 else []),
             *(["--serving_int4"] if args.serving_int4 else []),
+            "--bandwidth_quant", args.bandwidth_quant,
             "--train_seq_len", str(args.train_seq_len),
             "--train_steps", str(args.train_steps),
             "--train_batch", str(args.train_batch),
@@ -305,9 +311,16 @@ def main():
         vocab = ((max(tok.vocab_size, 128512 + ccfg.codebook_size) + 7) // 8) * 8
         make_cfg = tiny_lm_config if args.tiny else llama32_1b_config
         lcfg = make_cfg(vocab_size=vocab)
-        lparams = _jax.jit(fuse_lm_params_for_decode)(
-            init_lm_params(_jax.random.PRNGKey(0), lcfg)
-        )
+        lparams = init_lm_params(_jax.random.PRNGKey(0), lcfg)
+        if args.bandwidth_quant == "int8":
+            from realtime_codec_agent_tpu.models.llama import quantize_params_int8
+
+            lparams = _jax.jit(quantize_params_int8)(lparams)
+        elif args.bandwidth_quant == "int4":
+            from realtime_codec_agent_tpu.models.llama import quantize_params_int4
+
+            lparams = _jax.jit(quantize_params_int4)(lparams)
+        lparams = _jax.jit(fuse_lm_params_for_decode)(lparams)
         eng = DuplexLMEngine(lparams, lcfg)
         eng.init_sampler_for_generate(temp=1.0, seed=0)
         ctx = min(4000, lcfg.max_context - 200)
@@ -316,6 +329,8 @@ def main():
         def leaf_bytes(x):
             if isinstance(x, dict) and "q" in x:
                 return x["q"].size + 4 * x["s"].size
+            if isinstance(x, dict) and "q4" in x:
+                return x["q4"].size + 4 * (x["d"].size + x["m"].size)
             return x.size * x.dtype.itemsize
         layer_bytes = sum(
             leaf_bytes(w) for blk in lparams["layers"] for w in blk.values()
@@ -337,11 +352,12 @@ def main():
         bytes_per_step = layer_bytes + head_bytes + eng.n_tokens * kv_bytes_per_tok
         emit(
             "decode_step_ms", step_ms, "ms per AR decode step (throughput mode)",
-            context_tokens=int(eng.n_tokens),
+            context_tokens=int(eng.n_tokens), quant=args.bandwidth_quant,
         )
         emit(
             "decode_eff_gbps", bytes_per_step / (dt / n_steps) / 1e9,
             "effective GB/s (weights + KV read per step / step time)",
+            quant=args.bandwidth_quant,
         )
         del eng, lparams
         release_device_memory()
