@@ -35,6 +35,7 @@ on Pallas out-of-bounds semantics as in int8_matmul.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,29 @@ def _kernel(x_ref, q4_ref, d_ref, m_ref, o_ref, *, group: int):
     )
 
 
+def _kernel_split(xlo_ref, xhi_ref, q4_ref, d_ref, m_ref, o_ref, *, group: int):
+    """Split-dot formulation: never materializes the full (K, bn) dequant.
+    Byte row ``g*gh + j`` packs elements ``g*G+j`` (low nibble) and
+    ``g*G+gh+j`` (high), so ``y = x_lo @ w_lo + x_hi @ w_hi`` — two half-K
+    MXU dots instead of a concat + full-size bf16 temp. The caller slices
+    x into the matching half orders OUTSIDE the kernel (a lane-dim reshape
+    Mosaic can't do in-kernel; it's an activation op, so XLA cannot hoist
+    it out of a decode loop the way it would a weight dequant)."""
+    kg = d_ref.shape[0]
+    gh = group // 2
+    bn = q4_ref.shape[-1]
+    qi = q4_ref[:].astype(jnp.int32).reshape(kg, gh, bn)
+    d = d_ref[:][:, None, :]
+    m = m_ref[:][:, None, :]
+    w_lo = ((qi & 15).astype(jnp.float32) * d - m).astype(jnp.bfloat16)
+    w_hi = ((qi >> 4).astype(jnp.float32) * d - m).astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(
+        xlo_ref[:], w_lo.reshape(kg * gh, bn), preferred_element_type=jnp.float32
+    ) + jnp.dot(
+        xhi_ref[:], w_hi.reshape(kg * gh, bn), preferred_element_type=jnp.float32
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int4_matmul(
     x: jnp.ndarray,
@@ -99,11 +123,27 @@ def int4_matmul(
     block_n = min(block_n, _round_up(n, _LANE))
     grid = (pl.cdiv(t, block_t), pl.cdiv(n, block_n))
 
+    split = os.environ.get("RTCA_INT4_SPLIT", "1") != "0"
+    if split:
+        gh = group // 2
+        x3 = x2.astype(jnp.bfloat16).reshape(t, kg, group)
+        x_halves = [
+            x3[:, :, :gh].reshape(t, kh),
+            x3[:, :, gh:].reshape(t, kh),
+        ]
+        x_specs = [
+            pl.BlockSpec((block_t, kh), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ] * 2
+    else:
+        x_halves = [x2.astype(jnp.bfloat16)]
+        x_specs = [
+            pl.BlockSpec((block_t, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ]
+    body = _kernel_split if split else _kernel
     out = pl.pallas_call(
-        functools.partial(_kernel, group=group),
+        functools.partial(body, group=group),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_t, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=x_specs + [
             pl.BlockSpec((kh, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((kg, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((kg, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -113,7 +153,7 @@ def int4_matmul(
         ),
         out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
         interpret=interpret,
-    )(x2.astype(jnp.bfloat16), q4, d.astype(jnp.float32), m.astype(jnp.float32))
+    )(*x_halves, q4, d.astype(jnp.float32), m.astype(jnp.float32))
     return out.reshape(*lead, n)
 
 
