@@ -341,7 +341,14 @@ def main():
             * jnp.dtype(lcfg.compute_dtype).itemsize
         )
         steps_per_call = 32
-        eng.generate_until(11, stop_id=0, max_n=steps_per_call)  # warmup/compile
+        # warm EVERY cache-view bucket variant of the gen program: the timed
+        # calls advance n_tokens and can cross a view boundary mid-loop — a
+        # cold XLA compile inside the measurement once read as 292 ms/step
+        eng.prewarm_detours(
+            gen_buckets=(steps_per_call,), frames_bucket=None,
+            include_probe=False, include_decode=False,
+        )
+        eng.generate_until(11, stop_id=0, max_n=steps_per_call)  # warmup
         n_calls = 4
         t0 = time.perf_counter()
         for _ in range(n_calls):

@@ -588,6 +588,9 @@ class DuplexSession:
         )
         jax.device_get(target_idx[-1])
         del tk, tv
+        # detours (event replays, inline text gen, the fallback probe) run
+        # the engine's own view-bucketed programs — warm their variants too
+        eng.prewarm_detours()  # agent frames-continuation bucket is 8
 
     def _device_settings(self):
         """Device copies of the sampler scalars/bias tables, rebuilt only
@@ -607,15 +610,11 @@ class DuplexSession:
 
     @staticmethod
     def view_granularity(cache_len: int) -> int:
-        """Cache-view bucket size. Coarse (4096) by default — a handful of
-        program variants. ``RTCA_VIEW_GRAN`` overrides for A/B: finer
-        buckets read less cache per frame but compile more variants."""
-        import os
+        """Cache-view bucket size (shared with the engine's detour programs —
+        lm/engine.view_granularity). ``RTCA_VIEW_GRAN`` overrides for A/B."""
+        from .engine import view_granularity
 
-        env = os.environ.get("RTCA_VIEW_GRAN")
-        if env:
-            return max(256, int(env))
-        return 4096 if cache_len >= 8192 else max(256, cache_len // 4)
+        return view_granularity(cache_len)
 
     def _cache_view_bucket(self) -> int:
         """Static attention-read bound for the next fused chunk: the host

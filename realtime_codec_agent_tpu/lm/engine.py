@@ -21,6 +21,7 @@ TPU-native replacement for the llama.cpp runtime the reference drives through
 from __future__ import annotations
 
 import functools
+import os
 from typing import Generator, List, Optional, Sequence, Tuple
 
 import jax
@@ -51,6 +52,18 @@ def _bucket(n: int) -> int:
         if n <= b:
             return b
     return PREFILL_BUCKETS[-1]
+
+
+def view_granularity(cache_len: int) -> int:
+    """Cache-view bucket size shared by every big-cache attention read
+    (fused chunks, gen_until, the frames continuation, the event probe).
+    Coarse (4096) by default so only a handful of program variants ever
+    compile; ``RTCA_VIEW_GRAN`` overrides for A/B — finer buckets read less
+    cache per step but compile more variants."""
+    env = os.environ.get("RTCA_VIEW_GRAN")
+    if env:
+        return max(256, int(env))
+    return 4096 if cache_len >= 8192 else max(256, cache_len // 4)
 
 
 class DuplexLMEngine:
@@ -105,20 +118,34 @@ class DuplexLMEngine:
             logits = logits_from_hidden(params, last_h, cfg)[0]
             return logits, k, v
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnames=("top_k",))
+        @functools.partial(jax.jit, static_argnames=("top_k", "cache_view"))
         def decode_step(
             params, k, v, tokens, offset, key, scalars, bias_ids, bias_vals,
-            window_ids, window_mask, top_k,
+            window_ids, window_mask, top_k, cache_view=0,
         ):
+            # READ-ONLY cache: the T new K/V commit in a separate donated
+            # program (commit_contig), so the attention read slices to the
+            # ``cache_view`` occupancy bucket for free — a T<=4 step
+            # otherwise streams the ENTIRE static cache through HBM even
+            # though positions >= offset are masked (same structure as
+            # gen_until and the fused chunk).
+            cache_len = k.shape[2]
+            if cache_view and cache_view < cache_len:
+                k, v = k[:, :, :cache_view], v[:, :, :cache_view]
             positions = offset + jnp.arange(tokens.shape[1])
             hidden, nk, nv = forward_decode(params, tokens, cfg, k, v, positions)
-            k, v = commit_kv(k, v, nk, nv, offset)
             logits = logits_from_hidden(params, hidden[:, -1], cfg)[0]
             token = sample_token(
                 logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask,
                 top_k=top_k,
             )
-            return token, logits, k, v
+            return token, logits, nk, nv
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def commit_contig(k, v, nk, nv, offset):
+            # decode_step's single contiguous cache write (dispatch order
+            # makes the next program see it)
+            return commit_kv(k, v, nk, nv, offset)
 
         @functools.partial(jax.jit, static_argnames=("top_k",))
         def resample(logits, key, scalars, bias_ids, bias_vals, window_ids, window_mask, top_k):
@@ -165,12 +192,19 @@ class DuplexLMEngine:
         def probs_of(logits, ids):
             return jax.nn.softmax(logits)[ids]
 
-        @jax.jit
-        def event_probe(params, k, v, n_tokens, last_logits, probe_ids, pick_ids):
+        @functools.partial(jax.jit, static_argnames=("cache_view",))
+        def event_probe(params, k, v, n_tokens, last_logits, probe_ids, pick_ids, cache_view=0):
             """P(probe trigger) at the last evaled position PLUS a speculative
             one-token lookahead (what follows if probe_ids were appended) in
             ONE read-only program: the cache is NOT donated and the new K/V is
-            dropped, so no commit/rollback bookkeeping exists to undo."""
+            dropped, so no commit/rollback bookkeeping exists to undo. The
+            attention read is sliced to the ``cache_view`` occupancy bucket —
+            free on a read-only cache, and it stops the probe from streaming
+            the entire static cache through HBM (same trick as the fused
+            chunk, lm/duplex_session.py)."""
+            cache_len = k.shape[2]
+            if cache_view and cache_view < cache_len:
+                k, v = k[:, :, :cache_view], v[:, :, :cache_view]
             p_now = jax.nn.softmax(last_logits)[probe_ids[0]]
             hidden, _, _ = forward_decode(
                 params, probe_ids[None, :], cfg, k, v, n_tokens[None],
@@ -181,26 +215,32 @@ class DuplexLMEngine:
             return jnp.concatenate([p_now[None], p_next])
 
         @functools.partial(
-            jax.jit, donate_argnums=(1, 2), static_argnames=("top_k", "max_n")
+            jax.jit, static_argnames=("top_k", "max_n", "cache_view")
         )
         def gen_until(
             params, k, v, n_tokens, first_token, base_key, step0,
             scalars, bias_ids, bias_vals, window_ids, window_count,
-            stop_id, n_limit, top_k, max_n,
+            stop_id, n_limit, top_k, max_n, cache_view=0,
         ):
             """Jitted multi-token generation (SURVEY §7 hard part 2): up to
             min(max_n, n_limit) sequential eval+sample steps in ONE device
             program, exiting the device loop as soon as stop_id is sampled
             (a bounded while_loop, so short generations don't pay for unused
             steps). K/V accumulates in a small side buffer against the
-            READ-ONLY cache and commits once. The PRNG/penalty-window schedule
-            is identical to per-token eval_and_sample, so results match the
-            stepwise path token-exactly. ``n_limit`` is dynamic: one compiled
-            max_n bucket serves any remaining-token cap without overshoot."""
-            from ..models.llama import commit_kv_scatter, forward_decode
+            READ-ONLY cache; the commit is a SEPARATE donated program
+            (commit_contig) so the attention read can be sliced to the
+            ``cache_view`` occupancy bucket for free — every step otherwise
+            streams the ENTIRE static cache (~600 MB at the default capacity)
+            through HBM even though positions >= n_tokens are masked. The
+            PRNG/penalty-window schedule is identical to per-token
+            eval_and_sample, so results match the stepwise path token-exactly.
+            ``n_limit`` is dynamic: one compiled max_n bucket serves any
+            remaining-token cap without overshoot."""
+            from ..models.llama import forward_decode
 
             cache_len = k.shape[2]
-            trash = cache_len - 4
+            if cache_view and cache_view < cache_len:
+                k, v = k[:, :, :cache_view], v[:, :, :cache_view]
             rejected = jnp.int32(2**30)
             kv_shape = (cfg.num_layers, 1, max_n, cfg.num_kv_heads, cfg.head_dim)
             dtype = jnp.dtype(cfg.compute_dtype)
@@ -257,17 +297,21 @@ class DuplexLMEngine:
             n_out, small_k, small_v, small_pos, _, _, _, _, hit, last_logits, out_tokens = (
                 jax.lax.while_loop(cond, body, init)
             )
-            target_idx = jnp.where(small_pos < rejected, small_pos, trash)
-            k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
-            return out_tokens, n_out, hit, last_logits, k, v
+            # executed steps fill small slots [0, n_out) in order, so the
+            # commit is CONTIGUOUS at n_tokens (commit_contig aliases the
+            # donated cache in place; a scatter commit measured ~12 ms — XLA
+            # copies the cache defensively around dynamic indices). The
+            # unwritten tail commits zeros at positions >= the new n_tokens:
+            # never attended (cache_valid masks), overwritten by later evals.
+            return out_tokens, n_out, hit, last_logits, small_k, small_v
 
         @functools.partial(
-            jax.jit, donate_argnums=(1, 2), static_argnames=("top_k", "max_frames")
+            jax.jit, static_argnames=("top_k", "max_frames", "cache_view")
         )
         def frames_until_event(
             params, k, v, n_tokens, prev_pair, user_tokens, base_key, step0,
             scalars, bias_ids, bias_vals, window_ids, window_count,
-            end_header, n_limit, probe_ids, top_k, max_frames,
+            end_header, n_limit, probe_ids, top_k, max_frames, cache_view=0,
         ):
             """Audio-frame continuation as ONE program: repeatedly eval the
             pending (agent, user) pair and sample the next agent token,
@@ -284,9 +328,15 @@ class DuplexLMEngine:
             the fused chunk program): its K/V never commit and the last
             active step's P(end_audio) + speaker lookahead come back with the
             result — the agent's end-of-chunk monitor needs no extra
-            forward."""
+            forward.
+
+            The big cache is READ-ONLY here (the K/V commit is a separate
+            donated contiguous program, commit_contig) so the attention read
+            slices to the ``cache_view`` occupancy bucket for free — same
+            structure as gen_until and the fused chunk."""
             cache_len = k.shape[2]
-            trash = cache_len - 4
+            if cache_view and cache_view < cache_len:
+                k, v = k[:, :, :cache_view], v[:, :, :cache_view]
             kv_shape = (cfg.num_layers, 1, 2 * max_frames, cfg.num_kv_heads, cfg.head_dim)
             dtype = jnp.dtype(cfg.compute_dtype)
             rejected = jnp.int32(2**30)
@@ -368,12 +418,16 @@ class DuplexLMEngine:
                 i_final, small_k, small_v, small_pos, n_final, prev, wids,
                 wcount, out_tokens, last_logits, event_tok, probs3, done,
             ) = jax.lax.while_loop(cond, body, init)
-            target_idx = jnp.where(small_pos < rejected, small_pos, trash)
-            k, v = commit_kv_scatter(k, v, small_k, small_v, target_idx)
-            return out_tokens, i_final, event_tok, last_logits, probs3, k, v
+            # executed frames fill small slots [0, 2*i_final) in order: the
+            # commit is CONTIGUOUS at the program's n_tokens (see gen_until)
+            return (
+                out_tokens, i_final, event_tok, last_logits, probs3,
+                small_k, small_v,
+            )
 
         self._prefill_fn = prefill
         self._decode_fn = decode_step
+        self._commit_contig_fn = commit_contig
         self._resample_fn = resample
         self._score_fn = score
         self._probs_fn = probs_of
@@ -382,6 +436,22 @@ class DuplexLMEngine:
         self._frames_fn = frames_until_event
 
     # ----------------------------------------------------------- state mgmt
+    def _view_bucket(self, extra: int = 0) -> int:
+        """Static attention-read bound for the next gen/frames/probe program:
+        n_tokens plus headroom, rounded up to a coarse bucket so only a
+        handful of program variants ever compile (0 = read the full cache).
+        Those programs read the big cache READ-ONLY — their K/V commits in a
+        separate donated program — so the slice is a free view; slicing a
+        buffer donated in the SAME program makes XLA copy it defensively
+        (round-1 negative result, docs/PERFORMANCE.md). RTCA_CACHE_VIEW=0
+        restores the full-cache read for A/B."""
+        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
+            return 0
+        cache_len = self._k.shape[2]
+        gran = view_granularity(cache_len)
+        view = ((self._n_tokens + extra + 64 + gran - 1) // gran) * gran
+        return 0 if view >= cache_len else view
+
     @property
     def n_tokens(self) -> int:
         return self._n_tokens
@@ -597,12 +667,13 @@ class DuplexLMEngine:
             self._input_ids + tokens, PENALTY_WINDOW
         )
         arr = jnp.asarray(np.array(tokens, dtype=np.int32)[None, :])
-        token, logits, self._k, self._v = self._decode_fn(
+        offset = jnp.int32(self._n_tokens)
+        token, logits, nk, nv = self._decode_fn(
             self.params,
             self._k,
             self._v,
             arr,
-            jnp.int32(self._n_tokens),
+            offset,
             self._next_key(),
             scalars,
             bias_ids,
@@ -610,7 +681,9 @@ class DuplexLMEngine:
             window_ids,
             window_mask,
             self.settings.top_k,
+            cache_view=self._view_bucket(),
         )
+        self._k, self._v = self._commit_contig_fn(self._k, self._v, nk, nv, offset)
         self._last_logits = logits
         self._input_ids.extend(tokens)
         self._n_tokens += len(tokens)
@@ -668,11 +741,12 @@ class DuplexLMEngine:
         # weight reads) but its scalars are not exposed
         probe = self._probe_token_ids or (end_header, 0, 0)
         scalars, (bias_ids, bias_vals) = self._device_settings()
-        out, n_evaled, event_tok, last_logits, probs3, self._k, self._v = self._frames_fn(
+        offset = jnp.int32(self._n_tokens - pending_evaled)
+        out, n_evaled, event_tok, last_logits, probs3, small_k, small_v = self._frames_fn(
             self.params,
             self._k,
             self._v,
-            jnp.int32(self._n_tokens - pending_evaled),
+            offset,
             jnp.asarray(np.array(pending_pair, np.int32)),
             jnp.asarray(ut),
             self._base_key,
@@ -687,6 +761,10 @@ class DuplexLMEngine:
             jnp.asarray(np.array(probe, np.int32)),
             self.settings.top_k,
             max_frames,
+            cache_view=self._view_bucket(),
+        )
+        self._k, self._v = self._commit_contig_fn(
+            self._k, self._v, small_k, small_v, offset
         )
         out, n_evaled, event_tok, probs3 = jax.device_get(
             (out, n_evaled, event_tok, probs3)
@@ -707,6 +785,76 @@ class DuplexLMEngine:
             else None
         )
         return accepted, (int(event_tok) if hit_event else None)
+
+    def prewarm_detours(
+        self,
+        gen_buckets: Sequence[int] = (4, 8, 32),
+        frames_bucket: Optional[int] = 8,
+        include_probe: bool = True,
+        include_decode: bool = True,
+    ) -> None:
+        """Compile every (program x cache-view bucket) variant of the detour
+        programs — gen_until, the frames continuation, the event probe — plus
+        their separate donated commit, through the REAL dispatch path (AOT
+        lower().compile() hashes to a different program; CLAUDE.md). A
+        session crossing a view-bucket boundary mid-run must never
+        cold-compile. The compute programs read the live cache READ-ONLY and
+        run with n_limit=0, so every prewarm execution is a no-op; the commit
+        compiles against throwaway buffers (live dispatches donate the real
+        ones later — prewarm must not)."""
+        cache_len = self._k.shape[2]
+        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
+            views = [0]
+        else:
+            gran = view_granularity(cache_len)
+            views = sorted(set(range(gran, cache_len, gran))) + [0]
+        scalars, (bias_ids, bias_vals) = self._device_settings()
+        window = jnp.zeros((PENALTY_WINDOW,), jnp.int32)
+        zero = jnp.int32(0)
+        logits0 = jnp.zeros((self.cfg.vocab_size,), jnp.float32)
+        smalls = {}
+        for view in views:
+            for max_n in gen_buckets:
+                r = self._gen_until_fn(
+                    self.params, self._k, self._v, zero, jnp.int32(1),
+                    self._base_key, zero, scalars, bias_ids, bias_vals,
+                    window, zero, zero, zero, self.settings.top_k, max_n,
+                    cache_view=view,
+                )
+                smalls[max_n] = (r[4], r[5])
+            if frames_bucket:
+                r = self._frames_fn(
+                    self.params, self._k, self._v, zero,
+                    jnp.zeros((2,), jnp.int32),
+                    jnp.zeros((frames_bucket,), jnp.int32),
+                    self._base_key, zero, scalars, bias_ids, bias_vals,
+                    window, zero, zero, zero, jnp.zeros((3,), jnp.int32),
+                    self.settings.top_k, frames_bucket, cache_view=view,
+                )
+                smalls[2 * frames_bucket] = (r[5], r[6])
+            if include_probe:
+                self._event_probe_fn(
+                    self.params, self._k, self._v, zero, logits0,
+                    jnp.zeros((1,), jnp.int32), jnp.zeros((2,), jnp.int32),
+                    cache_view=view,
+                )
+            if include_decode:
+                for t in (1, 2):  # stepwise eval_and_sample shapes (T=1 / pair)
+                    wid, wmask = make_window([1], PENALTY_WINDOW)
+                    r = self._decode_fn(
+                        self.params, self._k, self._v,
+                        jnp.zeros((1, t), jnp.int32), zero, self._base_key,
+                        scalars, bias_ids, bias_vals, wid, wmask,
+                        self.settings.top_k, cache_view=view,
+                    )
+                    smalls[f"decode{t}"] = (r[2], r[3])
+        # one throwaway donated pair chained through every distinct commit
+        # shape (the writes land in a dead buffer)
+        tk = jnp.zeros(self._k.shape, self._k.dtype)
+        tv = jnp.zeros(self._v.shape, self._v.dtype)
+        for nk, nv in smalls.values():
+            tk, tv = self._commit_contig_fn(tk, tv, nk, nv, zero)
+        jax.device_get(tv[0, 0, 0, 0, 0])  # sync before the timed region
 
     def set_end_header_token_id(self, token_id: int) -> None:
         """Register the audio/event boundary id (tokens > this are codec
@@ -742,7 +890,8 @@ class DuplexLMEngine:
         if tail:
             window[-len(tail):] = tail
         scalars, (bias_ids, bias_vals) = self._device_settings()
-        out_tokens, n_out, done, last_logits, self._k, self._v = self._gen_until_fn(
+        offset = jnp.int32(self._n_tokens)
+        out_tokens, n_out, done, last_logits, small_k, small_v = self._gen_until_fn(
             self.params,
             self._k,
             self._v,
@@ -759,6 +908,10 @@ class DuplexLMEngine:
             jnp.int32(max_n if n_limit is None else min(n_limit, max_n)),
             self.settings.top_k,
             max_n,
+            cache_view=self._view_bucket(),
+        )
+        self._k, self._v = self._commit_contig_fn(
+            self._k, self._v, small_k, small_v, offset
         )
         out, n, hit = jax.device_get((out_tokens, n_out, done))
         toks = [int(t) for t in out[: int(n)]]
@@ -853,6 +1006,7 @@ class DuplexLMEngine:
                 self._last_logits,
                 jnp.asarray([int(trigger_id)], jnp.int32),
                 jnp.asarray(np.array(next_ids, np.int32)),
+                cache_view=self._view_bucket(),
             )
         )
         return float(out[0]), [float(x) for x in out[1:]]

@@ -364,6 +364,56 @@ def test_generate_until_n_limit(cfg, params):
     assert lim.eval_and_sample([toks[-1]]) == ref.eval_and_sample([ref_tokens[-1]])
 
 
+def test_generate_until_view_bucket_crossing(cfg, params, monkeypatch):
+    """gen_until reads the big cache through a STATIC occupancy-bucketed view
+    (its K/V commits in a separate donated program). Token streams must be
+    identical whichever bucket a call lands in AND as consecutive calls cross
+    bucket boundaries — the slice only removes positions that cache_valid
+    already masks (f32 so cross-program numerics cannot flip samples)."""
+    import dataclasses
+
+    from realtime_codec_agent_tpu.lm.engine import DuplexLMEngine
+    from realtime_codec_agent_tpu.models.llama import init_lm_params
+
+    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
+    params32 = init_lm_params(jax.random.PRNGKey(2), cfg32)
+
+    def run(gran):
+        if gran is None:
+            monkeypatch.setenv("RTCA_CACHE_VIEW", "0")
+        else:
+            monkeypatch.setenv("RTCA_CACHE_VIEW", "1")
+            monkeypatch.setenv("RTCA_VIEW_GRAN", str(gran))
+        e = DuplexLMEngine(params32, cfg32, seed=9)
+        e.init_sampler_for_generate(temp=1.0, top_k=50, repeat_penalty=1.2, seed=9)
+        e.eval([20 + (i % 200) for i in range(420)])
+        views, stream = [], []
+        for _ in range(6):
+            views.append(e._view_bucket())
+            toks, _ = e.generate_until(31, stop_id=-1, max_n=16)
+            stream.extend(toks)
+        return views, stream
+
+    views_fine, stream_fine = run(256)
+    assert len(set(views_fine)) >= 2, f"no bucket crossing exercised: {views_fine}"
+    _, stream_full = run(None)
+    assert stream_fine == stream_full
+
+
+def test_prewarm_detours_smoke(cfg, params, monkeypatch):
+    """prewarm_detours compiles every (program x view bucket) variant as
+    no-ops: engine state is untouched and live calls still work after."""
+    monkeypatch.setenv("RTCA_VIEW_GRAN", "1024")
+    e = DuplexLMEngine(params, cfg, seed=3)
+    e.init_sampler_for_generate(seed=3)
+    e.eval([1, 2, 3])
+    ids_before = list(e._input_ids)
+    e.prewarm_detours(gen_buckets=(4,), frames_bucket=4)
+    assert e._input_ids == ids_before and e.n_tokens == len(ids_before)
+    toks, _ = e.generate_until(6, stop_id=-1, max_n=4)
+    assert len(toks) == 4
+
+
 def test_int8_quantized_decode_close(cfg, params):
     """int8 decode weights (q8_0-style per-channel) keep logits close to the
     full-precision path and run through the whole engine surface."""
