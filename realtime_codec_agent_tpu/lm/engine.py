@@ -31,7 +31,6 @@ import numpy as np
 from ..models.llama import (
     DuplexLMConfig,
     commit_kv,
-    commit_kv_scatter,
     forward,
     forward_decode,
     logits_from_hidden,
@@ -895,7 +894,7 @@ class DuplexLMEngine:
             self.params,
             self._k,
             self._v,
-            jnp.int32(self._n_tokens),
+            offset,
             jnp.int32(first_token),
             self._base_key,
             jnp.int32(self._step),
