@@ -22,6 +22,7 @@ from __future__ import annotations
 import copy
 import dataclasses
 import re
+import threading
 import time
 from dataclasses import dataclass
 from datetime import datetime
@@ -2257,8 +2258,15 @@ class RealtimeAgentMultiprocessing:
         restore_state); pending queued input is dropped."""
         # flag FIRST: the child must be reading the queue before a payload
         # larger than the pipe buffer is written, or put() deadlocks
+        self._check_child_alive("restore")
         self.restore_flag.value = True
-        self.restore_queue.put(snap)
+        # put() on a helper thread: if the child dies mid-restore, a snapshot
+        # larger than the pipe buffer blocks the write forever (nobody drains
+        # the pipe); the reply wait below polls liveness and raises instead
+        t = threading.Thread(
+            target=self.restore_queue.put, args=(snap,), daemon=True
+        )
+        t.start()
         ok, err = self._get_from_child(self.restore_reply_queue, "restore")
         if not ok:
             raise RuntimeError(f"snapshot restore failed in child: {err}")

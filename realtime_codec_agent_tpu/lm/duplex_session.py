@@ -536,13 +536,9 @@ class DuplexSession:
         eng = self.engine
         kv_shape = eng._k.shape
         cache_len = kv_shape[2]
-        import os
+        from .engine import view_buckets
 
-        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
-            views = [0]  # cache-view disabled: only the full-view program runs
-        else:
-            gran = self.view_granularity(cache_len)
-            views = sorted(set(range(gran, cache_len, gran))) + [0]
+        views = view_buckets(cache_len)
         bias_ids, bias_vals = eng.settings.bias_arrays()
         chain = {
             "prev_pair": jnp.zeros((2,), jnp.int32),
@@ -608,14 +604,6 @@ class DuplexSession:
             self._dev_settings_key = key
         return self._dev_scalars, self._dev_bias
 
-    @staticmethod
-    def view_granularity(cache_len: int) -> int:
-        """Cache-view bucket size (shared with the engine's detour programs —
-        lm/engine.view_granularity). ``RTCA_VIEW_GRAN`` overrides for A/B."""
-        from .engine import view_granularity
-
-        return view_granularity(cache_len)
-
     def _cache_view_bucket(self) -> int:
         """Static attention-read bound for the next fused chunk: the host
         n_tokens mirror (which may lag one in-flight pipelined chunk) plus
@@ -628,15 +616,10 @@ class DuplexSession:
         as a separate donated program (_commit_chunk) and this program's
         cache is read-only, so the slice is a free view; RTCA_CACHE_VIEW=0
         restores the full-cache read for A/B."""
-        import os
+        from .engine import view_bucket_for
 
-        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
-            return 0
-        cache_len = self.engine._k.shape[2]
-        gran = self.view_granularity(cache_len)
         need = self.engine.n_tokens + 4 * self.chunk_frames + 64
-        view = ((need + gran - 1) // gran) * gran
-        return 0 if view >= cache_len else view
+        return view_bucket_for(need, self.engine._k.shape[2])
 
     def resolve(self, handles) -> Tuple[FusedChunkResult, int]:
         """Fetch a dispatched chunk's packed results (ONE batched host

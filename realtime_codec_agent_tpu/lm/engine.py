@@ -65,6 +65,35 @@ def view_granularity(cache_len: int) -> int:
     return 4096 if cache_len >= 8192 else max(256, cache_len // 4)
 
 
+def cache_view_enabled() -> bool:
+    """``RTCA_CACHE_VIEW=0`` disables occupancy-bucketed cache views (every
+    attention read scans the full cache) for A/B."""
+    return os.environ.get("RTCA_CACHE_VIEW", "1") == "1"
+
+
+def view_buckets(cache_len: int) -> List[int]:
+    """Every cache-view variant a session can request over its lifetime:
+    each multiple of the granularity below cache_len, plus 0 (= full view).
+    Prewarm iterates exactly this list and dispatch-time bucketing
+    (``view_bucket_for``) rounds into it — ONE source, so the variants
+    prewarmed and the variants live dispatches request cannot diverge
+    (divergence reintroduces mid-run cold compiles; CLAUDE.md)."""
+    if not cache_view_enabled():
+        return [0]
+    gran = view_granularity(cache_len)
+    return sorted(set(range(gran, cache_len, gran))) + [0]
+
+
+def view_bucket_for(need: int, cache_len: int) -> int:
+    """Round an attention-read bound (tokens the next program may touch) up
+    to its cache-view bucket; 0 = read the full cache."""
+    if not cache_view_enabled():
+        return 0
+    gran = view_granularity(cache_len)
+    view = ((need + gran - 1) // gran) * gran
+    return 0 if view >= cache_len else view
+
+
 class DuplexLMEngine:
     def __init__(
         self,
@@ -444,12 +473,7 @@ class DuplexLMEngine:
         buffer donated in the SAME program makes XLA copy it defensively
         (round-1 negative result, docs/PERFORMANCE.md). RTCA_CACHE_VIEW=0
         restores the full-cache read for A/B."""
-        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
-            return 0
-        cache_len = self._k.shape[2]
-        gran = view_granularity(cache_len)
-        view = ((self._n_tokens + extra + 64 + gran - 1) // gran) * gran
-        return 0 if view >= cache_len else view
+        return view_bucket_for(self._n_tokens + extra + 64, self._k.shape[2])
 
     @property
     def n_tokens(self) -> int:
@@ -802,11 +826,7 @@ class DuplexLMEngine:
         compiles against throwaway buffers (live dispatches donate the real
         ones later — prewarm must not)."""
         cache_len = self._k.shape[2]
-        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
-            views = [0]
-        else:
-            gran = view_granularity(cache_len)
-            views = sorted(set(range(gran, cache_len, gran))) + [0]
+        views = view_buckets(cache_len)
         scalars, (bias_ids, bias_vals) = self._device_settings()
         window = jnp.zeros((PENALTY_WINDOW,), jnp.int32)
         zero = jnp.int32(0)

@@ -574,17 +574,13 @@ class GroupCoordinator:
         """Compile the group-program variants through the real dispatch path
         (keyword statics; see DuplexSession.prewarm for why) against halted
         chains — a no-op on the live caches."""
-        import os
+        from .engine import view_buckets
 
         R = self.n_rows
         s0 = self.sessions[0]
         engines = [s.engine for s in self.sessions]
         cache_len = engines[0]._k.shape[2]
-        if os.environ.get("RTCA_CACHE_VIEW", "1") != "1":
-            views = [0]
-        else:
-            gran = DuplexSession.view_granularity(cache_len)
-            views = sorted(set(range(gran, cache_len, gran))) + [0]
+        views = view_buckets(cache_len)
         halted = {
             "prev_pair": jnp.zeros((2,), jnp.int32),
             "n": jnp.int32(2),

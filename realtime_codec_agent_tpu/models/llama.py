@@ -878,34 +878,38 @@ def persist_codec_embeddings(params: Dict, cfg: DuplexLMConfig, batch_size: int 
 # int8 inference quantization (reference deploys q8_0 GGUF, prep_test_model.sh)
 # ---------------------------------------------------------------------------
 
+# decode-path layer matmul leaves eligible for weight quantization
+_DECODE_QUANT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "wqkv", "w_gu")
+
+
+def _quant8_leaf(w):
+    """Per-output-channel symmetric int8: {"q": int8 (in,out), "s": f32 (out,)}
+    consumed transparently by ops/nn.qdot. Already-quantized dict leaves
+    (e.g. native GGUF imports) pass through untouched. ONE definition — the
+    int8 and int4 deployment paths must quantize the lm_head identically."""
+    if isinstance(w, dict):
+        return w
+    wf = jnp.asarray(w, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale}
+
+
 def quantize_params_int8(params: Dict) -> Dict:
     """Per-output-channel symmetric int8 quantization of the decode-path
     matmul weights (attention projections, MLP, lm_head). Embeddings and
-    norms stay in the original dtype (gathers read only the needed rows).
-    Quantized leaves become {"q": int8 (in,out), "s": f32 (out,)} consumed
-    transparently by ops/nn.qdot — halving the per-token HBM weight traffic
-    that dominates batch-1 decode."""
-
-    def quant(w):
-        if isinstance(w, dict):
-            return w  # already quantized (e.g. a native GGUF Q4_K leaf)
-        wf = jnp.asarray(w, jnp.float32)
-        scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
-        scale = jnp.maximum(scale, 1e-12)
-        q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
-        return {"q": q, "s": scale}
-
-    names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "wqkv", "w_gu")
+    norms stay in the original dtype (gathers read only the needed rows) —
+    halving the per-token HBM weight traffic that dominates batch-1 decode."""
     out = dict(params)
     out["layers"] = [
         {
             **blk,
-            **{name: quant(blk[name]) for name in names if name in blk},
+            **{n: _quant8_leaf(blk[n]) for n in _DECODE_QUANT_NAMES if n in blk},
         }
         for blk in params["layers"]
     ]
     if "lm_head" in params:
-        out["lm_head"] = quant(params["lm_head"])
+        out["lm_head"] = _quant8_leaf(params["lm_head"])
     return out
 
 
@@ -944,23 +948,14 @@ def quantize_params_int4(params: Dict, group: int = 32) -> Dict:
         packed = (q[:, :gh, :] | (q[:, gh:, :] << 4)).reshape(k // 2, n)
         return {"q4": packed, "d": d, "m": m}
 
-    def quant8(w):
-        if isinstance(w, dict):
-            return w
-        wf = jnp.asarray(w, jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
-        q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
-        return {"q": q, "s": scale}
-
-    names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "wqkv", "w_gu")
     out = dict(params)
     out["layers"] = [
         {
             **blk,
-            **{name: quant4(blk[name]) for name in names if name in blk},
+            **{n: quant4(blk[n]) for n in _DECODE_QUANT_NAMES if n in blk},
         }
         for blk in params["layers"]
     ]
     if "lm_head" in params:
-        out["lm_head"] = quant8(params["lm_head"])
+        out["lm_head"] = _quant8_leaf(params["lm_head"])
     return out

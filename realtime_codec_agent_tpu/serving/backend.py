@@ -28,6 +28,20 @@ class CompletionBackend:
         self._lock = threading.Lock()  # one sequence at a time per engine
         self.last_finish_reason: Optional[str] = None  # "stop" | "length"
 
+    def prewarm(self) -> None:
+        """Compile every cache-view variant of the fused decode step (plus its
+        donated commit) up front. ``eval_and_sample`` is compiled per
+        occupancy bucket (static ``cache_view``); without this, a request
+        whose prompt+generation crosses a 4096-token bucket boundary triggers
+        a fresh multi-second XLA compile inside the per-token loop, stalling
+        the streamed response mid-request (CLAUDE.md: never cold-compile
+        mid-run). Prefill buckets are view-independent and compile once at
+        first use."""
+        self.engine.prewarm_detours(
+            gen_buckets=(), frames_bucket=None,
+            include_probe=False, include_decode=True,
+        )
+
     def _prefill_with_prefix_reuse(self, prompt_ids: List[int]) -> None:
         """Keep the longest matching KV prefix, roll back past the divergence,
         eval only the new suffix."""

@@ -210,6 +210,8 @@ def main(argv=None):
         backend = BatchedCompletionBackend(engine, resources.tokenizer)
     else:
         backend = CompletionBackend(resources.llm, resources.tokenizer)
+        print("prewarming decode cache-view variants...", flush=True)
+        backend.prewarm()  # no view-bucket cold compile mid-request
     server = CompletionServer(backend, host=args.host, port=args.port)
     print(f"Serving {backend.model_name} on {args.host}:{server.port} (batch={args.batch_size})")
     server.serve_forever()

@@ -519,3 +519,28 @@ def test_eval_and_sample_frames_int8_quantized(params, cfg):
     eng2.eval([5, 200, 300, 400])
     toks2, event2 = eng2.eval_and_sample_frames([150, 160], [170, 180, 190])
     assert (toks, event) == (toks2, event2)
+
+
+def test_view_bucket_helpers_consistent(monkeypatch):
+    """Prewarm and dispatch share ONE view-bucket source: every bucket
+    view_bucket_for can return must be in view_buckets (a miss would
+    reintroduce mid-run cold compiles — CLAUDE.md prewarm invariant)."""
+    from realtime_codec_agent_tpu.lm.engine import (
+        view_bucket_for,
+        view_buckets,
+        view_granularity,
+    )
+
+    monkeypatch.delenv("RTCA_VIEW_GRAN", raising=False)
+    monkeypatch.setenv("RTCA_CACHE_VIEW", "1")
+    for cache_len in (1024, 8192, 18432, 20480):
+        buckets = view_buckets(cache_len)
+        assert buckets[-1] == 0 and 0 not in buckets[:-1]
+        gran = view_granularity(cache_len)
+        assert all(b % gran == 0 and b < cache_len for b in buckets[:-1])
+        for need in range(0, cache_len + gran, max(1, gran // 7)):
+            assert view_bucket_for(need, cache_len) in buckets
+    # disabled: only the full view exists, and dispatch requests only it
+    monkeypatch.setenv("RTCA_CACHE_VIEW", "0")
+    assert view_buckets(8192) == [0]
+    assert view_bucket_for(300, 8192) == 0
