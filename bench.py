@@ -1,10 +1,11 @@
 """Headline benchmark: full-duplex realtime factor on one TPU chip.
 
 Runs the complete agent pipeline — streaming codec encode, duplex LM frame
-steps (fused eval+sample), event-probability probe, streaming codec decode,
-crossfade — at full model scale (Llama-3.2-1B-geometry LM, full-size codec,
-131k codebook) on synthetic audio, with sampling pinned to the codec region so
-untrained weights still follow the pure-audio duplex path.
+steps (fused eval+sample), event-probability probe, on-TPU Whisper ASR on
+transcription events (default ON), streaming codec decode, crossfade — at full
+model scale (Llama-3.2-1B-geometry LM, full-size codec, 131k codebook) on
+synthetic audio, with sampling pinned to the codec region so untrained weights
+still follow the pure-audio duplex path.
 
 The HARD paths are exercised too, not just the hot loop:
 - a scripted trans/response event fires every --event_every chunks: inline
@@ -27,15 +28,26 @@ Two measured phases over the same scripted session:
   (fast/event/trim) together with detour resolution times and the audible
   filler gaps that cover them.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-- value = full-duplex RTF = throughput-phase wall time / audio_time (LOWER
-  is better).
+The whole run fits a WALL-CLOCK BUDGET (--budget, default 780 s, env
+RTCA_BENCH_BUDGET_S): the prewarm is time-boxed, the headline JSON prints as
+soon as the first throughput rep completes, and extra reps plus the paced
+latency phase run only with budget headroom (VERDICT r2: round 2's bench
+timed out rc=124 and landed no number at all — a partially-prewarmed number
+beats none). The shared tunnel's health swings identical code 0.39-0.46 RTF
+(CLAUDE.md), so a one-rep number is noisy but honest.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+- value = full-duplex RTF = MEDIAN over completed throughput reps of
+  (wall processing time / audio time); LOWER is better. The best rep and all
+  reps ride along as "rtf_best" / "rtf_all" extras (one statistic, stated
+  consistently — VERDICT r2 weak-item 2).
 - vs_baseline = 1.0 / value = speedup vs the reference's must-beat 1.0x
   realtime threshold (reference realtime_agent_profiler.py:108; the reference
   publishes no absolute numbers, BASELINE.md).
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -47,6 +59,13 @@ def main():
     parser.add_argument("--secs", type=float, default=100.0)
     parser.add_argument("--warmup_chunks", type=int, default=20)
     parser.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
+    parser.add_argument(
+        "--budget", type=float,
+        default=float(os.environ.get("RTCA_BENCH_BUDGET_S", "780")),
+        help="wall-clock budget in seconds for the WHOLE run (setup included). "
+             "The prewarm is time-boxed to leave room for one throughput rep; "
+             "extra reps and the paced phase run only with headroom",
+    )
     parser.add_argument(
         "--no-pipeline", action="store_true",
         help="synchronous per-chunk processing (adds the tunnel fetch fee to every chunk)",
@@ -65,10 +84,10 @@ def main():
     )
     parser.add_argument(
         "--throughput_repeats", type=int, default=3,
-        help="repeat the throughput phase N times and report the BEST RTF: "
-             "shared-tunnel noise (stalls, contention) is strictly additive, "
-             "so the minimum is the least-biased estimate of the true cost "
-             "(observed same-code swings: 0.38 to 0.54 within one hour)",
+        help="run UP TO N throughput reps (budget permitting; the first always "
+             "runs) and report the MEDIAN RTF; best/all reps ride along as "
+             "JSON extras. Tunnel noise swings identical code 0.38-0.54 "
+             "within an hour, so a single draw reports noise",
     )
     parser.add_argument(
         "--event_every", type=int, default=75,
@@ -90,9 +109,11 @@ def main():
              "structure, ops/int4_matmul.py): lowest-bandwidth decode path",
     )
     parser.add_argument(
-        "--whisper", action="store_true",
+        "--whisper", action=argparse.BooleanOptionalAction, default=True,
         help="run on-TPU Whisper transcription inside scripted trans events "
-             "(random small.en-geometry weights; decode text is canned)",
+             "(random small.en-geometry weights; decode text is canned — the "
+             "DEVICE cost is what the headline must include). Default ON "
+             "(VERDICT r2 item 4); --no-whisper reproduces the r1/r2 metric",
     )
     parser.add_argument(
         "--no-prewarm", action="store_true",
@@ -103,6 +124,22 @@ def main():
     args.warmup_chunks = max(1, args.warmup_chunks)
     use_async = not args.no_async and not args.no_pipeline
     run_paced_phase = not args.no_paced and use_async
+
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return args.budget - (time.monotonic() - t_start)
+
+    if args.tiny and os.environ.get("RTCA_TINY_TPU") != "1":
+        # tiny is the CPU smoke: the environment force-prepends the axon TPU
+        # platform even over JAX_PLATFORMS (see tests/conftest.py), so force
+        # cpu via jax.config before any backend initialization — otherwise
+        # tiny-model setup runs over the tunnel (measured 103 s for resources
+        # alone). RTCA_TINY_TPU=1 opts back into tiny-on-TPU.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from realtime_codec_agent_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -160,58 +197,83 @@ def main():
         # random weights never sample <|audio|>: bound the scripted events
         max_inline_text_tokens=args.event_text_tokens,
     )
-    # prewarm the cold-path program shapes (big prefill buckets for the trim
-    # KV rebuild, teacher-forced scoring, scan text generation) so first-time
-    # XLA compiles land in setup, not in the timed region. State is rolled
-    # back; the agent's reset re-prefills from scratch.
-    if not args.no_prewarm:
-        eng = resources.llm
-        eng.init_sampler_for_generate(seed=args.seed)
-        for n in (1024, 2048):
-            eng.eval([1] * n)
-        # finalize scores its two contexts as ONE batched (B=2) forward
-        eng.get_logprobs_batch([([1] * 100, [1] * 50)] * 2)    # score @ 256
-        eng.get_logprobs_batch([([1] * 1500, [1] * 100)] * 2)  # score @ 2048
-        eng.get_logprobs_batch([([1] * 2500, [1] * 100)] * 2)  # score @ 4096
-        for n in (4, 8, 32):                         # text-gen scan buckets
-            eng.generate_until(1, stop_id=0, max_n=n)
-        for b in (8, 16, 32, 64, 128, 256, 512):     # small prefill buckets
-            eng.eval([1] * b)
-        eng.init_sampler_for_generate(temp=0.0)
-        eng.eval_and_sample([1])                     # decode T=1 / T=2
-        eng.eval_and_sample([1, 2])
-        eng.event_probs(1, [2, 3])                   # fallback probe program
-        eng.reset()
     agent = RealtimeAgent(resources=resources, config=config)
-    if not args.no_prewarm:
-        # drive the EVENT machinery once (sync chunk, forced trans, forced
+
+    # ---- prewarm, TIME-BOXED and in priority order -------------------------
+    # Reserve room for one full throughput rep (worst-case RTF ~1.2 in a
+    # degraded window) + drain + JSON; everything before that reservation is
+    # the prewarm's slice. Tiny mode skips prewarming entirely: it is a CPU
+    # smoke, in-run compiles are acceptable there and the r2 prewarm cost
+    # 319 s even tiny (VERDICT weak-item 1b).
+    rep_reserve = args.secs * 1.25 + 45.0
+    pw_deadline = time.monotonic() + max(0.0, remaining() - rep_reserve)
+
+    def pw_ok() -> bool:
+        return time.monotonic() < pw_deadline
+
+    if not args.no_prewarm and not args.tiny:
+        # 1) the hot loop + detour programs (every cache-view bucket): a cold
+        # compile here lands INSIDE the timed region, so these go first
+        agent._session.prewarm(deadline=pw_deadline)
+        print(f"prewarm[session]: done at {time.time()-t_setup:.1f}s "
+              f"({'full' if pw_ok() else 'TIME-BOXED'})", file=sys.stderr)
+        # 2) drive the EVENT machinery once (sync chunk, forced trans, forced
         # response) so its remaining programs compile now; reset rebuilds a
         # clean session afterwards
-        was_pipelined = agent.config.pipeline_chunks
-        was_async = agent.config.async_detours
-        agent.config.pipeline_chunks = False
-        agent.config.async_detours = False
-        warm_chunk = np.zeros(agent.chunk_size_samples, np.float32)
-        agent.process_audio(warm_chunk)
-        for patch in ("should_force_transcription", "should_force_response"):
-            keep = getattr(agent, patch)
-            setattr(agent, patch, lambda: True)
+        if pw_ok():
+            was_pipelined = agent.config.pipeline_chunks
+            was_async = agent.config.async_detours
+            agent.config.pipeline_chunks = False
+            agent.config.async_detours = False
+            warm_chunk = np.zeros(agent.chunk_size_samples, np.float32)
             agent.process_audio(warm_chunk)
-            setattr(agent, patch, keep)
+            for patch in ("should_force_transcription", "should_force_response"):
+                if not pw_ok():
+                    break
+                keep = getattr(agent, patch)
+                setattr(agent, patch, lambda: True)
+                agent.process_audio(warm_chunk)
+                setattr(agent, patch, keep)
+            agent.config.pipeline_chunks = was_pipelined
+            agent.config.async_detours = was_async
+            print(f"prewarm[events]: done at {time.time()-t_setup:.1f}s",
+                  file=sys.stderr)
+        # 3) whisper window buckets (mid-run utterances grow past the small
+        # buckets; a cold 10 s-window compile over the tunnel stalls an event)
         if args.whisper:
-            # compile every whisper window bucket now (mid-run utterances
-            # grow past the small buckets)
             for secs in (1.0, 6.0, 12.0):
+                if not pw_ok():
+                    break
                 whisper.transcribe(
                     np.zeros(int(secs * whisper._model.config.sample_rate), np.float32)
                 )
-        agent.config.pipeline_chunks = was_pipelined
-        agent.config.async_detours = was_async
-        agent.reset()
-        # AOT-compile every fused-chunk variant (cache-view buckets x replay
-        # flag): buckets cross mid-run as the context grows and a cold XLA
-        # compile over the tunnel would stall the timed loop for seconds
-        agent._session.prewarm()
+        # 4) cold-path engine shapes (trim-rebuild prefills, finalize scoring,
+        # text-gen scan buckets, small re-prefill buckets), each gated —
+        # dropped tail shapes cost one in-run compile each, which is the
+        # right trade against a blown budget
+        eng = resources.llm
+        eng.init_sampler_for_generate(seed=args.seed)
+        for n in (2048, 1024):                        # trim-rebuild prefills
+            if pw_ok():
+                eng.eval([1] * n)
+        for ctx_n in (2500, 1500, 100):               # finalize B=2 scoring
+            if pw_ok():                               # @4096 / @2048 / @256
+                eng.get_logprobs_batch([([1] * ctx_n, [1] * 100)] * 2)
+        for n in (32, 8, 4):                          # text-gen scan buckets
+            if pw_ok():
+                eng.generate_until(1, stop_id=0, max_n=n)
+        for b in (512, 256, 128, 64, 32, 16, 8):      # small prefill buckets
+            if pw_ok():
+                eng.eval([1] * b)
+        if pw_ok():
+            eng.init_sampler_for_generate(temp=0.0)
+            eng.eval_and_sample([1])                  # decode T=1 / T=2
+            eng.eval_and_sample([1, 2])
+            eng.event_probs(1, [2, 3])                # fallback probe program
+        eng.reset()
+        print(f"prewarm[shapes]: done at {time.time()-t_setup:.1f}s "
+              f"({'full' if pw_ok() else 'TIME-BOXED'})", file=sys.stderr)
+    agent.reset()
     # pin generation to the codec region (pure-audio duplex path)
     _orig_set_sampler = agent.set_sampler
 
@@ -235,6 +297,7 @@ def main():
         "going with it for a while longer",
         add_special_tokens=False,
     )
+
     def make_sched(secs: float):
         sched = {}
         if args.event_every > 0:
@@ -246,7 +309,19 @@ def main():
                     k += 1
         return sched
 
-    sched = make_sched(args.secs)
+    # shrink the rep length if the budget can no longer fit --secs (a shorter
+    # honest rep beats a blown budget; floor 40 s still crosses event chunks)
+    secs_eff = args.secs
+    rem = remaining()
+    if rem < secs_eff * 1.25 + 40.0:
+        secs_eff = max(40.0, (rem - 40.0) / 1.25)
+        print(
+            f"[budget] {rem:.0f}s left after setup: shrinking rep audio "
+            f"{args.secs:.0f}s -> {secs_eff:.0f}s",
+            file=sys.stderr,
+        )
+
+    sched = make_sched(secs_eff)
     proc_state = {"i": 0}
     orig_ft = agent.should_force_transcription
     orig_fr = agent.should_force_response
@@ -353,11 +428,23 @@ def main():
         }
 
     # ---- phase 1: throughput (headline) — back-to-back, wall-clocked.
-    # Repeated runs take the MEDIAN: the shared tunnel's health moves
-    # identical code ~±8% run to run, and a single draw would report noise.
-    audio = make_audio(args.secs)
+    # The FIRST rep always runs; further reps (up to --throughput_repeats)
+    # run only while the budget has headroom for another rep of the same
+    # wall cost. Reported value = MEDIAN of completed reps (best/all ride
+    # along as JSON extras).
+    audio = make_audio(secs_eff)
     rtfs = []
+    audio_secs = 0.0
     for rep in range(max(1, args.throughput_repeats)):
+        if rep > 0:
+            last_wall = rtfs[-1] * audio_secs
+            if remaining() < last_wall * 1.3 + 20.0:
+                print(
+                    f"[budget] {remaining():.0f}s left < rep cost "
+                    f"{last_wall:.0f}s x1.3: stopping at {rep} reps",
+                    file=sys.stderr,
+                )
+                break
         res_t = run_session(audio, paced=False, label=f"throughput {rep+1}")
         audio_secs = len(res_t["latencies"]) * chunk_secs
         rep_rtf = float(res_t["wall"]) / audio_secs
@@ -368,17 +455,44 @@ def main():
             f"(transcript entries: {res_t['transcript_entries']})",
             file=sys.stderr,
         )
-    rtf = float(min(rtfs))
+    rtf = float(np.median(rtfs))
     print(
-        f"[throughput] best rtf={rtf:.4f} over {len(rtfs)} runs "
-        f"({', '.join(f'{r:.4f}' for r in sorted(rtfs))}) — tunnel noise is "
-        "strictly additive, so min estimates the true cost",
+        f"[throughput] median rtf={rtf:.4f} over {len(rtfs)} run(s) "
+        f"({', '.join(f'{r:.4f}' for r in sorted(rtfs))}; best "
+        f"{min(rtfs):.4f})",
         file=sys.stderr,
     )
 
+    # the gate line prints NOW — the paced phase below is diagnostics-only
+    # (stderr) and must not stand between the driver and its number
+    print(
+        json.dumps(
+            {
+                "metric": "full_duplex_rtf",
+                "value": round(rtf, 4),
+                "unit": "x_realtime (median wall processing_time/audio_time "
+                        "over completed reps, lower is better)",
+                "vs_baseline": round(1.0 / rtf, 3),
+                "rtf_best": round(float(min(rtfs)), 4),
+                "rtf_all": [round(r, 4) for r in rtfs],
+                "reps": len(rtfs),
+                "audio_secs": round(audio_secs, 1),
+                "whisper": bool(args.whisper),
+            }
+        ),
+        flush=True,
+    )
+
     # ---- phase 2: latency — paced at the realtime cadence ----
+    lat_secs = args.latency_secs if args.latency_secs is not None else secs_eff
+    if run_paced_phase and remaining() < lat_secs * 1.15 + 30.0:
+        print(
+            f"[budget] {remaining():.0f}s left: skipping the paced latency "
+            f"phase (needs ~{lat_secs * 1.15 + 30.0:.0f}s)",
+            file=sys.stderr,
+        )
+        run_paced_phase = False
     if run_paced_phase:
-        lat_secs = args.latency_secs if args.latency_secs is not None else args.secs
         res_l = run_session(make_audio(lat_secs), paced=True, label="latency")
         lat = res_l["latencies"]
         kinds = res_l["kinds"]
@@ -414,17 +528,6 @@ def main():
             f"transcript entries: {res_l['transcript_entries']}",
             file=sys.stderr,
         )
-
-    print(
-        json.dumps(
-            {
-                "metric": "full_duplex_rtf",
-                "value": round(rtf, 4),
-                "unit": "x_realtime (best-of-repeats wall processing_time/audio_time, lower is better)",
-                "vs_baseline": round(1.0 / rtf, 3),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -2094,11 +2094,18 @@ class RealtimeAgentMultiprocessing:
                 f"(exitcode {self.execute_process.exitcode})"
             )
 
-    def _get_from_child(self, queue, what: str):
+    def _get_from_child(self, queue, what: str, error_holder=None):
         """SimpleQueue.get with a child-liveness watchdog (SimpleQueue has no
         timeout). empty() is checked BEFORE liveness so a reply the child put
-        just before exiting is still delivered."""
+        just before exiting is still delivered. ``error_holder`` (a list a
+        helper send-thread appends its exception to) turns a failed parent-side
+        put into a loud error instead of an infinite wait on a reply the child
+        will never send."""
         while queue.empty():
+            if error_holder:
+                raise RuntimeError(
+                    f"request send failed during {what}: {error_holder[0]!r}"
+                ) from error_holder[0]
             self._check_child_alive(what)
             time.sleep(0.005)
         return queue.get()
@@ -2262,12 +2269,24 @@ class RealtimeAgentMultiprocessing:
         self.restore_flag.value = True
         # put() on a helper thread: if the child dies mid-restore, a snapshot
         # larger than the pipe buffer blocks the write forever (nobody drains
-        # the pipe); the reply wait below polls liveness and raises instead
-        t = threading.Thread(
-            target=self.restore_queue.put, args=(snap,), daemon=True
-        )
+        # the pipe); the reply wait below polls liveness and raises instead.
+        # The thread's exception is captured: if pickling `snap` raises (a
+        # hand-built snapshot), the child would block in restore_queue.get()
+        # forever while the parent polls a live child — a dual hang unless the
+        # wait loop surfaces the put failure.
+        put_err: list = []
+
+        def _put():
+            try:
+                self.restore_queue.put(snap)
+            except BaseException as e:  # noqa: BLE001 - resurfaced below
+                put_err.append(e)
+
+        t = threading.Thread(target=_put, daemon=True)
         t.start()
-        ok, err = self._get_from_child(self.restore_reply_queue, "restore")
+        ok, err = self._get_from_child(
+            self.restore_reply_queue, "restore", error_holder=put_err
+        )
         if not ok:
             raise RuntimeError(f"snapshot restore failed in child: {err}")
 

@@ -523,7 +523,9 @@ class DuplexSession:
         )
         return packed_i32, packed_f32
 
-    def prewarm(self, include_replay: bool = True) -> None:
+    def prewarm(
+        self, include_replay: bool = True, deadline: Optional[float] = None
+    ) -> None:
         """Compile every fused-chunk program variant (cache-view buckets x
         replay flag) so none of them compiles mid-session — a cold XLA
         compile over the device tunnel stalls the realtime loop for tens of
@@ -532,7 +534,13 @@ class DuplexSession:
         dispatch populates the jit and persistent-compilation caches with
         the exact donation/sharding layout the live call uses (AOT
         lower().compile() hashes to a different program). Engine state is
-        untouched."""
+        untouched.
+
+        ``deadline`` (a ``time.monotonic()`` value) time-boxes the loop for
+        callers on a wall-clock budget (bench.py): variants past it are
+        skipped — a possible cold compile later beats blowing the budget."""
+        import time as _time
+
         eng = self.engine
         kv_shape = eng._k.shape
         cache_len = kv_shape[2]
@@ -548,7 +556,10 @@ class DuplexSession:
             "window_count": jnp.int32(0),
             "halted": jnp.bool_(True),
         }
+        out = None
         for view in views:
+            if deadline is not None and _time.monotonic() > deadline:
+                break
             for use_pre in (False, True) if include_replay else (False,):
                 # the fused program reads the cache READ-ONLY, so prewarm can
                 # run against the engine's live buffers (no throwaway KV
@@ -577,16 +588,18 @@ class DuplexSession:
         # the separate donated commit program compiles against throwaway
         # buffers of the live shapes (engine buffers stay untouched — live
         # dispatches donate them later, prewarm must not)
-        small_k, small_v, target_idx = out[0], out[1], out[2]
-        tk, tv = self._commit_chunk(
-            jnp.zeros(kv_shape, eng._k.dtype), jnp.zeros(kv_shape, eng._v.dtype),
-            small_k, small_v, target_idx,
-        )
-        jax.device_get(target_idx[-1])
-        del tk, tv
+        if out is not None:
+            small_k, small_v, target_idx = out[0], out[1], out[2]
+            tk, tv = self._commit_chunk(
+                jnp.zeros(kv_shape, eng._k.dtype),
+                jnp.zeros(kv_shape, eng._v.dtype),
+                small_k, small_v, target_idx,
+            )
+            jax.device_get(target_idx[-1])
+            del tk, tv
         # detours (event replays, inline text gen, the fallback probe) run
         # the engine's own view-bucketed programs — warm their variants too
-        eng.prewarm_detours()  # agent frames-continuation bucket is 8
+        eng.prewarm_detours(deadline=deadline)  # agent frames bucket is 8
 
     def _device_settings(self):
         """Device copies of the sampler scalars/bias tables, rebuilt only

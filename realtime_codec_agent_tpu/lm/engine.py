@@ -815,6 +815,8 @@ class DuplexLMEngine:
         frames_bucket: Optional[int] = 8,
         include_probe: bool = True,
         include_decode: bool = True,
+        decode_top_k: Optional[Sequence[int]] = None,
+        deadline: Optional[float] = None,
     ) -> None:
         """Compile every (program x cache-view bucket) variant of the detour
         programs — gen_until, the frames continuation, the event probe — plus
@@ -824,15 +826,34 @@ class DuplexLMEngine:
         cold-compile. The compute programs read the live cache READ-ONLY and
         run with n_limit=0, so every prewarm execution is a no-op; the commit
         compiles against throwaway buffers (live dispatches donate the real
-        ones later — prewarm must not)."""
+        ones later — prewarm must not).
+
+        ``decode_top_k`` lists the static top_k values to compile the decode
+        step for (top_k is a static arg: each distinct value is its own
+        program). Default: just the current ``settings.top_k``. A server whose
+        per-request sampler swaps top_k must prewarm every value it expects
+        or the first differing request cold-compiles every view bucket.
+        ``deadline`` (a ``time.monotonic()`` value) time-boxes the loop: once
+        past it, remaining variants are skipped — a cold compile mid-run is
+        worse than none at all only inside the realtime loop, and callers on
+        a wall-clock budget (bench.py) prefer a partial prewarm to a blown
+        budget."""
+        import time as _time
+
         cache_len = self._k.shape[2]
         views = view_buckets(cache_len)
         scalars, (bias_ids, bias_vals) = self._device_settings()
         window = jnp.zeros((PENALTY_WINDOW,), jnp.int32)
         zero = jnp.int32(0)
         logits0 = jnp.zeros((self.cfg.vocab_size,), jnp.float32)
+        decode_top_k = (
+            (self.settings.top_k,) if decode_top_k is None
+            else tuple(dict.fromkeys(int(k) for k in decode_top_k))
+        )
         smalls = {}
         for view in views:
+            if deadline is not None and _time.monotonic() > deadline:
+                break
             for max_n in gen_buckets:
                 r = self._gen_until_fn(
                     self.params, self._k, self._v, zero, jnp.int32(1),
@@ -858,15 +879,16 @@ class DuplexLMEngine:
                     cache_view=view,
                 )
             if include_decode:
-                for t in (1, 2):  # stepwise eval_and_sample shapes (T=1 / pair)
-                    wid, wmask = make_window([1], PENALTY_WINDOW)
-                    r = self._decode_fn(
-                        self.params, self._k, self._v,
-                        jnp.zeros((1, t), jnp.int32), zero, self._base_key,
-                        scalars, bias_ids, bias_vals, wid, wmask,
-                        self.settings.top_k, cache_view=view,
-                    )
-                    smalls[f"decode{t}"] = (r[2], r[3])
+                for tk_val in decode_top_k:
+                    for t in (1, 2):  # stepwise eval_and_sample shapes (T=1 / pair)
+                        wid, wmask = make_window([1], PENALTY_WINDOW)
+                        r = self._decode_fn(
+                            self.params, self._k, self._v,
+                            jnp.zeros((1, t), jnp.int32), zero, self._base_key,
+                            scalars, bias_ids, bias_vals, wid, wmask,
+                            tk_val, cache_view=view,
+                        )
+                        smalls[f"decode{t}"] = (r[2], r[3])
         # one throwaway donated pair chained through every distinct commit
         # shape (the writes land in a dead buffer)
         tk = jnp.zeros(self._k.shape, self._k.dtype)

@@ -36,10 +36,17 @@ class CompletionBackend:
         a fresh multi-second XLA compile inside the per-token loop, stalling
         the streamed response mid-request (CLAUDE.md: never cold-compile
         mid-run). Prefill buckets are view-independent and compile once at
-        first use."""
+        first use.
+
+        top_k is a STATIC sampler arg and ``generate()`` swaps in the
+        per-request value (server default 0), so the decode step is compiled
+        for both top_k=0 and the engine's current setting — otherwise the
+        first request whose top_k differs from the prewarm-time value
+        cold-compiles every view bucket mid-request."""
         self.engine.prewarm_detours(
             gen_buckets=(), frames_bucket=None,
             include_probe=False, include_decode=True,
+            decode_top_k=(0, self.engine.settings.top_k),
         )
 
     def _prefill_with_prefix_reuse(self, prompt_ids: List[int]) -> None:

@@ -163,6 +163,17 @@ def test_get_logprobs_batch_matches_individual(engine):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_get_logprobs_empty_ctx_raises(engine):
+    """An empty ctx would make the output slice start at -1 and silently
+    score the wrong positions; it must fail loudly instead (advisor r1)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty ctx"):
+        engine.get_logprobs([], [1, 2, 3])
+    with pytest.raises(ValueError, match="non-empty ctx"):
+        engine.get_logprobs_batch([([1, 2], [3]), ([], [4])])
+
+
 def test_get_logprobs_does_not_disturb_kv(engine):
     engine.eval([1, 2, 3])
     before = engine.get_last_logits()
