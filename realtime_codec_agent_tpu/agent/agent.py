@@ -31,6 +31,7 @@ from warnings import warn
 
 import numpy as np
 
+from ..ops.sampling import PENALTY_WINDOW
 from ..utils.audio_utils import (
     create_crossfade_ramps,
     normalize_audio_rms,
@@ -200,6 +201,10 @@ class RealtimeAgent:
         self._out_buffer = None
         self._chain_dirty = True  # device chain needs a host resync before dispatch
         self._trim_rebuild = None  # incremental-trim shadow rebuild state
+        # pending finalize splice the live cache has not absorbed yet:
+        # (splice_start, splice_end, diff) in CURRENT sequence coordinates
+        # (diff = new length - old length of the spliced text region)
+        self._stale_splice = None
         # async-detour state: one in-flight background detour + backlog of
         # unprocessed chunks + FIFO of processed-but-unemitted outputs
         self._detour_future = None
@@ -283,6 +288,7 @@ class RealtimeAgent:
         self._out_buffer = None
         self._chain_dirty = True
         self._trim_rebuild = None
+        self._stale_splice = None
         self._detour_future = None
         self._backlog = []
         self._ready = []
@@ -450,12 +456,16 @@ class RealtimeAgent:
         audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
         return 2 if audio_mode else 1
 
-    def _trim_begin(self) -> None:
+    def _trim_begin(self, to_secs: Optional[float] = None) -> None:
         """Freeze the post-trim rebuild target (header + suffix from the trim
         point, by value) and start the shadow prefill. Host mirror must be
-        current (pipelined callers drain the in-flight chunk first)."""
-        to_secs = self.trim_to_secs + self.config.trim_by_secs
-        trim_pos = self.audio_tokens_idx[self.frames_from_secs(to_secs)]
+        current (pipelined callers drain the in-flight chunk first).
+        ``to_secs`` overrides the trim target (an edit-triggered restart must
+        keep the in-flight rebuild's own target, not advance it again)."""
+        if to_secs is None:
+            to_secs = self.trim_to_secs + self.config.trim_by_secs
+        frames = self.frames_from_secs(to_secs)
+        trim_pos = self.audio_tokens_idx[frames] if frames else 0
         frozen_end = len(self.input_ids) - self._pending_eval_count()
         target = (
             self.input_ids[: self.context_start_pos] + self.input_ids[trim_pos:frozen_end]
@@ -482,16 +492,90 @@ class RealtimeAgent:
         llm.rebuild_swap()
         self.trim_to_secs = rb["to_secs"]
         self._trim_rebuild = None
+        self._stale_splice = None  # the swapped cache is built from the spliced sequence
         self._chain_dirty = True
 
     def _trim_restart_on_edit(self, edit_start_pos: int) -> None:
         """A history edit below the frozen watermark invalidates the shadow
         rebuild: re-freeze against the edited sequence (deterministic — edits
-        happen at the same processing step on every execution path)."""
-        if self._trim_rebuild is not None and edit_start_pos < self._trim_rebuild["frozen_end"]:
+        happen at the same processing step on every execution path). A real
+        trim re-freezes at ITS OWN target; a pure finalize-splice absorb
+        re-freezes with live-prefix reuse — unless the splice was just
+        sync-materialized (``_stale_splice`` cleared), in which case the
+        absorb is redundant and is simply dropped."""
+        rb = self._trim_rebuild
+        if rb is None or edit_start_pos >= rb["frozen_end"]:
+            return
+        self._trim_rebuild = None
+        self.resources.llm.rebuild_abort()
+        if rb["to_secs"] > self.trim_to_secs:
+            self._trim_begin(to_secs=rb["to_secs"])
+        elif self._stale_splice is not None:
+            self._begin_absorb_rebuild(self._stale_splice[0])
+
+    def _begin_absorb_rebuild(self, splice_start: int) -> None:
+        """Freeze a rebuild that absorbs a pending finalize splice WITHOUT
+        advancing the trim point: target = header + current post-trim suffix.
+        The shadow starts as a copy of the live cache — correct below the
+        splice, where sequence and cache coordinates still agree — so only
+        [splice, frozen_end) re-prefills, one slice per processed chunk."""
+        frames = self.frames_from_secs(self.trim_to_secs)
+        # untrimmed: the suffix starts right AFTER the header (slicing from 0
+        # would prepend the header twice)
+        trim_pos = self.audio_tokens_idx[frames] if frames else self.context_start_pos
+        frozen_end = len(self.input_ids) - self._pending_eval_count()
+        target = (
+            self.input_ids[: self.context_start_pos] + self.input_ids[trim_pos:frozen_end]
+        )
+        # splice_start is below the splice end, so cache_pos needs no stale
+        # correction there and maps to a valid live-cache position
+        reuse_len = self.cache_pos(splice_start)
+        self.resources.llm.rebuild_begin_from_live(target, reuse_len)
+        self._trim_rebuild = {"to_secs": self.trim_to_secs, "frozen_end": frozen_end}
+
+    def _absorb_finalize_splice(self, splice_start: int, splice_end: int, diff: int) -> bool:
+        """Try to absorb a finalize splice incrementally (VERDICT r2 item 3:
+        the last detour-latency cliff was this one blocking re-prefill, worst
+        case ~820 ms). The live cache keeps serving the PRE-splice text until
+        the shadow swap — a deterministic number of chunks later (the same
+        pump/swap schedule trims ride), so sync/pipelined/stepwise token
+        parity holds. Returns False when ineligible (caller falls back to the
+        blocking recompute, reference realtime_agent_v2.py:725-733)."""
+        llm = self.resources.llm
+        if (
+            not self.config.incremental_finalize
+            or not self._incremental_trim_active()
+            or not hasattr(llm, "rebuild_begin_from_live")
+            or self._stale_splice is not None  # one splice absorb at a time
+        ):
+            return False
+        frames = self.frames_from_secs(self.trim_to_secs)
+        trim_pos = self.audio_tokens_idx[frames] if frames else 0
+        # the stale window leaves the ENGINE mirror pre-splice while the
+        # agent sequence is spliced: the splice must sit above the trim point
+        # and clear of the sampler's trailing penalty window, or the fused
+        # chain (agent ids) and stepwise sampler (engine mirror) would see
+        # different penalty windows and diverge
+        if splice_start <= max(trim_pos, self.context_start_pos):
+            return False
+        if splice_end > len(self.input_ids) - PENALTY_WINDOW:
+            return False
+        frozen_end = len(self.input_ids) - self._pending_eval_count()
+        if frozen_end <= splice_start:
+            return False  # nothing to pump; the blocking path is free anyway
+        if self._trim_rebuild is not None:
+            # a real trim rebuild is in flight: re-freeze IT against the
+            # spliced sequence (full rebuild — the trim shifts positions, so
+            # the live prefix is not reusable); its swap absorbs the splice
+            rb_to = self._trim_rebuild["to_secs"]
             self._trim_rebuild = None
-            self.resources.llm.rebuild_abort()
-            self._trim_begin()
+            llm.rebuild_abort()
+            self._trim_begin(to_secs=rb_to)
+            self._stale_splice = (splice_start, splice_end, diff)
+            return True
+        self._begin_absorb_rebuild(splice_start)
+        self._stale_splice = (splice_start, splice_end, diff)
+        return True
 
     def frames_from_secs(self, secs: float) -> int:
         frames = int(secs * self.resources.audio_tokenizer.framerate * 2)
@@ -501,12 +585,18 @@ class RealtimeAgent:
         """Map an agent-sequence position to its KV-cache position. After a
         trim the cache holds header + post-trim suffix, so cache positions
         shift by (trim point - header length) (reference
-        realtime_agent_v2.py:730)."""
+        realtime_agent_v2.py:730). While a finalize splice awaits its shadow
+        swap, the live cache is still the PRE-splice sequence: positions
+        above the splice shift back by the splice's length change."""
         trim_to_frames = self.frames_from_secs(self.trim_to_secs)
         if trim_to_frames == 0:
-            return seq_pos
-        trim_to_pos = self.audio_tokens_idx[trim_to_frames]
-        return seq_pos - trim_to_pos + self.context_start_pos
+            pos = seq_pos
+        else:
+            trim_to_pos = self.audio_tokens_idx[trim_to_frames]
+            pos = seq_pos - trim_to_pos + self.context_start_pos
+        if self._stale_splice is not None and seq_pos >= self._stale_splice[1]:
+            pos -= self._stale_splice[2]
+        return pos
 
     def _fused_ready(self) -> bool:
         """The fused chunk path needs exactly the pending (agent, user) pair
@@ -521,16 +611,24 @@ class RealtimeAgent:
         starting at the trim point; cache positions are shifted accordingly
         (reference realtime_agent_v2.py:725-733).
         """
+        if self._stale_splice is not None and edit_start_pos < self._stale_splice[1]:
+            # an edit at/below a pending finalize splice: the blocking re-eval
+            # below materializes the spliced values anyway — widen it to cover
+            # the splice and drop the stale marker (a now-redundant pure
+            # absorb rebuild is dropped by _trim_restart_on_edit; a real trim
+            # rebuild re-freezes there against the spliced sequence)
+            edit_start_pos = min(edit_start_pos, self._stale_splice[0])
+            edit_end_pos = None
+            self._stale_splice = None
         self._trim_restart_on_edit(edit_start_pos)
         trim_to_frames = self.frames_from_secs(self.trim_to_secs)
         trim_to_pos = self.audio_tokens_idx[trim_to_frames] if trim_to_frames else 0
         if trim_to_frames == 0 or edit_end_pos is None or edit_end_pos > trim_to_pos:
             start_pos = edit_start_pos if trim_to_frames == 0 else max(edit_start_pos, trim_to_pos)
-            self.resources.llm.n_tokens = (
-                start_pos
-                if trim_to_frames == 0
-                else start_pos - trim_to_pos + self.context_start_pos
-            )
+            # cache_pos applies both the trim shift and, during a pending
+            # splice's stale window, the splice-length correction (the live
+            # cache is still pre-splice above the splice point)
+            self.resources.llm.n_tokens = self.cache_pos(start_pos)
             audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
             last_n = 2 if audio_mode else 1
             self.resources.llm.eval(self.input_ids[start_pos:-last_n])
@@ -598,7 +696,8 @@ class RealtimeAgent:
             # under it (the live cache is still pre-trim here)
             trim_to = max(trim_to, self._trim_rebuild["to_secs"])
             frames = self.frames_from_secs(trim_to)
-            trim_pos = self.audio_tokens_idx[frames] if frames else 0
+            # untrimmed (a pure finalize-splice absorb): no position shift
+            trim_pos = self.audio_tokens_idx[frames] if frames else self.context_start_pos
             audio_mode = all(t > self.end_header_token_id for t in self.input_ids[-2:])
             last_n = 2 if audio_mode else 1
             eng_n = (len(self.input_ids) - last_n) - trim_pos + self.context_start_pos
@@ -670,6 +769,7 @@ class RealtimeAgent:
         at.tokenize_context = np.asarray(snap["at_tokenize_context"]).copy()
         at.detokenize_context = snap["at_detokenize_context"]
         self._trim_rebuild = None
+        self._stale_splice = None
         # KV cache rebuild from tokens (the resume discipline): header
         # prefill, then the standard post-edit recompute for the suffix —
         # identical cache content to the uninterrupted run by construction
@@ -1939,12 +2039,16 @@ class RealtimeAgent:
         text_end_pos = text_start_pos + len(txt_ids)
         diff = len(final_ids) - len(txt_ids)
         self.input_ids[text_start_pos:text_end_pos] = final_ids
-        self.recompute_kv_cache(text_start_pos, text_end_pos)
         if diff != 0:
             for j in range(self.total_frames - 1, -1, -1):
                 if self.audio_tokens_idx[j] <= text_end_pos:
                     break
                 self.audio_tokens_idx[j] += diff
+        # absorb the suffix re-eval incrementally through the shadow-rebuild
+        # machinery (splice-end in POST-splice coordinates); fall back to the
+        # blocking recompute when ineligible
+        if not self._absorb_finalize_splice(text_start_pos, text_end_pos + diff, diff):
+            self.recompute_kv_cache(text_start_pos, text_end_pos)
 
     # ----------------------------------------------------------- audio tokens
     def get_audio_tokens(

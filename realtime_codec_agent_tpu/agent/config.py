@@ -49,6 +49,17 @@ class RealtimeAgentConfig:
     # preserve the reference's blocking-trim semantics exactly.
     incremental_trim: bool = False
     trim_rebuild_slice_tokens: int = 256
+    # Absorb finalize_last_response's post-splice KV recompute (reference
+    # realtime_agent_v2.py:725-733 semantics: one blocking re-eval of the
+    # suffix) through the same shadow-rebuild machinery: the spliced suffix
+    # re-prefills one slice per chunk while the live (pre-splice) cache keeps
+    # serving, then swaps. Until the swap the model briefly keeps attending to
+    # the pre-finalize text — deterministic in processed-chunk count, so the
+    # sync/pipelined/stepwise paths stay token-identical. Requires
+    # ``incremental_trim`` (the absorb rides its per-chunk pump/swap schedule);
+    # without it, or when a splice is already in flight, finalize falls back
+    # to the blocking recompute.
+    incremental_finalize: bool = True
     # Emergency occupancy trim: ALSO trigger a trim when the KV cache has
     # fewer than this many free slots (None = max(1024, cache_len/4, one
     # prefill bucket)). The time-based 80 s policy bounds AUDIO tokens only —

@@ -524,6 +524,29 @@ class DuplexLMEngine:
         self._rb_progress = 0
         self._rb_logits = None
 
+    def rebuild_begin_from_live(self, tokens: Sequence[int], reuse_len: int) -> None:
+        """Start an incremental rebuild whose prefix [0, reuse_len) is already
+        correct in the LIVE cache — an in-place suffix edit at unchanged RoPE
+        positions (the finalize splice, agent/agent.py finalize_last_response;
+        reference realtime_agent_v2.py:725-733 recomputes synchronously).
+        The shadow starts as a device-side copy of the live buffers (read-only
+        on the live cache, ~1 ms HBM-bound at full scale, dispatch-only) and
+        only [reuse_len, len(tokens)) is pumped across chunks."""
+        tokens = [int(t) for t in tokens]
+        if not (0 <= reuse_len <= min(len(tokens), self._n_tokens)):
+            raise ValueError(
+                f"reuse_len {reuse_len} out of range "
+                f"(target {len(tokens)}, live {self._n_tokens})"
+            )
+        assert tokens[:reuse_len] == self._input_ids[:reuse_len], (
+            "rebuild_begin_from_live: target prefix must match the live mirror"
+        )
+        self._rb_k = jnp.copy(self._k)
+        self._rb_v = jnp.copy(self._v)
+        self._rb_tokens = tokens
+        self._rb_progress = reuse_len
+        self._rb_logits = None
+
     def rebuild_extend(self, tokens: Sequence[int]) -> None:
         """Append tokens to the rebuild target (sequence grew since begin)."""
         assert self._rb_tokens is not None, "rebuild_extend without rebuild_begin"
