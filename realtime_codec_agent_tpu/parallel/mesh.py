@@ -104,7 +104,12 @@ def lm_param_specs(params, pp: bool = False) -> Dict:
     else:
         layer_specs = [_layer_specs(blk.keys()) for blk in params["layers"]]
     specs = {
-        "embed_tokens": P("tp", "fsdp"),
+        # vocab over (tp, fsdp), hidden replicated: same bytes/device as a
+        # 2-D (tp, fsdp) tiling, but the embedding-backward scatter's update
+        # grad keeps the batch layout — sharding hidden by fsdp made GSPMD
+        # emit an "[SPMD] Involuntary full rematerialization" (replicate +
+        # repartition of the d_embed tensor) every step
+        "embed_tokens": P(("tp", "fsdp"), None),
         "layers": layer_specs,
         "final_norm": P(),
     }

@@ -291,6 +291,12 @@ class Trainer:
 
         loss_block = self.tc.loss_block_size
         forward_fn = self._forward_fn
+        # pin each gradient leaf to its param's sharding: without this GSPMD
+        # propagation around the optimizer's elementwise ops occasionally
+        # picks a batch-style layout for a stacked-layer grad and then pays an
+        # "[SPMD] Involuntary full rematerialization" (replicate-then-
+        # repartition) per step to undo it
+        grad_shardings = mesh_lib.named_shardings(self.mesh, self.param_specs)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, labels):
@@ -301,6 +307,7 @@ class Trainer:
                 ),
                 has_aux=True,
             )(params)
+            grads = jax.lax.with_sharding_constraint(grads, grad_shardings)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
