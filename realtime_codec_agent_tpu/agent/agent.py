@@ -216,6 +216,11 @@ class RealtimeAgent:
         # adds this to the foreground per-call latencies) + per-detour durations
         self.detour_busy_secs = 0.0
         self.detour_durations: List[float] = []
+        # finalize-splice accounting: absorbed incrementally vs blocking
+        # recompute (observability for the bench + regression tests)
+        self.finalize_absorbs = 0
+        self.finalize_blocking = 0
+        self._absorb_reject = None  # why the last absorb attempt fell back
         if config.pipeline_chunks and getattr(self, "_fetcher", None) is None:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -296,6 +301,8 @@ class RealtimeAgent:
         self.last_emit_was_filler = False
         self.detour_busy_secs = 0.0
         self.detour_durations = []
+        self.finalize_absorbs = 0
+        self.finalize_blocking = 0
         self.set_sampler()
         self.resources.llm.reset()
         if c.use_external_llm:
@@ -546,8 +553,11 @@ class RealtimeAgent:
             not self.config.incremental_finalize
             or not self._incremental_trim_active()
             or not hasattr(llm, "rebuild_begin_from_live")
-            or self._stale_splice is not None  # one splice absorb at a time
         ):
+            self._absorb_reject = "disabled"
+            return False
+        if self._stale_splice is not None:  # one splice absorb at a time
+            self._absorb_reject = "splice in flight"
             return False
         frames = self.frames_from_secs(self.trim_to_secs)
         trim_pos = self.audio_tokens_idx[frames] if frames else 0
@@ -557,12 +567,24 @@ class RealtimeAgent:
         # chain (agent ids) and stepwise sampler (engine mirror) would see
         # different penalty windows and diverge
         if splice_start <= max(trim_pos, self.context_start_pos):
+            self._absorb_reject = "splice at/below trim point"
             return False
         if splice_end > len(self.input_ids) - PENALTY_WINDOW:
+            self._absorb_reject = "splice inside penalty window"
             return False
         frozen_end = len(self.input_ids) - self._pending_eval_count()
         if frozen_end <= splice_start:
-            return False  # nothing to pump; the blocking path is free anyway
+            self._absorb_reject = "nothing to pump"
+            return False  # the blocking path is free anyway
+        # live-prefix reuse requires the engine mirror to agree with the
+        # spliced sequence below the splice; a host-side divergence (e.g. a
+        # harness overriding generated ids) must fall back to the blocking
+        # recompute — which never reads the mirror — not fail the detour
+        prefix = self.input_ids[: self.context_start_pos] + self.input_ids[trim_pos or self.context_start_pos : splice_start]
+        if llm._input_ids[: len(prefix)] != prefix:
+            self._absorb_reject = "mirror prefix divergence"
+            return False
+        self._absorb_reject = None
         if self._trim_rebuild is not None:
             # a real trim rebuild is in flight: re-freeze IT against the
             # spliced sequence (full rebuild — the trim shifts positions, so
@@ -2047,7 +2069,10 @@ class RealtimeAgent:
         # absorb the suffix re-eval incrementally through the shadow-rebuild
         # machinery (splice-end in POST-splice coordinates); fall back to the
         # blocking recompute when ineligible
-        if not self._absorb_finalize_splice(text_start_pos, text_end_pos + diff, diff):
+        if self._absorb_finalize_splice(text_start_pos, text_end_pos + diff, diff):
+            self.finalize_absorbs += 1
+        else:
+            self.finalize_blocking += 1
             self.recompute_kv_cache(text_start_pos, text_end_pos)
 
     # ----------------------------------------------------------- audio tokens

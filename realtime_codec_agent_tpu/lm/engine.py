@@ -538,9 +538,17 @@ class DuplexLMEngine:
                 f"reuse_len {reuse_len} out of range "
                 f"(target {len(tokens)}, live {self._n_tokens})"
             )
-        assert tokens[:reuse_len] == self._input_ids[:reuse_len], (
-            "rebuild_begin_from_live: target prefix must match the live mirror"
-        )
+        if tokens[:reuse_len] != self._input_ids[:reuse_len]:
+            first_bad = next(
+                i for i in range(reuse_len) if tokens[i] != self._input_ids[i]
+            )
+            raise AssertionError(
+                "rebuild_begin_from_live: target prefix must match the live "
+                f"mirror (first divergence at {first_bad}/{reuse_len}: "
+                f"target {tokens[max(0, first_bad-3):first_bad+3]} vs mirror "
+                f"{self._input_ids[max(0, first_bad-3):first_bad+3]}; "
+                f"live n_tokens {self._n_tokens}, target len {len(tokens)})"
+            )
         self._rb_k = jnp.copy(self._k)
         self._rb_v = jnp.copy(self._v)
         self._rb_tokens = tokens
