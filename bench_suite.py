@@ -46,7 +46,7 @@ def release_device_memory():
 # section OOMed at every seq_len after the inference sections ran first), so
 # the full suite runs each group in its own subprocess with a fresh device.
 SECTIONS = [
-    "codec", "encode", "ar", "selfplay", "duplexserve", "snapshot",
+    "codec", "encode", "ar", "selfplay", "tts", "duplexserve", "snapshot",
     "batched", "bandwidth", "train", "whisper",
 ]
 GROUPS = [
@@ -55,7 +55,7 @@ GROUPS = [
     ["bandwidth"],
     ["train"],
     ["whisper"],
-    ["ar", "selfplay"],
+    ["ar", "selfplay", "tts"],
     ["duplexserve"],
     ["snapshot"],
 ]
@@ -560,7 +560,7 @@ def main():
         release_device_memory()
 
     # ---- 3/4. full-agent metrics (shared resources) --------------------------
-    need_agent = "ar" not in args.skip or "selfplay" not in args.skip
+    need_agent = any(s not in args.skip for s in ("ar", "selfplay", "tts"))
     if need_agent:
         from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
         from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
@@ -641,6 +641,103 @@ def main():
                 (2 * pair.paired_dispatches) / max(1, total),
                 "fraction of chunks riding the shared batch-2 program",
             )
+
+    # ---- 4b. external-TTS substitution path ----------------------------------
+    # Timed datapoint for BASELINE.md config 4 (VERDICT r2 missing item 4):
+    # every chunk runs the STEPWISE duplex path (TTS disables the fused
+    # program), the aligner's interrupt score, and — when not interrupted —
+    # set_audio_tokens' in-place agent-channel substitution + KV re-eval
+    # (reference realtime_agent_v2.py:374-397). The TTS stream is a stub
+    # producing codec-char chunks host-side (the real client reads an HTTP
+    # stream; its cost lives on the TTS server, not this chip).
+    if "tts" not in args.skip:
+        from realtime_codec_agent_tpu.agent.external_tts_duplex_aligner import (
+            ExternalTTSDuplexAligner,
+        )
+
+        tts_agent = RealtimeAgent(
+            resources=resources.clone_for_self_play(),
+            config=RealtimeAgentConfig(
+                seed=args.seed + 7, use_whisper=False, agent_opening_text=None,
+                force_trans_after_inactivity_secs=0.0,
+                force_response_after_inactivity_secs=0.0,
+                pipeline_chunks=True,
+            ),
+        )
+        orig_t = tts_agent.set_sampler
+
+        def pinned_t(for_trans=False, suppress_end_audio=False):
+            orig_t(for_trans=for_trans, suppress_end_audio=suppress_end_audio)
+            tts_agent.resources.llm.settings.min_token_id = (
+                tts_agent.resources.tokenizer.codec_vocab_start
+            )
+
+        tts_agent.set_sampler = pinned_t
+        tts_agent.set_sampler()
+
+        tok_t = tts_agent.resources.tokenizer
+        fpc = tts_agent.chunk_size_frames_per_channel
+        rng_t = np.random.default_rng(args.seed + 8)
+
+        class _StubTTSStream:
+            """Serves pre-built codec-char chunks; absorbs the client calls
+            reset() makes (close_stream / set_voice_enrollment)."""
+
+            def __init__(self):
+                self._i = 0
+                hi = min(512, tok_t.codebook_size)
+                self._chunks = [
+                    "".join(
+                        chr(tok_t.unicode_offset + int(c))
+                        for c in rng_t.integers(0, hi, size=fpc)
+                    )
+                    for _ in range(8)
+                ]
+
+            def next_chunk(self):
+                self._i += 1
+                return self._chunks[self._i % len(self._chunks)]
+
+            def prep_stream(self, text):  # noqa: ARG002
+                pass
+
+            def close_stream(self):
+                pass
+
+            def set_voice_enrollment(self, *a, **k):  # noqa: ARG002
+                pass
+
+        tts_agent.config.use_external_tts = True
+        tts_agent.tts_client = _StubTTSStream()
+        tts_agent.tts_duplex_aligner = ExternalTTSDuplexAligner(
+            tts_agent.resources.audio_tokenizer, tok_t.codec_vocab_start
+        )
+        tts_agent.reset()
+
+        chunk_n = tts_agent.chunk_size_samples
+        audio_t = (0.1 * rng_t.normal(size=50 * chunk_n)).astype(np.float32)
+        for i in range(10):  # warmup (stepwise programs + substitution re-eval)
+            tts_agent.process_audio(audio_t[i * chunk_n : (i + 1) * chunk_n])
+        lats = []
+        n_sub = 0
+        t0 = time.perf_counter()
+        for i in range(10, 50):
+            t1 = time.perf_counter()
+            tts_agent.process_audio(audio_t[i * chunk_n : (i + 1) * chunk_n])
+            lats.append(time.perf_counter() - t1)
+            n_sub += tts_agent.tts_interrupted_chunk_input_ids is None
+        while tts_agent.drain_pipeline() is not None:
+            pass
+        dt = time.perf_counter() - t0
+        lats_ms = np.array(lats) * 1000
+        emit(
+            "tts_substitution_rtf", dt / (len(lats) * 0.1),
+            "x_realtime with per-chunk TTS substitution + KV re-eval (lower is better)",
+            call_p50_ms=round(float(np.percentile(lats_ms, 50)), 1),
+            call_p99_ms=round(float(np.percentile(lats_ms, 99)), 1),
+            substituted_frac=round(n_sub / len(lats), 3),
+        )
+        release_device_memory()
 
     # ---- 5. duplex serving: R concurrent full-duplex calls on one chip ------
     # Each call is a complete RealtimeAgent (own KV cache, stream state,
