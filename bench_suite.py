@@ -121,7 +121,8 @@ def main():
     parser.add_argument("--train_batch", type=int, default=1)
     parser.add_argument("--train_loss_block", type=int, default=512)
     parser.add_argument(
-        "--train_remat_policy", choices=["full", "dots", "none"], default="full"
+        "--train_remat_policy",
+        choices=["full", "dots", "attn", "none"], default="full",
     )
     parser.add_argument(
         "--train_optimizer", choices=["adamw", "adafactor"], default="adamw"

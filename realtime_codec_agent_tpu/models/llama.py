@@ -23,6 +23,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import nn
 
@@ -68,7 +69,9 @@ class DuplexLMConfig:
     # "full" recomputes the whole layer body on backward; "dots" saves
     # matmul outputs (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     # and recomputes only the cheap elementwise work — more activation
-    # memory, ~one forward of FLOPs saved per step
+    # memory, ~one forward of FLOPs saved per step; "attn" saves only the
+    # per-layer attention context — the backward skips re-running the
+    # quadratic-in-T flash scan at L x B x T x Hq x 2 bytes of residency
     remat_policy: str = "full"
 
     @property
@@ -414,6 +417,13 @@ def transformer_layer(
         attn = nn.attention(
             q, nn.repeat_kv(k, cfg.n_rep), nn.repeat_kv(v, cfg.n_rep), mask=mask
         )
+    # named for the "attn" selective-remat policy: saving the (B,T,Hq)
+    # attention context per layer means the backward's MLP-branch recompute
+    # never re-runs the flash key-block scan (the quadratic-in-T cost), at
+    # L x B x T x Hq x 2 bytes of residency — the middle ground between
+    # remat="full" (re-runs attention) and "dots" (saves every weight-matmul
+    # output; measured OOM at T=2048)
+    attn = checkpoint_name(attn, "attn_ctx")
     attn = nn.qdot(attn.reshape(b, t, cfg.q_dim), blk["wo"], out_dtype=dtype)
     x = res + attn
     res = x
@@ -497,11 +507,16 @@ def forward(
         return transformer_layer(x, blk, cfg, cos, sin, mask=mask, attn_valid=attn_mask)
 
     if cfg.remat:
-        policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if cfg.remat_policy == "dots"
-            else None
-        )
+        if cfg.remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif cfg.remat_policy == "attn":
+            # save only the per-layer attention context (checkpoint_name in
+            # transformer_layer): the MLP-branch backward recompute skips the
+            # flash attention scan — the quadratic-in-T piece full remat pays
+            # twice at T>=2048
+            policy = jax.checkpoint_policies.save_only_these_names("attn_ctx")
+        else:
+            policy = None  # "full": recompute everything
         layer_body = jax.checkpoint(layer_body, policy=policy)
     if isinstance(params["layers"], dict):
         # stacked layout (stack_layer_params): scan the single layer body

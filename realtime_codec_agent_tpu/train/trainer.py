@@ -52,8 +52,9 @@ class TrainConfig:
     # rematerialize layer activations on backward (jax.checkpoint):
     # ~30% extra forward FLOPs for O(layers) less activation memory
     remat: bool = True
-    # remat policy: "full" (recompute everything) or "dots" (save matmul
-    # outputs; fewer recompute FLOPs, more activation memory)
+    # remat policy: "full" (recompute everything), "dots" (save matmul
+    # outputs; fewer recompute FLOPs, more activation memory), or "attn"
+    # (save only attention contexts; skips the quadratic-in-T recompute)
     remat_policy: str = "full"
     # blockwise CE loss: never materialize the (T, 259k-vocab) logits;
     # None keeps the single-shot loss

@@ -309,12 +309,14 @@ def test_blockwise_loss_matches_full():
     for ga, gb in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)
 
-    # composes with remat + the "dots" policy
-    cfg_d = dataclasses.replace(cfg, remat=True, remat_policy="dots")
-    loss_c, _, grads_c = run(16, cfg_d)
-    np.testing.assert_allclose(float(loss_a), float(loss_c), rtol=1e-6)
-    for ga, gc in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_c)):
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), rtol=1e-5, atol=1e-6)
+    # composes with remat + the "dots" and "attn" (save-attention-context)
+    # selective policies — policies change memory/recompute, never numerics
+    for policy in ("dots", "attn"):
+        cfg_d = dataclasses.replace(cfg, remat=True, remat_policy=policy)
+        loss_c, _, grads_c = run(16, cfg_d)
+        np.testing.assert_allclose(float(loss_a), float(loss_c), rtol=1e-6)
+        for ga, gc in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_c)):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), rtol=1e-5, atol=1e-6)
 
 
 def test_adafactor_trains_and_resumes(cfg, mesh, tmp_path):
