@@ -254,10 +254,13 @@ def main():
             ),
             _CannedWhisperTokenizer(),
         )
+    if args.whisper:
+        print(f"setup[whisper init]: {time.time()-t_setup:.1f}s", file=sys.stderr)
     resources = RealtimeAgentResources(
         tiny=args.tiny, whisper_model=whisper,
         quantize_int8=not args.bf16 and not args.int4, quantize_int4=args.int4,
     )
+    print(f"setup[resources]: {time.time()-t_setup:.1f}s", file=sys.stderr)
     config = RealtimeAgentConfig(
         seed=args.seed,
         use_whisper=args.whisper,
@@ -277,6 +280,7 @@ def main():
         max_inline_text_tokens=args.event_text_tokens,
     )
     agent = RealtimeAgent(resources=resources, config=config)
+    print(f"setup[agent]: {time.time()-t_setup:.1f}s", file=sys.stderr)
 
     # ---- prewarm, TIME-BOXED and in priority order -------------------------
     # Reserve room for one full throughput rep (worst-case RTF ~1.2 in a
