@@ -6,6 +6,7 @@ Normalization and softmax statistics are computed in float32.
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Tuple
 
@@ -244,42 +245,72 @@ def flash_causal_attention(
 ) -> jnp.ndarray:
     """Causal self-attention with online softmax over key blocks — never
     materializes the (T, T) score matrix (at T=8k that is ~8 GB in f32 per
-    head group). q/k/v: (B, T, H, Dh); softmax statistics in f32."""
+    head group). q/k/v: (B, T, H, Dh); softmax statistics in f32.
+
+    Differentiation goes through a CUSTOM VJP (FlashAttention-2-style): the
+    forward saves only (q, k, v, out, logsumexp) and the backward recomputes
+    the block probabilities on the fly. Letting autodiff trace the forward
+    scan instead makes lax.scan stack each iteration's f32 (B, H, T, block)
+    score/prob residuals — ~1 GB per key block at the 1B recipe (B=4,
+    T=2048, H=32) — and that residual traffic, not FLOPs, is what halved
+    T=2048 training MFU vs T=1024 (same tokens/step). RTCA_FLASH_VJP=0
+    restores the autodiff path for A/B."""
     b, t, h, dh = q.shape
     if scale is None:
-        scale = dh ** -0.5
-    neg = jnp.float32(-1e30)
+        scale = float(dh ** -0.5)
     n_blocks = -(-t // block)
     t_pad = n_blocks * block
     pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
     kp = jnp.pad(k, pad) if t_pad != t else k
     vp = jnp.pad(v, pad) if t_pad != t else v
-    validp = None
+    # key-side liveness: 1.0 attend / 0.0 masked, applied MULTIPLICATIVELY to
+    # the probabilities (never only additively to the scores: for a row whose
+    # every key is masked, the running max equals the masked fill value and
+    # exp(s - m) would softmax the masked scores' residuals — garbage rows
+    # instead of zeros). Padded tail keys sit at positions >= t, which the
+    # causal mask already excludes for every query.
     if valid is not None:
-        validp = jnp.pad(valid, [(0, 0), (0, t_pad - t)]) if t_pad != t else valid
+        key_live = valid.astype(jnp.float32)
+        if t_pad != t:
+            key_live = jnp.pad(key_live, [(0, 0), (0, t_pad - t)])
+    else:
+        key_live = jnp.ones((b, t_pad), jnp.float32)
+    if os.environ.get("RTCA_FLASH_VJP", "1") == "0":
+        out, _ = _flash_fwd_impl(q, kp, vp, key_live, block, scale, t)
+        return out
+    return _flash(q, kp, vp, key_live, block, scale, t)
+
+
+def _flash_fwd_impl(q, kp, vp, key_live, block: int, scale: float, t: int):
+    """Online-softmax forward over key blocks.
+
+    Returns (out (B,T,H,Dh) in q.dtype, lse (B,H,T,1) f32) where
+    ``lse = max + log(sum exp)`` per query row. Fully-masked rows yield
+    out = 0 and lse = 0 (their l never leaves 0), so the backward's
+    ``exp(s - lse)`` recompute stays finite there."""
+    b, t_pad, h, dh = kp.shape
+    n_blocks = t_pad // block
+    neg = jnp.float32(-1e30)
     kb = kp.reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
     vb = vp.reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
+    live_b = key_live.reshape(b, n_blocks, block).transpose(1, 0, 2)
     q_pos = jnp.arange(t)
 
     def blk(carry, inputs):
         m, l, acc = carry
-        if validp is not None:
-            k_blk, v_blk, blk_idx, val_blk = inputs
-        else:
-            k_blk, v_blk, blk_idx = inputs
-            val_blk = None
+        k_blk, v_blk, blk_idx, live_blk = inputs
         key_pos = blk_idx * block + jnp.arange(block)
         s = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k_blk, preferred_element_type=jnp.float32
         ) * scale  # (B,H,T,block)
-        mask = key_pos[None, :] <= q_pos[:, None]
-        if val_blk is not None:
-            mask = mask & val_blk[:, None, None, :].astype(bool)
-        else:
-            mask = mask[None, None]
-        s = jnp.where(mask if mask.ndim == 4 else mask[None, None], s, neg)
+        causal = (key_pos[None, :] <= q_pos[:, None])[None, None]
+        live = causal & (live_blk > 0)[:, None, None, :]
+        s = jnp.where(live, s, neg)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # multiplicative mask on p: when a row is fully masked, m_new == neg
+        # and exp(s - m_new) == 1 at every masked entry — the where keeps
+        # l/acc at exactly 0 there instead of averaging garbage
+        p = jnp.where(live, jnp.exp(s - m_new), 0.0)
         corr = jnp.exp(m - m_new)
         l = l * corr + p.sum(axis=-1, keepdims=True)
         pv = jnp.einsum(
@@ -292,12 +323,84 @@ def flash_causal_attention(
     m0 = jnp.full((b, h, t, 1), neg, jnp.float32)
     l0 = jnp.zeros((b, h, t, 1), jnp.float32)
     acc0 = jnp.zeros((b, h, t, dh), jnp.float32)
-    xs = (kb, vb, jnp.arange(n_blocks))
-    if validp is not None:
-        xs = xs + (validp.reshape(b, n_blocks, block).transpose(1, 0, 2),)
-    (m, l, acc), _ = jax.lax.scan(blk, (m0, l0, acc0), xs)
-    out = acc / jnp.maximum(l, 1e-30)
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (B,T,H,Dh)
+    (m, l, acc), _ = jax.lax.scan(
+        blk, (m0, l0, acc0), (kb, vb, jnp.arange(n_blocks), live_b)
+    )
+    l_safe = jnp.maximum(l, 1e-30)
+    out = (acc / l_safe).transpose(0, 2, 1, 3).astype(q.dtype)  # (B,T,H,Dh)
+    lse = jnp.where(l > 0, m + jnp.log(l_safe), 0.0)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, kp, vp, key_live, block: int, scale: float, t: int):
+    return _flash_fwd_impl(q, kp, vp, key_live, block, scale, t)[0]
+
+
+def _flash_fwd(q, kp, vp, key_live, block: int, scale: float, t: int):
+    out, lse = _flash_fwd_impl(q, kp, vp, key_live, block, scale, t)
+    return out, (q, kp, vp, key_live, out, lse)
+
+
+def _flash_bwd(block: int, scale: float, t: int, res, dout):
+    """FlashAttention-2 backward: per key block, recompute the normalized
+    probabilities from (q, k, lse) and form dV = pᵀ·do, dS = p∘(do·Vᵀ − Δ),
+    dQ += dS·K, dK = dSᵀ·Q — everything f32-accumulated, nothing stacked
+    across blocks except the (block,…) dK/dV outputs themselves."""
+    q, kp, vp, key_live, out, lse = res
+    b, t_pad, h, dh = kp.shape
+    n_blocks = t_pad // block
+    do = dout.astype(jnp.float32)  # (B,T,H,Dh)
+    o32 = out.astype(jnp.float32)
+    # Δ = rowsum(do ∘ o): (B,T,H) -> (B,H,T,1)
+    delta = jnp.sum(do * o32, axis=-1).transpose(0, 2, 1)[..., None]
+    kb = kp.reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
+    vb = vp.reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
+    live_b = key_live.reshape(b, n_blocks, block).transpose(1, 0, 2)
+    q_pos = jnp.arange(t)
+
+    def blk(dq, inputs):
+        k_blk, v_blk, blk_idx, live_blk = inputs
+        key_pos = blk_idx * block + jnp.arange(block)
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_blk, preferred_element_type=jnp.float32
+        ) * scale
+        causal = (key_pos[None, :] <= q_pos[:, None])[None, None]
+        live = causal & (live_blk > 0)[:, None, None, :]
+        # normalized probs, (B,H,T,block) f32; multiplicative mask matches the
+        # forward exactly (fully-masked rows have lse pinned to 0, where
+        # exp(s - lse) alone would not vanish)
+        p = jnp.where(live, jnp.exp(s - lse), 0.0)
+        dv_blk = jnp.einsum(
+            "bhqk,bqhd->bkhd", p, do, preferred_element_type=jnp.float32
+        )
+        dp = jnp.einsum(
+            "bqhd,bkhd->bhqk", do, v_blk, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq = dq + jnp.einsum(
+            "bhqk,bkhd->bqhd", ds, k_blk, preferred_element_type=jnp.float32
+        )
+        dk_blk = jnp.einsum(
+            "bhqk,bqhd->bkhd", ds, q, preferred_element_type=jnp.float32
+        )
+        return dq, (dk_blk, dv_blk)
+
+    dq0 = jnp.zeros((b, t, h, dh), jnp.float32)
+    dq, (dkb, dvb) = jax.lax.scan(
+        blk, dq0, (kb, vb, jnp.arange(n_blocks), live_b)
+    )
+    dkp = dkb.transpose(1, 0, 2, 3, 4).reshape(b, t_pad, h, dh)
+    dvp = dvb.transpose(1, 0, 2, 3, 4).reshape(b, t_pad, h, dh)
+    return (
+        dq.astype(q.dtype),
+        dkp.astype(kp.dtype),
+        dvp.astype(vp.dtype),
+        jnp.zeros_like(key_live),  # validity mask: no gradient by construction
+    )
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def causal_mask(tq: int, tk: int, q_offset) -> jnp.ndarray:
