@@ -36,6 +36,13 @@ timed out rc=124 and landed no number at all — a partially-prewarmed number
 beats none). The shared tunnel's health swings identical code 0.39-0.46 RTF
 (CLAUDE.md), so a one-rep number is noisy but honest.
 
+The measured run executes in a SUPERVISED CHILD PROCESS (_supervise): the
+device tunnel can wedge one execution/fetch indefinitely while other
+processes keep working (measured >12 min; killed two round-3 gate runs
+during setup), so output-silence past RTCA_BENCH_STALL_S (240 s) kills the
+child and retries once on a fresh tunnel stream. --no-supervise runs
+in-process (tests, debugging).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 - value = full-duplex RTF = MEDIAN over completed throughput reps of
   (wall processing time / audio time); LOWER is better. The best rep and all
@@ -93,6 +100,133 @@ def _emergency_json(reason: str) -> None:
         )
         sys.stdout.flush()
     os._exit(0)
+
+
+def _supervise(argv, budget: float) -> None:
+    """Run the measured bench in a CHILD process and retry once if it wedges.
+
+    The device tunnel can wedge a single execution/fetch indefinitely (>12
+    min measured) while OTHER processes' programs keep running — an in-process
+    watchdog can then only emit a null JSON, never a number (BENCH_r02, and
+    two round-3 gate runs). The supervisor's liveness signal is child OUTPUT
+    (the child prints stage marks, per-view prewarm ticks, and rep progress):
+    silence past --stall (default 240 s — legit single compiles are <=60 s,
+    wedges are >700 s) means a wedged device call, so the child is killed and
+    relaunched with the remaining budget; a fresh process gets a fresh tunnel
+    stream, which keeps working while an old one is wedged (measured).
+    A headline JSON with a null value is stashed, not forwarded, so a retry
+    can still land a real number; if every attempt fails the stashed/partial
+    line is printed so the gate ALWAYS emits parseable JSON."""
+    import subprocess
+    import threading
+
+    stall_s = float(os.environ.get("RTCA_BENCH_STALL_S", "240"))
+    attempts = int(os.environ.get("RTCA_BENCH_ATTEMPTS", "2"))
+    t0 = time.monotonic()
+    deadline = t0 + budget
+    stashed = None
+    for attempt in range(attempts):
+        rem = deadline - time.monotonic()
+        if attempt > 0 and rem < 150.0:
+            break
+        cmd = [sys.executable, os.path.abspath(__file__)] + argv + [
+            "--budget", f"{max(60.0, rem - 10.0):.0f}",
+        ]
+        env = dict(os.environ, RTCA_BENCH_CHILD="1")
+        print(
+            f"[supervisor] attempt {attempt + 1}/{attempts} "
+            f"(budget {max(60.0, rem - 10.0):.0f}s, stall kill at {stall_s:.0f}s)",
+            file=sys.stderr, flush=True,
+        )
+        proc = subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+        state = {"t": time.monotonic(), "json": None}
+
+        def pump_out(stream=proc.stdout):
+            for line in stream:
+                state["t"] = time.monotonic()
+                parsed = None
+                if line.lstrip().startswith("{"):
+                    try:
+                        parsed = json.loads(line)
+                    except ValueError:
+                        parsed = None
+                if parsed is not None and "metric" in parsed:
+                    if parsed.get("value") is None or parsed.get("partial"):
+                        # null/partial (watchdog fired mid-run — the value can
+                        # include in-run cold compiles): hold it back so a
+                        # retry on a now-warmer cache can replace it
+                        state["json"] = state["json"] or line
+                        continue
+                    state["json"] = line
+                sys.stdout.write(line)
+                sys.stdout.flush()
+
+        def pump_err(stream=proc.stderr):
+            for line in stream:
+                state["t"] = time.monotonic()
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        threads = [
+            threading.Thread(target=pump_out, daemon=True),
+            threading.Thread(target=pump_err, daemon=True),
+        ]
+        for th in threads:
+            th.start()
+        stalled = False
+        while proc.poll() is None:
+            time.sleep(2.0)
+            now = time.monotonic()
+            _j = json.loads(state["json"]) if state["json"] is not None else {}
+            got_value = _j.get("value") is not None and not _j.get("partial")
+            if now - state["t"] > stall_s and not got_value:
+                stalled = True
+                print(
+                    f"[supervisor] no child output for {stall_s:.0f}s — "
+                    "killing (wedged device call)",
+                    file=sys.stderr, flush=True,
+                )
+                proc.kill()
+                break
+            if now > deadline + 15.0:
+                proc.kill()
+                break
+        proc.wait()
+        for th in threads:
+            th.join(timeout=5.0)
+        line = state["json"]
+        if line is not None:
+            _j = json.loads(line)
+            if _j.get("value") is not None and not _j.get("partial"):
+                return  # already forwarded by pump_out
+        stashed = stashed or line
+        print(
+            f"[supervisor] attempt {attempt + 1} ended rc={proc.returncode} "
+            f"without a usable JSON value{' (stalled)' if stalled else ''}",
+            file=sys.stderr, flush=True,
+        )
+    if stashed is not None:
+        sys.stdout.write(stashed)
+        sys.stdout.flush()
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "full_duplex_rtf",
+                    "value": None,
+                    "unit": "x_realtime (PARTIAL: every supervised attempt "
+                            "wedged or crashed before a measured rep; lower "
+                            "is better)",
+                    "vs_baseline": None,
+                    "partial": True,
+                    "rtf_all": [],
+                }
+            ),
+            flush=True,
+        )
 
 
 def _start_watchdog(budget: float) -> None:
@@ -191,8 +325,17 @@ def main():
         help="skip cold-path shape prewarming during setup",
     )
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--no-supervise", action="store_true",
+        help="run the measured bench directly in THIS process (no child "
+             "process, no wedge-retry). Default: a supervisor child-process "
+             "layer retries once if the device tunnel wedges a call",
+    )
     args = parser.parse_args()
     args.warmup_chunks = max(1, args.warmup_chunks)
+    if not args.no_supervise and os.environ.get("RTCA_BENCH_CHILD") != "1":
+        _supervise(sys.argv[1:], args.budget)
+        return
     # two backstop layers: the watchdog thread enforces OUR budget (immune to
     # a main thread blocked in a long XLA compile); the signal handler covers
     # an external kill arriving earlier than the budget while the main thread
@@ -255,10 +398,24 @@ def main():
             _CannedWhisperTokenizer(),
         )
     if args.whisper:
+        import jax as _jax
+
+        # REAL sync (device_get; block_until_ready doesn't sync the tunnel):
+        # the init must be fully executed, not just dispatched, before the
+        # codec programs queue behind it — a big program queued behind
+        # in-flight work has wedged the tunnel (see init_whisper_params)
+        _jax.device_get(
+            _jax.tree_util.tree_leaves(whisper._model.params)[-1].ravel()[0]
+        )
         print(f"setup[whisper init]: {time.time()-t_setup:.1f}s", file=sys.stderr)
     resources = RealtimeAgentResources(
         tiny=args.tiny, whisper_model=whisper,
         quantize_int8=not args.bf16 and not args.int4, quantize_int4=args.int4,
+    )
+    import jax as _jax
+
+    _jax.device_get(
+        _jax.tree_util.tree_leaves(resources.lm_params)[-1].ravel()[0]
     )
     print(f"setup[resources]: {time.time()-t_setup:.1f}s", file=sys.stderr)
     config = RealtimeAgentConfig(
@@ -295,12 +452,25 @@ def main():
     )
 
     def pw_ok() -> bool:
+        _tick("shapes")  # liveness between sequential silent compiles
         return time.monotonic() < pw_deadline
+
+    # liveness ticks for the supervisor: one stderr line per prewarm
+    # view-bucket (throttled) so a wedged device call is distinguishable
+    # from a long healthy compile
+    _last_tick = [0.0]
+
+    def _tick(label: str) -> None:
+        now = time.monotonic()
+        if now - _last_tick[0] >= 5.0:
+            _last_tick[0] = now
+            print(f"prewarm[{label}] at {time.time()-t_setup:.1f}s",
+                  file=sys.stderr, flush=True)
 
     if not args.no_prewarm and not args.tiny:
         # 1) the hot loop + detour programs (every cache-view bucket): a cold
         # compile here lands INSIDE the timed region, so these go first
-        agent._session.prewarm(deadline=pw_deadline)
+        agent._session.prewarm(deadline=pw_deadline, progress=_tick)
         print(f"prewarm[session]: done at {time.time()-t_setup:.1f}s "
               f"({'full' if pw_ok() else 'TIME-BOXED'})", file=sys.stderr)
         # 2) drive the EVENT machinery once (sync chunk, forced trans, forced
@@ -501,6 +671,12 @@ def main():
                     _PROGRESS["cur"] = (
                         i - args.warmup_chunks + 1,
                         time.perf_counter() - t_timed0,
+                    )
+                if (i - args.warmup_chunks) % 500 == 499:
+                    print(
+                        f"[{label}] {i - args.warmup_chunks + 1}/"
+                        f"{n_chunks - args.warmup_chunks} chunks",
+                        file=sys.stderr, flush=True,
                     )
                 latencies.append(dt)
                 fillers.append(agent.last_emit_was_filler)

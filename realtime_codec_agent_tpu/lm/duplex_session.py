@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -524,7 +524,8 @@ class DuplexSession:
         return packed_i32, packed_f32
 
     def prewarm(
-        self, include_replay: bool = True, deadline: Optional[float] = None
+        self, include_replay: bool = True, deadline: Optional[float] = None,
+        progress: Optional[Callable[[str], None]] = None,
     ) -> None:
         """Compile every fused-chunk program variant (cache-view buckets x
         replay flag) so none of them compiles mid-session — a cold XLA
@@ -560,6 +561,8 @@ class DuplexSession:
         for view in views:
             if deadline is not None and _time.monotonic() > deadline:
                 break
+            if progress is not None:
+                progress(f"fused view={view}")
             for use_pre in (False, True) if include_replay else (False,):
                 # the fused program reads the cache READ-ONLY, so prewarm can
                 # run against the engine's live buffers (no throwaway KV
@@ -599,7 +602,7 @@ class DuplexSession:
             del tk, tv
         # detours (event replays, inline text gen, the fallback probe) run
         # the engine's own view-bucketed programs — warm their variants too
-        eng.prewarm_detours(deadline=deadline)  # agent frames bucket is 8
+        eng.prewarm_detours(deadline=deadline, progress=progress)  # agent frames bucket is 8
 
     def _device_settings(self):
         """Device copies of the sampler scalars/bias tables, rebuilt only

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Generator, List, Optional, Sequence, Tuple
+from typing import Callable, Generator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -848,6 +848,7 @@ class DuplexLMEngine:
         include_decode: bool = True,
         decode_top_k: Optional[Sequence[int]] = None,
         deadline: Optional[float] = None,
+        progress: Optional[Callable[[str], None]] = None,
     ) -> None:
         """Compile every (program x cache-view bucket) variant of the detour
         programs — gen_until, the frames continuation, the event probe — plus
@@ -868,7 +869,11 @@ class DuplexLMEngine:
         past it, remaining variants are skipped — a cold compile mid-run is
         worse than none at all only inside the realtime loop, and callers on
         a wall-clock budget (bench.py) prefer a partial prewarm to a blown
-        budget."""
+        budget. ``progress`` (if given) is called with a short label per
+        view-bucket iteration — supervised benches use it as a liveness
+        signal. Each view's programs are SYNCED (one device_get) before the
+        next view dispatches: an unbounded in-flight dispatch queue can
+        wedge the remote-device tunnel (see models/whisper.init_whisper_params)."""
         import time as _time
 
         cache_len = self._k.shape[2]
@@ -885,6 +890,8 @@ class DuplexLMEngine:
         for view in views:
             if deadline is not None and _time.monotonic() > deadline:
                 break
+            if progress is not None:
+                progress(f"detours view={view}")
             for max_n in gen_buckets:
                 r = self._gen_until_fn(
                     self.params, self._k, self._v, zero, jnp.int32(1),
@@ -920,6 +927,10 @@ class DuplexLMEngine:
                             tk_val, cache_view=view,
                         )
                         smalls[f"decode{t}"] = (r[2], r[3])
+            # drain this view's in-flight programs before dispatching the
+            # next batch (tunnel wedge guard; one ~30 ms fetch per view)
+            if smalls:
+                jax.device_get(next(reversed(smalls.values()))[0].ravel()[0])
         # one throwaway donated pair chained through every distinct commit
         # shape (the writes land in a dead buffer)
         tk = jnp.zeros(self._k.shape, self._k.dtype)

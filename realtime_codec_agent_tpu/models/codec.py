@@ -26,6 +26,7 @@ layout offline.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -155,6 +156,15 @@ def _init_conv_frontend(key, cfg: CodecConfig, dtype) -> Tuple[Dict, Dict]:
 
 
 def init_codec_params(key, cfg: CodecConfig) -> Dict:
+    """Random-init the full param pytree as ONE jitted device program
+    (eager per-leaf init floods the remote-device tunnel with tiny in-flight
+    programs; a big program queued behind such a flood can wedge
+    indefinitely — see models/whisper.init_whisper_params)."""
+    return _init_codec_params_jit(key, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _init_codec_params_jit(key, cfg: CodecConfig) -> Dict:
     dtype = jnp.dtype(cfg.compute_dtype)
     h, hop, d = cfg.hidden_size, cfg.hop_length, cfg.codebook_dim
     keys = jax.random.split(key, 8 + 2 * cfg.num_layers)

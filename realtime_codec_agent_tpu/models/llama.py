@@ -18,6 +18,7 @@ and incremental decode (static-shape cache slices) without divergence.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -172,6 +173,15 @@ def tiny_lm_config(vocab_size: int, codec_vocab_start: int = 0, **overrides) -> 
 # ---------------------------------------------------------------------------
 
 def init_lm_params(key, cfg: DuplexLMConfig, with_codec_embed: bool = False) -> Dict:
+    """Random-init the full param pytree as ONE jitted device program
+    (eager per-leaf init floods the remote-device tunnel with ~150 tiny
+    in-flight programs; a big program queued behind such a flood can wedge
+    indefinitely — see models/whisper.init_whisper_params)."""
+    return _init_lm_params_jit(key, cfg, with_codec_embed)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_codec_embed"))
+def _init_lm_params_jit(key, cfg: DuplexLMConfig, with_codec_embed: bool) -> Dict:
     dtype = jnp.dtype(cfg.compute_dtype)
     h = cfg.hidden_size
     keys = jax.random.split(key, 6 + 4 * cfg.num_layers)

@@ -22,6 +22,7 @@ implementation is pinned in tests/test_whisper.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List, Optional, Tuple
 
@@ -141,6 +142,19 @@ def _init_mlp(key, d: int, f: int, dtype) -> Dict:
 
 
 def init_whisper_params(key, cfg: WhisperConfig) -> Dict:
+    """Random-init the full param pytree as ONE jitted device program.
+
+    Eager per-leaf init dispatches ~480 separate tiny programs; on the
+    remote-device tunnel a large big program queued behind that in-flight
+    flood can wedge indefinitely (measured: the codec framerate probe after
+    an eager whisper init hung >12 min while small independent programs kept
+    running — this killed two bench-gate runs). One program = one dispatch.
+    """
+    return _init_whisper_params_jit(key, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _init_whisper_params_jit(key, cfg: WhisperConfig) -> Dict:
     dtype = jnp.dtype(cfg.compute_dtype)
     d, f = cfg.d_model, cfg.ffn_dim
     keys = jax.random.split(key, 8 + 3 * (cfg.encoder_layers + cfg.decoder_layers))
