@@ -102,6 +102,20 @@ def _emergency_json(reason: str) -> None:
     os._exit(0)
 
 
+def _headline_rank(parsed: dict) -> int:
+    """Preference order for candidate headline lines a child prints.
+    The child emits a LADDER of lines, each strictly more complete than the
+    last: provisional (short rep after partial prewarm) -> headline (full
+    reps) -> final (full reps + paced-latency extras); the watchdog may also
+    emit partial lines. The supervisor forwards exactly ONE line — the best
+    it ever saw — at the end."""
+    if parsed.get("partial"):
+        return 1 if parsed.get("value") is not None else 0
+    if parsed.get("provisional"):
+        return 2
+    return 3
+
+
 def _supervise(argv, budget: float) -> None:
     """Run the measured bench in a CHILD process and retry once if it wedges.
 
@@ -109,14 +123,20 @@ def _supervise(argv, budget: float) -> None:
     min measured) while OTHER processes' programs keep running — an in-process
     watchdog can then only emit a null JSON, never a number (BENCH_r02, and
     two round-3 gate runs). The supervisor's liveness signal is child OUTPUT
-    (the child prints stage marks, per-view prewarm ticks, and rep progress):
-    silence past --stall (default 240 s — legit single compiles are <=60 s,
-    wedges are >700 s) means a wedged device call, so the child is killed and
-    relaunched with the remaining budget; a fresh process gets a fresh tunnel
-    stream, which keeps working while an old one is wedged (measured).
-    A headline JSON with a null value is stashed, not forwarded, so a retry
-    can still land a real number; if every attempt fails the stashed/partial
-    line is printed so the gate ALWAYS emits parseable JSON."""
+    (the child prints stage marks, per-PROGRAM prewarm ticks, and rep
+    progress): silence past --stall (default 240 s — legit single compiles
+    are <=180 s, wedges are >700 s) means a wedged device call, so the child
+    is killed and relaunched with the remaining budget; a fresh process gets
+    a fresh tunnel stream, which keeps working while an old one is wedged
+    (measured).
+
+    Headline JSON lines are BUFFERED, never forwarded mid-stream: the child
+    banks a provisional number early and replaces it with better lines as
+    the run completes (see _headline_rank), so the driver must see only the
+    single best line. A stall while already holding a usable (non-partial)
+    candidate ends the run with that candidate instead of retrying; if every
+    attempt fails the best stashed/partial line is printed so the gate
+    ALWAYS emits parseable JSON."""
     import subprocess
     import threading
 
@@ -124,7 +144,7 @@ def _supervise(argv, budget: float) -> None:
     attempts = int(os.environ.get("RTCA_BENCH_ATTEMPTS", "2"))
     t0 = time.monotonic()
     deadline = t0 + budget
-    stashed = None
+    best = {"rank": -1, "line": None}
     for attempt in range(attempts):
         rem = deadline - time.monotonic()
         if attempt > 0 and rem < 150.0:
@@ -139,14 +159,15 @@ def _supervise(argv, budget: float) -> None:
         env = dict(os.environ, RTCA_BENCH_CHILD="1")
         print(
             f"[supervisor] attempt {attempt + 1}/{attempts} "
-            f"(budget {max(60.0, rem - 10.0):.0f}s, stall kill at {stall_s:.0f}s)",
+            f"(budget {max(60.0, rem - 10.0):.0f}s, stall kill at "
+            f"{stall_s:.0f}s, child script {script})",
             file=sys.stderr, flush=True,
         )
         proc = subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, bufsize=1,
         )
-        state = {"t": time.monotonic(), "json": None}
+        state = {"t": time.monotonic()}
 
         def pump_out(stream=proc.stdout):
             for line in stream:
@@ -158,13 +179,13 @@ def _supervise(argv, budget: float) -> None:
                     except ValueError:
                         parsed = None
                 if parsed is not None and "metric" in parsed:
-                    if parsed.get("value") is None or parsed.get("partial"):
-                        # null/partial (watchdog fired mid-run — the value can
-                        # include in-run cold compiles): hold it back so a
-                        # retry on a now-warmer cache can replace it
-                        state["json"] = state["json"] or line
-                        continue
-                    state["json"] = line
+                    rank = _headline_rank(parsed)
+                    if rank >= best["rank"]:
+                        best["rank"], best["line"] = rank, line
+                    # echo to stderr so the gate log shows the ladder
+                    sys.stderr.write(f"[child json rank={rank}] {line}")
+                    sys.stderr.flush()
+                    continue
                 sys.stdout.write(line)
                 sys.stdout.flush()
 
@@ -181,39 +202,45 @@ def _supervise(argv, budget: float) -> None:
         for th in threads:
             th.start()
         stalled = False
+        settled = False  # stall/deadline while holding a usable candidate
         while proc.poll() is None:
             time.sleep(2.0)
             now = time.monotonic()
-            _j = json.loads(state["json"]) if state["json"] is not None else {}
-            got_value = _j.get("value") is not None and not _j.get("partial")
-            if now - state["t"] > stall_s and not got_value:
+            if now - state["t"] > stall_s:
                 stalled = True
+                settled = best["rank"] >= 2
                 print(
                     f"[supervisor] no child output for {stall_s:.0f}s — "
-                    "killing (wedged device call)",
+                    "killing (wedged device call)"
+                    + (
+                        "; settling for the banked candidate"
+                        if settled else ""
+                    ),
                     file=sys.stderr, flush=True,
                 )
                 proc.kill()
                 break
             if now > deadline + 15.0:
+                settled = True
                 proc.kill()
                 break
         proc.wait()
         for th in threads:
             th.join(timeout=5.0)
-        line = state["json"]
-        if line is not None:
-            _j = json.loads(line)
-            if _j.get("value") is not None and not _j.get("partial"):
-                return  # already forwarded by pump_out
-        stashed = stashed or line
+        if best["rank"] >= 3 or settled:
+            break
         print(
             f"[supervisor] attempt {attempt + 1} ended rc={proc.returncode} "
-            f"without a usable JSON value{' (stalled)' if stalled else ''}",
+            f"holding rank={best['rank']} candidate"
+            f"{' (stalled)' if stalled else ''}"
+            + (
+                "; retrying for a full number"
+                if attempt + 1 < attempts else ""
+            ),
             file=sys.stderr, flush=True,
         )
-    if stashed is not None:
-        sys.stdout.write(stashed)
+    if best["line"] is not None:
+        sys.stdout.write(best["line"])
         sys.stdout.flush()
     else:
         print(
@@ -330,6 +357,15 @@ def main():
     )
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
+        "--provisional_secs", type=float, default=40.0,
+        help="bank a PROVISIONAL short rep of this many audio seconds after "
+             "a minimal prewarm (only the cache-view buckets such a rep can "
+             "reach), print it as a usable JSON line, then keep prewarming "
+             "and replace it with the full-rep number. Insurance against a "
+             "cold compile cache soaking the whole budget (nulled the r02 "
+             "and r03 gates). 0 disables (tiny mode always skips it)",
+    )
+    parser.add_argument(
         "--no-supervise", action="store_true",
         help="run the measured bench directly in THIS process (no child "
              "process, no wedge-retry). Default: a supervisor child-process "
@@ -443,97 +479,6 @@ def main():
     agent = RealtimeAgent(resources=resources, config=config)
     print(f"setup[agent]: {time.time()-t_setup:.1f}s", file=sys.stderr)
 
-    # ---- prewarm, TIME-BOXED and in priority order -------------------------
-    # Reserve room for one full throughput rep (worst-case RTF ~1.2 in a
-    # degraded window) + drain + JSON; everything before that reservation is
-    # the prewarm's slice. Tiny mode skips prewarming entirely: it is a CPU
-    # smoke, in-run compiles are acceptable there and the r2 prewarm cost
-    # 319 s even tiny (VERDICT weak-item 1b).
-    rep_reserve = args.secs * 1.25 + 45.0
-    _PROGRESS["phase"] = "prewarm"
-    pw_deadline = time.monotonic() + min(
-        args.prewarm_cap, max(0.0, remaining() - rep_reserve)
-    )
-
-    def pw_ok() -> bool:
-        _tick("shapes")  # liveness between sequential silent compiles
-        return time.monotonic() < pw_deadline
-
-    # liveness ticks for the supervisor: one stderr line per prewarm
-    # view-bucket (throttled) so a wedged device call is distinguishable
-    # from a long healthy compile
-    _last_tick = [0.0]
-
-    def _tick(label: str) -> None:
-        now = time.monotonic()
-        if now - _last_tick[0] >= 5.0:
-            _last_tick[0] = now
-            print(f"prewarm[{label}] at {time.time()-t_setup:.1f}s",
-                  file=sys.stderr, flush=True)
-
-    if not args.no_prewarm and not args.tiny:
-        # 1) the hot loop + detour programs (every cache-view bucket): a cold
-        # compile here lands INSIDE the timed region, so these go first
-        agent._session.prewarm(deadline=pw_deadline, progress=_tick)
-        print(f"prewarm[session]: done at {time.time()-t_setup:.1f}s "
-              f"({'full' if pw_ok() else 'TIME-BOXED'})", file=sys.stderr)
-        # 2) drive the EVENT machinery once (sync chunk, forced trans, forced
-        # response) so its remaining programs compile now; reset rebuilds a
-        # clean session afterwards
-        if pw_ok():
-            was_pipelined = agent.config.pipeline_chunks
-            was_async = agent.config.async_detours
-            agent.config.pipeline_chunks = False
-            agent.config.async_detours = False
-            warm_chunk = np.zeros(agent.chunk_size_samples, np.float32)
-            agent.process_audio(warm_chunk)
-            for patch in ("should_force_transcription", "should_force_response"):
-                if not pw_ok():
-                    break
-                keep = getattr(agent, patch)
-                setattr(agent, patch, lambda: True)
-                agent.process_audio(warm_chunk)
-                setattr(agent, patch, keep)
-            agent.config.pipeline_chunks = was_pipelined
-            agent.config.async_detours = was_async
-            print(f"prewarm[events]: done at {time.time()-t_setup:.1f}s",
-                  file=sys.stderr)
-        # 3) whisper window buckets (mid-run utterances grow past the small
-        # buckets; a cold 10 s-window compile over the tunnel stalls an event)
-        if args.whisper:
-            for secs in (1.0, 6.0, 12.0):
-                if not pw_ok():
-                    break
-                whisper.transcribe(
-                    np.zeros(int(secs * whisper._model.config.sample_rate), np.float32)
-                )
-        # 4) cold-path engine shapes (trim-rebuild prefills, finalize scoring,
-        # text-gen scan buckets, small re-prefill buckets), each gated —
-        # dropped tail shapes cost one in-run compile each, which is the
-        # right trade against a blown budget
-        eng = resources.llm
-        eng.init_sampler_for_generate(seed=args.seed)
-        for n in (2048, 1024):                        # trim-rebuild prefills
-            if pw_ok():
-                eng.eval([1] * n)
-        for ctx_n in (2500, 1500, 100):               # finalize B=2 scoring
-            if pw_ok():                               # @4096 / @2048 / @256
-                eng.get_logprobs_batch([([1] * ctx_n, [1] * 100)] * 2)
-        for n in (32, 8, 4):                          # text-gen scan buckets
-            if pw_ok():
-                eng.generate_until(1, stop_id=0, max_n=n)
-        for b in (512, 256, 128, 64, 32, 16, 8):      # small prefill buckets
-            if pw_ok():
-                eng.eval([1] * b)
-        if pw_ok():
-            eng.init_sampler_for_generate(temp=0.0)
-            eng.eval_and_sample([1])                  # decode T=1 / T=2
-            eng.eval_and_sample([1, 2])
-            eng.event_probs(1, [2, 3])                # fallback probe program
-        eng.reset()
-        print(f"prewarm[shapes]: done at {time.time()-t_setup:.1f}s "
-              f"({'full' if pw_ok() else 'TIME-BOXED'})", file=sys.stderr)
-    agent.reset()
     # pin generation to the codec region (pure-audio duplex path)
     _orig_set_sampler = agent.set_sampler
 
@@ -569,22 +514,14 @@ def main():
                     k += 1
         return sched
 
-    # shrink the rep length if the budget can no longer fit --secs (a shorter
-    # honest rep beats a blown budget; floor 40 s still crosses event chunks,
-    # dropping to a desperate 20 s hot-loop-only rep when even that won't fit)
-    secs_eff = args.secs
-    rem = remaining()
-    if rem < secs_eff * 1.25 + 40.0:
-        secs_eff = max(40.0, (rem - 40.0) / 1.25)
-        if rem < secs_eff * 1.25 + 40.0:
-            secs_eff = 20.0
-        print(
-            f"[budget] {rem:.0f}s left after setup: shrinking rep audio "
-            f"{args.secs:.0f}s -> {secs_eff:.0f}s",
-            file=sys.stderr,
-        )
+    # the event schedule is per-phase: cleared and rebuilt for the rep length
+    # each measured session actually runs (provisional / throughput / paced)
+    sched = {}
 
-    sched = make_sched(secs_eff)
+    def set_sched(secs: float) -> None:
+        sched.clear()
+        sched.update(make_sched(secs))
+
     proc_state = {"i": 0}
     orig_ft = agent.should_force_transcription
     orig_fr = agent.should_force_response
@@ -714,6 +651,255 @@ def main():
             "finalize": (agent.finalize_absorbs, agent.finalize_blocking),
         }
 
+    # ---- prewarm, STAGED and per-program time-boxed -----------------------
+    # Stage A warms ONLY what a short provisional rep needs (the cache-view
+    # buckets its token count can reach, the event machinery, the finalize
+    # buckets its response spans hit), then the provisional rep runs and its
+    # number prints as a USABLE JSON line — insurance banked. Stage B warms
+    # the remaining reachable buckets and the full rep replaces it. Round-3
+    # post-mortem: the single monolithic prewarm (~650 s cold over the
+    # tunnel, deadline checked once per view bucket) soaked the whole budget
+    # twice and the gate printed null; the per-program deadline lives in
+    # lm/duplex_session.prewarm + lm/engine.prewarm_detours now.
+    # Tiny mode skips prewarming entirely: it is a CPU smoke, in-run
+    # compiles are acceptable there (the r2 prewarm cost 319 s even tiny).
+    _last_tick = [0.0]
+
+    def _tick(label: str) -> None:
+        # liveness for the supervisor (throttled): each tick means "the
+        # previous compile finished; now compiling <label>"
+        now = time.monotonic()
+        if now - _last_tick[0] >= 5.0:
+            _last_tick[0] = now
+            print(f"prewarm[{label}] at {time.time()-t_setup:.1f}s",
+                  file=sys.stderr, flush=True)
+
+    header_tokens = len(agent.input_ids)
+    tokens_per_chunk = 2 * agent.chunk_size_frames_per_channel
+    need_slack = 4 * agent.chunk_size_frames_per_channel + 64
+
+    def plan_need(secs: float) -> int:
+        """Upper bound on the attention-read view any program can request
+        during a scripted rep of ``secs`` audio seconds: peak n_tokens
+        (header + audio pairs + event text, capped by the context-trim
+        ceiling) plus the dispatch slack, with margin for timing jitter in
+        when trims land."""
+        n_chunks = args.warmup_chunks + int(secs / config.chunk_size_secs)
+        n_events = (n_chunks // args.event_every + 1) if args.event_every else 0
+        linear = (
+            header_tokens + n_chunks * tokens_per_chunk
+            + n_events * (args.event_text_tokens + 8)
+        )
+        tokens_per_sec = tokens_per_chunk / config.chunk_size_secs
+        ceiling = (
+            header_tokens
+            + int(config.max_context_secs * tokens_per_sec)
+            + 600
+        )
+        return min(linear, ceiling) + need_slack + 256
+
+    warm_fused: set = set()
+    warm_detours: set = set()
+
+    def note_warm(info: dict) -> None:
+        warm_fused.update(info.get("views", []))
+        warm_detours.update(info.get("detours", {}).get("views", []))
+
+    def secs_for_warm_coverage(secs: float) -> float:
+        """Largest rep length (<= secs) whose plan_need stays within the
+        fully-warmed view buckets — running past warm coverage means a
+        multi-10s cold compile INSIDE the timed rep."""
+        from realtime_codec_agent_tpu.lm.engine import view_bucket_for
+
+        warm = warm_fused & warm_detours
+        if not warm:
+            return secs
+        cache_len = resources.llm._k.shape[2]
+        if 0 in warm_fused and 0 in warm_detours:
+            return secs  # full view warm: unlimited
+        max_view = max(warm)
+        s = secs
+        while s > 20.0 and view_bucket_for(plan_need(s), cache_len) not in warm:
+            s -= 5.0
+        return s
+
+    def prewarm_engine_shapes(prefills, score_ctxs, gen_ns, pw_ok) -> None:
+        """Cold-path engine shapes (trim-rebuild prefills, finalize B=2
+        scoring buckets, text-gen scan buckets), each deadline-gated —
+        dropped tail shapes cost one in-run compile each, which is the
+        right trade against a blown budget."""
+        eng = resources.llm
+        for n in prefills:
+            if pw_ok(f"prefill{n}"):
+                eng.eval([1] * n)
+        for ctx_n in score_ctxs:
+            if pw_ok(f"score{ctx_n}"):
+                eng.get_logprobs_batch([([1] * ctx_n, [1] * 100)] * 2)
+        for n in gen_ns:
+            if pw_ok(f"gen{n}"):
+                eng.generate_until(1, stop_id=0, max_n=n)
+        eng.reset()
+
+    def drive_events(pw_ok) -> None:
+        """Run the EVENT machinery once (sync chunk, forced trans, forced
+        response) so its programs compile now; the next run_session's
+        agent.reset() rebuilds a clean session."""
+        was_pipelined = agent.config.pipeline_chunks
+        was_async = agent.config.async_detours
+        agent.config.pipeline_chunks = False
+        agent.config.async_detours = False
+        warm_chunk = np.zeros(agent.chunk_size_samples, np.float32)
+        agent.process_audio(warm_chunk)
+        for patch in ("should_force_transcription", "should_force_response"):
+            if not pw_ok(f"event {patch.rsplit('_', 1)[-1]}"):
+                break
+            keep = getattr(agent, patch)
+            setattr(agent, patch, lambda: True)
+            agent.process_audio(warm_chunk)
+            setattr(agent, patch, keep)
+        agent.config.pipeline_chunks = was_pipelined
+        agent.config.async_detours = was_async
+
+    def warm_whisper(secs_list, pw_ok) -> None:
+        # whisper window buckets (mid-run utterances grow past the small
+        # bucket; a cold 10 s-window compile over the tunnel stalls an event)
+        if not args.whisper:
+            return
+        for secs in secs_list:
+            if not pw_ok(f"whisper{secs:.0f}s"):
+                break
+            whisper.transcribe(
+                np.zeros(int(secs * whisper._model.config.sample_rate), np.float32)
+            )
+
+    do_prewarm = not args.no_prewarm and not args.tiny
+    prov_secs = 0.0 if args.tiny else args.provisional_secs
+    rtf_prov = None
+    if do_prewarm and prov_secs > 0:
+        # ---- stage A: minimal prewarm for the provisional rep ----
+        _PROGRESS["phase"] = "prewarm A"
+        pwA_deadline = time.monotonic() + min(
+            args.prewarm_cap,
+            max(0.0, remaining() - (prov_secs * 1.25 + 45.0) - 60.0),
+        )
+
+        def pwA_ok(label: str = "shapes") -> bool:
+            _tick(label)
+            return time.monotonic() < pwA_deadline
+
+        note_warm(agent._session.prewarm(
+            deadline=pwA_deadline, progress=_tick,
+            max_need=plan_need(prov_secs),
+        ))
+        print(f"prewarm[A session]: done at {time.time()-t_setup:.1f}s "
+              f"(fused={sorted(warm_fused)} detours={sorted(warm_detours)})",
+              file=sys.stderr)
+        if pwA_ok("events"):
+            drive_events(pwA_ok)
+        warm_whisper((1.0, 6.0), pwA_ok)
+        resources.llm.init_sampler_for_generate(seed=args.seed)
+        prewarm_engine_shapes(
+            prefills=(512, 256, 128, 64, 32, 16, 8),
+            score_ctxs=(1500, 700, 100),  # buckets 2048 / 1024 / 256
+            gen_ns=(32,),
+            pw_ok=pwA_ok,
+        )
+        print(f"prewarm[A]: done at {time.time()-t_setup:.1f}s "
+              f"({'full' if pwA_ok() else 'TIME-BOXED'})", file=sys.stderr)
+
+        # ---- provisional rep: bank a usable number NOW ----
+        prov_secs = secs_for_warm_coverage(prov_secs)
+        set_sched(prov_secs)
+        _PROGRESS["phase"] = "provisional rep"
+        res_p = run_session(
+            make_audio(prov_secs), paced=False, label="provisional"
+        )
+        prov_audio = len(res_p["latencies"]) * chunk_secs
+        rtf_prov = float(res_p["wall"]) / prov_audio
+        _PROGRESS["rtfs"].append(rtf_prov)
+        _PROGRESS["cur"] = None
+        print(
+            f"[provisional] {prov_audio:.0f}s audio in "
+            f"{res_p['wall']:.1f}s wall -> rtf={rtf_prov:.4f}",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "full_duplex_rtf",
+                    "value": round(rtf_prov, 4),
+                    "unit": "x_realtime (PROVISIONAL: single short rep "
+                            "after partial prewarm; lower is better)",
+                    "vs_baseline": round(1.0 / rtf_prov, 3),
+                    "provisional": True,
+                    "rtf_all": [round(rtf_prov, 4)],
+                    "reps": 1,
+                    "audio_secs": round(prov_audio, 1),
+                    "whisper": bool(args.whisper),
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- stage B: full prewarm for the headline reps ----
+    # shrink the rep length if the budget can no longer fit --secs (a shorter
+    # honest rep beats a blown budget; floor 40 s still crosses event chunks,
+    # dropping to a desperate 20 s hot-loop-only rep when even that won't fit)
+    secs_eff = args.secs
+    if do_prewarm:
+        _PROGRESS["phase"] = "prewarm B"
+        rep_reserve = secs_eff * 1.25 + 45.0
+        pwB_deadline = time.monotonic() + max(0.0, remaining() - rep_reserve)
+
+        def pwB_ok(label: str = "shapes") -> bool:
+            _tick(label)
+            return time.monotonic() < pwB_deadline
+
+        note_warm(agent._session.prewarm(
+            deadline=pwB_deadline, progress=_tick,
+            max_need=plan_need(secs_eff),
+        ))
+        warm_whisper((1.0, 6.0), pwB_ok)  # no-op re-execs if stage A ran
+        resources.llm.init_sampler_for_generate(seed=args.seed)
+        prewarm_engine_shapes(
+            prefills=(2048, 1024, 512, 256, 128, 64, 32, 16, 8),
+            score_ctxs=(2500, 1500, 700, 100),  # buckets 4096/2048/1024/256
+            gen_ns=(32,),
+            pw_ok=pwB_ok,
+        )
+        if prov_secs <= 0:
+            # no provisional banked: the event machinery still needs warming
+            if pwB_ok("events"):
+                drive_events(pwB_ok)
+                resources.llm.reset()
+        print(f"prewarm[B]: done at {time.time()-t_setup:.1f}s "
+              f"({'full' if pwB_ok() else 'TIME-BOXED'}; "
+              f"fused={sorted(warm_fused)} detours={sorted(warm_detours)})",
+              file=sys.stderr)
+        # a rep running past warm view coverage cold-compiles mid-rep
+        # (30-90 s inside the timed region): shrink to coverage instead
+        covered = secs_for_warm_coverage(secs_eff)
+        if covered < secs_eff:
+            print(
+                f"[budget] warm view coverage caps rep audio "
+                f"{secs_eff:.0f}s -> {covered:.0f}s",
+                file=sys.stderr,
+            )
+            secs_eff = covered
+    agent.reset()
+
+    rem = remaining()
+    if rem < secs_eff * 1.25 + 40.0:
+        secs_eff = max(40.0, (rem - 40.0) / 1.25)
+        if rem < secs_eff * 1.25 + 40.0:
+            secs_eff = 20.0
+        print(
+            f"[budget] {rem:.0f}s left after prewarm: shrinking rep audio "
+            f"{args.secs:.0f}s -> {secs_eff:.0f}s",
+            file=sys.stderr,
+        )
+    set_sched(secs_eff)
+
     # ---- phase 1: throughput (headline) — back-to-back, wall-clocked.
     # The FIRST rep always runs; further reps (up to --throughput_repeats)
     # run only while the budget has headroom for another rep of the same
@@ -759,25 +945,22 @@ def main():
         file=sys.stderr,
     )
 
-    # the gate line prints NOW — the paced phase below is diagnostics-only
-    # (stderr) and must not stand between the driver and its number
-    print(
-        json.dumps(
-            {
-                "metric": "full_duplex_rtf",
-                "value": round(rtf, 4),
-                "unit": "x_realtime (median wall processing_time/audio_time "
-                        "over completed reps, lower is better)",
-                "vs_baseline": round(1.0 / rtf, 3),
-                "rtf_best": round(float(min(rtfs)), 4),
-                "rtf_all": [round(r, 4) for r in rtfs],
-                "reps": len(rtfs),
-                "audio_secs": round(audio_secs, 1),
-                "whisper": bool(args.whisper),
-            }
-        ),
-        flush=True,
-    )
+    # the headline line prints NOW — the paced phase below re-prints it WITH
+    # latency extras when it completes (the supervisor forwards the best
+    # line it saw, so a wedge during the paced phase still lands this one)
+    headline = {
+        "metric": "full_duplex_rtf",
+        "value": round(rtf, 4),
+        "unit": "x_realtime (median wall processing_time/audio_time "
+                "over completed reps, lower is better)",
+        "vs_baseline": round(1.0 / rtf, 3),
+        "rtf_best": round(float(min(rtfs)), 4),
+        "rtf_all": [round(r, 4) for r in rtfs],
+        "reps": len(rtfs),
+        "audio_secs": round(audio_secs, 1),
+        "whisper": bool(args.whisper),
+    }
+    print(json.dumps(headline), flush=True)
     _PROGRESS["emitted"] = True  # a kill from here on must not double-print
 
     # ---- phase 2: latency — paced at the realtime cadence ----
@@ -791,6 +974,7 @@ def main():
         )
         run_paced_phase = False
     if run_paced_phase:
+        set_sched(lat_secs)
         res_l = run_session(make_audio(lat_secs), paced=True, label="latency")
         lat = res_l["latencies"]
         kinds = res_l["kinds"]
@@ -826,6 +1010,23 @@ def main():
             f"transcript entries: {res_l['transcript_entries']}",
             file=sys.stderr,
         )
+        # FINAL gate line: headline value + the north star's second axis
+        # (p50 per-chunk latency at the realtime cadence; BASELINE.md "p50
+        # end-to-end frame latency < 80 ms"). The supervisor prefers this
+        # line over the bare headline.
+        final = dict(headline)
+        final.update(
+            {
+                "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+                "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+                "latency_max_ms": round(float(lat.max()) * 1000, 2),
+                "chunk_budget_ms": round(chunk_secs * 1000, 1),
+                "latency_audio_secs": round(len(lat) * chunk_secs, 1),
+                "filler_chunks": n_filler,
+                "filler_max_gap_ms": round(max_run * chunk_secs * 1000, 1),
+            }
+        )
+        print(json.dumps(final), flush=True)
     _PROGRESS["phase"] = "done"  # lets the watchdog retire early
 
 

@@ -831,13 +831,15 @@ class RealtimeAgent:
                     llm.eval(self.input_ids[-1:])
                     self.input_ids.append(self.start_audio_token_id)
                     break
-                # bucketed scan lengths (static shapes compile once); the
-                # dynamic n_limit makes one program cover any cap <= 32
-                # exactly — the device loop exits early at the stop token
-                max_n = 4 if remaining <= 4 else (8 if remaining <= 8 else 32)
+                # ONE compiled scan length (max_n=32): the device while_loop
+                # exits early at min(n_limit, stop token), so a 3-token cap
+                # costs 3 body iterations regardless of max_n — separate
+                # 4/8-token program variants bought nothing at runtime and
+                # cost 2 extra cold compiles per cache-view bucket in the
+                # prewarm (round-4 compile-budget cut; token-exact either way)
                 toks, hit_stop = llm.generate_until(
                     self.input_ids[-1], self.start_audio_token_id,
-                    max_n=max_n, n_limit=remaining,
+                    max_n=32, n_limit=remaining,
                 )
                 self.input_ids.extend(toks)
                 if hit_stop:

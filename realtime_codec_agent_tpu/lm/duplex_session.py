@@ -134,6 +134,8 @@ class DuplexSession:
         self._ut_zero = jnp.zeros((self.chunk_frames,), jnp.int32)
         self._commit_true = jnp.bool_(True)
         self._commit_false = jnp.bool_(False)
+        self._pre_true = jnp.bool_(True)
+        self._pre_false = jnp.bool_(False)
         self._dev_settings_key = None
         self.reset()
 
@@ -207,7 +209,7 @@ class DuplexSession:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("top_k", "use_precomputed_tokens", "cache_view"),
+            static_argnames=("top_k", "cache_view"),
         )
         def fused_chunk(
             params,
@@ -225,8 +227,8 @@ class DuplexSession:
             bias_ids,
             bias_vals,
             commit_decode,
+            use_precomputed_tokens,  # DYNAMIC bool scalar (see below)
             top_k,
-            use_precomputed_tokens,
             cache_view=0,
         ):
             cache_len = k.shape[2]
@@ -251,15 +253,24 @@ class DuplexSession:
             step0 = chain["step"]
             halted_in = chain["halted"]
 
-            if use_precomputed_tokens:
-                # replay-after-event redispatch: the halted no-op predecessor
-                # already advanced the encode ring with this chunk's audio
-                user_tokens = user_tokens_in
-            else:
-                enc_ctx, codes = encode_codes(
-                    codec_params, codec_tables, enc_ctx, audio_chunk
-                )
-                user_tokens = codes + cvs  # (chunk_frames,)
+            # ``use_precomputed_tokens`` is a DYNAMIC flag (round-4 change):
+            # the replay-after-event redispatch — whose halted no-op
+            # predecessor already advanced the encode ring with this chunk's
+            # audio — used to be a SEPARATE static program variant, doubling
+            # the fused compile count per cache-view bucket (650 s of cold
+            # prewarm killed two driver gates, VERDICT r3). The encoder now
+            # always runs and a jnp.where selects: replay dispatches keep
+            # the pre-encoded tokens and the untouched encode ring (the
+            # throwaway encode costs ~one codec forward on a rare path),
+            # fast-path dispatches take the fresh codes. Token- and
+            # state-exact either way.
+            enc_ctx_new, codes = encode_codes(
+                codec_params, codec_tables, enc_ctx, audio_chunk
+            )
+            user_tokens = jnp.where(
+                use_precomputed_tokens, user_tokens_in, codes + cvs
+            )  # (chunk_frames,)
+            enc_ctx = jnp.where(use_precomputed_tokens, enc_ctx, enc_ctx_new)
 
             def frame_step(carry, xs):
                 (small_k, small_v, small_pos, n, prev, wids, wcount,
@@ -510,12 +521,12 @@ class DuplexSession:
             bias_ids,
             bias_vals,
             self._commit_true if commit_decode else self._commit_false,
+            self._pre_true if use_pre else self._pre_false,
             # static args MUST pass as keywords: static_argnames only
             # canonicalizes keyword calls, so a positional call traces a
             # SEPARATE program from the (keyword-calling) prewarm — measured
             # as 30-60s mid-run XLA compiles the prewarm should have absorbed
             top_k=eng.settings.top_k,
-            use_precomputed_tokens=use_pre,
             cache_view=cache_view,
         )
         eng._k, eng._v = self._commit_chunk(
@@ -526,28 +537,43 @@ class DuplexSession:
     def prewarm(
         self, include_replay: bool = True, deadline: Optional[float] = None,
         progress: Optional[Callable[[str], None]] = None,
-    ) -> None:
-        """Compile every fused-chunk program variant (cache-view buckets x
-        replay flag) so none of them compiles mid-session — a cold XLA
-        compile over the device tunnel stalls the realtime loop for tens of
-        seconds. Each variant runs ONCE against throwaway donated KV buffers
-        with a HALTED chain (a no-op by construction), because only a real
-        dispatch populates the jit and persistent-compilation caches with
-        the exact donation/sharding layout the live call uses (AOT
-        lower().compile() hashes to a different program). Engine state is
-        untouched.
+        max_need: Optional[int] = None,
+    ) -> Dict[str, object]:
+        """Compile every fused-chunk program variant (one per cache-view
+        bucket; the replay flag is dynamic since round 4) so none of them
+        compiles mid-session — a cold XLA compile over the device tunnel
+        stalls the realtime loop for tens of seconds. Each variant runs ONCE
+        against the live (read-only) caches with a HALTED chain (a no-op by
+        construction), because only a real dispatch populates the jit and
+        persistent-compilation caches with the exact donation/sharding
+        layout the live call uses (AOT lower().compile() hashes to a
+        different program). Engine state is untouched.
 
-        ``deadline`` (a ``time.monotonic()`` value) time-boxes the loop for
-        callers on a wall-clock budget (bench.py): variants past it are
-        skipped — a possible cold compile later beats blowing the budget."""
+        ``deadline`` (a ``time.monotonic()`` value) time-boxes the loop PER
+        PROGRAM for callers on a wall-clock budget (bench.py): one view
+        bucket holds several multi-10s cold compiles, so a per-bucket check
+        can overshoot the budget by minutes (the round-3 gate died exactly
+        this way). ``max_need`` skips view buckets the session can never
+        request because its token count is bounded (a bench session's length
+        is scripted; a trimming session is bounded by its context policy) —
+        an open-ended production session must keep the default full set
+        (CLAUDE.md: never cold-compile on a bucket crossing mid-run).
+
+        ``include_replay`` is kept for API compatibility; the replay variant
+        no longer exists as a separate program.
+
+        Returns ``{"views": [...], "complete": bool, "detours": {...}}`` —
+        the fused view buckets warmed by THIS call and whether nothing was
+        deadline-skipped (detour detail rides along)."""
         import time as _time
 
+        del include_replay  # dynamic flag now; one program covers both paths
         eng = self.engine
         kv_shape = eng._k.shape
         cache_len = kv_shape[2]
-        from .engine import view_buckets
+        from .engine import reachable_views
 
-        views = view_buckets(cache_len)
+        views = reachable_views(cache_len, max_need)
         bias_ids, bias_vals = eng.settings.bias_arrays()
         chain = {
             "prev_pair": jnp.zeros((2,), jnp.int32),
@@ -558,36 +584,39 @@ class DuplexSession:
             "halted": jnp.bool_(True),
         }
         out = None
+        warmed = []
+        complete = True
         for view in views:
             if deadline is not None and _time.monotonic() > deadline:
+                complete = False
                 break
             if progress is not None:
                 progress(f"fused view={view}")
-            for use_pre in (False, True) if include_replay else (False,):
-                # the fused program reads the cache READ-ONLY, so prewarm can
-                # run against the engine's live buffers (no throwaway KV
-                # allocations); the halted chain makes it a no-op
-                out = self._fused_chunk(
-                    eng.params,
-                    self.codec.params,
-                    self.codec.tables,
-                    eng._k,
-                    eng._v,
-                    chain,
-                    jnp.zeros((self.context_samples,), jnp.float32),
-                    jnp.zeros((self.context_frames,), jnp.int32),
-                    jnp.zeros((self.chunk_samples,), jnp.float32),
-                    jnp.zeros((self.chunk_frames,), jnp.int32),
-                    eng._base_key,
-                    eng.settings.scalars(),
-                    bias_ids,
-                    bias_vals,
-                    jnp.bool_(False),
-                    top_k=eng.settings.top_k,
-                    use_precomputed_tokens=use_pre,
-                    cache_view=view,
-                )
-                jax.device_get(out[-1][-1])
+            # the fused program reads the cache READ-ONLY, so prewarm can
+            # run against the engine's live buffers (no throwaway KV
+            # allocations); the halted chain makes it a no-op
+            out = self._fused_chunk(
+                eng.params,
+                self.codec.params,
+                self.codec.tables,
+                eng._k,
+                eng._v,
+                chain,
+                jnp.zeros((self.context_samples,), jnp.float32),
+                jnp.zeros((self.context_frames,), jnp.int32),
+                jnp.zeros((self.chunk_samples,), jnp.float32),
+                jnp.zeros((self.chunk_frames,), jnp.int32),
+                eng._base_key,
+                eng.settings.scalars(),
+                bias_ids,
+                bias_vals,
+                jnp.bool_(False),
+                self._pre_false,
+                top_k=eng.settings.top_k,
+                cache_view=view,
+            )
+            jax.device_get(out[-1][-1])
+            warmed.append(view)
         # the separate donated commit program compiles against throwaway
         # buffers of the live shapes (engine buffers stay untouched — live
         # dispatches donate them later, prewarm must not)
@@ -602,7 +631,14 @@ class DuplexSession:
             del tk, tv
         # detours (event replays, inline text gen, the fallback probe) run
         # the engine's own view-bucketed programs — warm their variants too
-        eng.prewarm_detours(deadline=deadline, progress=progress)  # agent frames bucket is 8
+        det = eng.prewarm_detours(
+            deadline=deadline, progress=progress, max_need=max_need,
+        )  # agent frames bucket is 8
+        return {
+            "views": warmed,
+            "complete": complete and det["complete"],
+            "detours": det,
+        }
 
     def _device_settings(self):
         """Device copies of the sampler scalars/bias tables, rebuilt only

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Callable, Generator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Generator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +92,22 @@ def view_bucket_for(need: int, cache_len: int) -> int:
     gran = view_granularity(cache_len)
     view = ((need + gran - 1) // gran) * gran
     return 0 if view >= cache_len else view
+
+
+def reachable_views(cache_len: int, max_need: Optional[int] = None) -> List[int]:
+    """The view buckets a session whose attention-read bound never exceeds
+    ``max_need`` tokens can actually request — prewarming the rest is pure
+    wasted compile time (each cold variant is 10-60 s over the tunnel).
+    ``None`` = unbounded (the full ``view_buckets`` list). A bench session's
+    bound follows from its scripted length + trim policy; open-ended serving
+    sessions must pass None."""
+    views = view_buckets(cache_len)
+    if max_need is None:
+        return views
+    cap = view_bucket_for(max_need, cache_len)
+    if cap == 0:
+        return views
+    return [v for v in views if v != 0 and v <= cap]
 
 
 class DuplexLMEngine:
@@ -842,14 +858,15 @@ class DuplexLMEngine:
 
     def prewarm_detours(
         self,
-        gen_buckets: Sequence[int] = (4, 8, 32),
+        gen_buckets: Sequence[int] = (32,),
         frames_bucket: Optional[int] = 8,
         include_probe: bool = True,
         include_decode: bool = True,
         decode_top_k: Optional[Sequence[int]] = None,
         deadline: Optional[float] = None,
         progress: Optional[Callable[[str], None]] = None,
-    ) -> None:
+        max_need: Optional[int] = None,
+    ) -> Dict[str, object]:
         """Compile every (program x cache-view bucket) variant of the detour
         programs — gen_until, the frames continuation, the event probe — plus
         their separate donated commit, through the REAL dispatch path (AOT
@@ -865,19 +882,24 @@ class DuplexLMEngine:
         program). Default: just the current ``settings.top_k``. A server whose
         per-request sampler swaps top_k must prewarm every value it expects
         or the first differing request cold-compiles every view bucket.
-        ``deadline`` (a ``time.monotonic()`` value) time-boxes the loop: once
-        past it, remaining variants are skipped — a cold compile mid-run is
-        worse than none at all only inside the realtime loop, and callers on
-        a wall-clock budget (bench.py) prefer a partial prewarm to a blown
-        budget. ``progress`` (if given) is called with a short label per
-        view-bucket iteration — supervised benches use it as a liveness
-        signal. Each view's programs are SYNCED (one device_get) before the
-        next view dispatches: an unbounded in-flight dispatch queue can
-        wedge the remote-device tunnel (see models/whisper.init_whisper_params)."""
+        ``deadline`` (a ``time.monotonic()`` value) time-boxes the loop PER
+        PROGRAM: one view bucket holds ~5 cold compiles at 10-60 s each over
+        the tunnel, so a per-bucket check can overshoot a wall-clock budget
+        by minutes (this exact overshoot nulled the round-3 driver gate).
+        ``progress`` (if given) is called with a short label per PROGRAM —
+        supervised benches use it as a liveness signal. ``max_need`` skips
+        view buckets a bounded session can never request (see
+        ``reachable_views``). Each program is SYNCED (one device_get) before
+        the next dispatches: an unbounded in-flight dispatch queue can wedge
+        the remote-device tunnel (see models/whisper.init_whisper_params),
+        and the sync makes each progress tick mean "the previous compile
+        finished", which is what a stall watchdog needs.
+
+        Returns ``{"views": [fully-warmed view buckets], "complete": bool}``."""
         import time as _time
 
         cache_len = self._k.shape[2]
-        views = view_buckets(cache_len)
+        views = reachable_views(cache_len, max_need)
         scalars, (bias_ids, bias_vals) = self._device_settings()
         window = jnp.zeros((PENALTY_WINDOW,), jnp.int32)
         zero = jnp.int32(0)
@@ -886,13 +908,25 @@ class DuplexLMEngine:
             (self.settings.top_k,) if decode_top_k is None
             else tuple(dict.fromkeys(int(k) for k in decode_top_k))
         )
-        smalls = {}
-        for view in views:
+        complete = True
+
+        def ok(label: str) -> bool:
+            nonlocal complete
             if deadline is not None and _time.monotonic() > deadline:
-                break
+                complete = False
+                return False
             if progress is not None:
-                progress(f"detours view={view}")
+                progress(label)
+            return True
+
+        smalls = {}
+        warmed = []
+        for view in views:
+            view_full = True
             for max_n in gen_buckets:
+                if not ok(f"gen{max_n} view={view}"):
+                    view_full = False
+                    break
                 r = self._gen_until_fn(
                     self.params, self._k, self._v, zero, jnp.int32(1),
                     self._base_key, zero, scalars, bias_ids, bias_vals,
@@ -900,7 +934,8 @@ class DuplexLMEngine:
                     cache_view=view,
                 )
                 smalls[max_n] = (r[4], r[5])
-            if frames_bucket:
+                jax.device_get(r[1])
+            if frames_bucket and view_full and ok(f"frames view={view}"):
                 r = self._frames_fn(
                     self.params, self._k, self._v, zero,
                     jnp.zeros((2,), jnp.int32),
@@ -910,15 +945,24 @@ class DuplexLMEngine:
                     self.settings.top_k, frames_bucket, cache_view=view,
                 )
                 smalls[2 * frames_bucket] = (r[5], r[6])
-            if include_probe:
-                self._event_probe_fn(
+                jax.device_get(r[1])
+            elif frames_bucket:
+                view_full = False
+            if include_probe and view_full and ok(f"probe view={view}"):
+                r = self._event_probe_fn(
                     self.params, self._k, self._v, zero, logits0,
                     jnp.zeros((1,), jnp.int32), jnp.zeros((2,), jnp.int32),
                     cache_view=view,
                 )
-            if include_decode:
+                jax.device_get(jax.tree_util.tree_leaves(r)[0].ravel()[0])
+            elif include_probe:
+                view_full = False
+            if include_decode and view_full:
                 for tk_val in decode_top_k:
                     for t in (1, 2):  # stepwise eval_and_sample shapes (T=1 / pair)
+                        if not ok(f"decode{t} k={tk_val} view={view}"):
+                            view_full = False
+                            break
                         wid, wmask = make_window([1], PENALTY_WINDOW)
                         r = self._decode_fn(
                             self.params, self._k, self._v,
@@ -927,17 +971,24 @@ class DuplexLMEngine:
                             tk_val, cache_view=view,
                         )
                         smalls[f"decode{t}"] = (r[2], r[3])
-            # drain this view's in-flight programs before dispatching the
-            # next batch (tunnel wedge guard; one ~30 ms fetch per view)
-            if smalls:
-                jax.device_get(next(reversed(smalls.values()))[0].ravel()[0])
+                        jax.device_get(r[0])
+                    if not view_full:
+                        break
+            elif include_decode:
+                view_full = False
+            if view_full:
+                warmed.append(view)
+            if not complete:
+                break
         # one throwaway donated pair chained through every distinct commit
         # shape (the writes land in a dead buffer)
-        tk = jnp.zeros(self._k.shape, self._k.dtype)
-        tv = jnp.zeros(self._v.shape, self._v.dtype)
-        for nk, nv in smalls.values():
-            tk, tv = self._commit_contig_fn(tk, tv, nk, nv, zero)
-        jax.device_get(tv[0, 0, 0, 0, 0])  # sync before the timed region
+        if smalls:
+            tk = jnp.zeros(self._k.shape, self._k.dtype)
+            tv = jnp.zeros(self._v.shape, self._v.dtype)
+            for nk, nv in smalls.values():
+                tk, tv = self._commit_contig_fn(tk, tv, nk, nv, zero)
+            jax.device_get(tv[0, 0, 0, 0, 0])  # sync before the timed region
+        return {"views": warmed, "complete": complete}
 
     def set_end_header_token_id(self, token_id: int) -> None:
         """Register the audio/event boundary id (tokens > this are codec

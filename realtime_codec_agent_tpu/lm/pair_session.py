@@ -169,6 +169,11 @@ class GroupCoordinator:
         self.single_dispatches = 0
         self.timeout_flushes = 0  # 2 s lazy timeouts: should stay 0 outside drains
         self._build_group_jit(s0)
+        # device-resident constants (no per-dispatch upload over the tunnel)
+        self._ut_zero_group = jnp.zeros(
+            (self.n_rows, s0.chunk_frames), jnp.int32
+        )
+        self._pre_false_group = jnp.zeros((self.n_rows,), bool)
         for s in self.sessions:
             s._pair = self
 
@@ -188,7 +193,7 @@ class GroupCoordinator:
         n_small = 2 * chunk_frames
 
         @functools.partial(
-            jax.jit, static_argnames=("top_k", "use_precomputed_tokens", "cache_view")
+            jax.jit, static_argnames=("top_k", "cache_view")
         )
         def fused_group(
             params, codec_params, codec_tables,
@@ -199,7 +204,8 @@ class GroupCoordinator:
             base_keys,                   # (R, key)
             scalars, bias_ids, bias_vals,  # (R, ...) stacked per row
             commit_decode,               # (R,) bool
-            top_k, use_precomputed_tokens, cache_view=0,
+            use_precomputed_tokens,      # (R,) bool, DYNAMIC per row
+            top_k, cache_view=0,
         ):
             cache_len = k_rows[0].shape[2]
             trash = cache_len - 4
@@ -221,16 +227,22 @@ class GroupCoordinator:
             wids0 = srow("window_ids")         # (R, W)
             wcount0 = srow("window_count")
 
-            if use_precomputed_tokens:
-                user_tokens = user_tokens_in   # (R, F); rings already advanced
-            else:
-                enc_ctx = jnp.concatenate(
-                    [enc_ctx[:, chunk_samples:], audio], axis=1
-                )
-                codes = codec_lib.encode_frames(
-                    codec_params, enc_ctx, ccfg, tables=codec_tables
-                )
-                user_tokens = codes[:, -chunk_frames:].astype(jnp.int32) + cvs
+            # the replay flag is DYNAMIC and per-row (round 4): the encoder
+            # always runs, replay rows keep their pre-encoded tokens and
+            # untouched encode ring via a select (see DuplexSession's fused
+            # program for the rationale — this halves the group-program
+            # compile count AND lets mixed replay/fresh rows ride together
+            # instead of falling back to single dispatches)
+            enc_ctx_new = jnp.concatenate(
+                [enc_ctx[:, chunk_samples:], audio], axis=1
+            )
+            codes = codec_lib.encode_frames(
+                codec_params, enc_ctx_new, ccfg, tables=codec_tables
+            )
+            fresh = codes[:, -chunk_frames:].astype(jnp.int32) + cvs
+            pre = use_precomputed_tokens[:, None]
+            user_tokens = jnp.where(pre, user_tokens_in, fresh)  # (R, F)
+            enc_ctx = jnp.where(pre, enc_ctx, enc_ctx_new)
 
             def frame_step(carry, xs):
                 (small_k, small_v, small_pos, n, prev, wids, wcount,
@@ -409,14 +421,10 @@ class GroupCoordinator:
             if len(self._buffered) < self.n_rows:
                 return entry["lazy"]
             entries = [self._buffered[id(s)] for s in self.sessions]
-            use_pre0 = entries[0]["user_tokens"] is None
-            if any(
-                e["top_k"] != entries[0]["top_k"]
-                or (e["user_tokens"] is None) != use_pre0
-                for e in entries[1:]
-            ):
-                # incompatible statics (sampler swap mid-event, warm-in mix):
-                # this round can't ride together — realize all as singles
+            if any(e["top_k"] != entries[0]["top_k"] for e in entries[1:]):
+                # incompatible statics (sampler swap mid-event): this round
+                # can't ride together — realize all as singles. A replay/
+                # fresh mix is FINE since round 4 (per-row dynamic flag)
                 self._flush_all_locked()
                 return entry["lazy"]
             self._buffered.clear()
@@ -429,14 +437,25 @@ class GroupCoordinator:
         tuples stay positional."""
         R = self.n_rows
         engines = [s.engine for s in self.sessions]
-        use_pre = entries[0]["user_tokens"] is not None
         cf = self.sessions[0].chunk_frames
-        if use_pre:
+        pre_flags = np.array(
+            [e["user_tokens"] is not None for e in entries], dtype=bool
+        )
+        if pre_flags.any():
             ut = jnp.asarray(
-                np.stack([np.asarray(e["user_tokens"], np.int32) for e in entries])
+                np.stack(
+                    [
+                        np.asarray(e["user_tokens"], np.int32)
+                        if e["user_tokens"] is not None
+                        else np.zeros((cf,), np.int32)
+                        for e in entries
+                    ]
+                )
             )
+            use_pre = jnp.asarray(pre_flags)
         else:
-            ut = jnp.zeros((R, cf), jnp.int32)
+            ut = self._ut_zero_group
+            use_pre = self._pre_false_group
         views = [e["view"] for e in entries]
         view = max(views) if all(views) else 0
         scals, bis, bvs = [], [], []
@@ -478,8 +497,8 @@ class GroupCoordinator:
             jnp.stack(bis),
             jnp.stack(bvs),
             jnp.asarray([e["commit_decode"] for e in entries], bool),
+            use_pre,
             top_k=entries[0]["top_k"],
-            use_precomputed_tokens=use_pre,
             cache_view=view,
         )
         group_fetch = GroupFetch((packed_is, packed_fs))
@@ -592,26 +611,25 @@ class GroupCoordinator:
         scal, (bi, bv) = s0._device_settings()
         cf = s0.chunk_frames
         for view in views:
-            for use_pre in (False, True):
-                out = self._fused_group(
-                    engines[0].params, s0.codec.params, s0.codec.tables,
-                    tuple(e._k for e in engines),
-                    tuple(e._v for e in engines),
-                    tuple(halted for _ in range(R)),
-                    jnp.zeros((R, s0.context_samples), jnp.float32),
-                    jnp.zeros((R, s0.context_frames), jnp.int32),
-                    jnp.zeros((R, s0.chunk_samples), jnp.float32),
-                    jnp.zeros((R, cf), jnp.int32),
-                    jnp.stack([e._base_key for e in engines]),
-                    jnp.stack([scal] * R),
-                    jnp.stack([bi] * R),
-                    jnp.stack([bv] * R),
-                    jnp.zeros((R,), bool),
-                    top_k=engines[0].settings.top_k,
-                    use_precomputed_tokens=use_pre,
-                    cache_view=view,
-                )
-                jax.device_get(out[-1][-1][-1])
+            out = self._fused_group(
+                engines[0].params, s0.codec.params, s0.codec.tables,
+                tuple(e._k for e in engines),
+                tuple(e._v for e in engines),
+                tuple(halted for _ in range(R)),
+                jnp.zeros((R, s0.context_samples), jnp.float32),
+                jnp.zeros((R, s0.context_frames), jnp.int32),
+                jnp.zeros((R, s0.chunk_samples), jnp.float32),
+                jnp.zeros((R, cf), jnp.int32),
+                jnp.stack([e._base_key for e in engines]),
+                jnp.stack([scal] * R),
+                jnp.stack([bi] * R),
+                jnp.stack([bv] * R),
+                jnp.zeros((R,), bool),
+                self._pre_false_group,
+                top_k=engines[0].settings.top_k,
+                cache_view=view,
+            )
+            jax.device_get(out[-1][-1][-1])
 
 
 # backwards-compatible name: the original two-row deployment

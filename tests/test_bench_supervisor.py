@@ -43,6 +43,17 @@ _PARTIAL_LINE = json.dumps(
         "rtf_all": [0.9],
     }
 )
+_PROVISIONAL_LINE = json.dumps(
+    {
+        "metric": "full_duplex_rtf",
+        "value": 0.55,
+        "unit": "x_realtime (PROVISIONAL: single short rep after partial "
+                "prewarm; lower is better)",
+        "vs_baseline": 1.818,
+        "provisional": True,
+        "rtf_all": [0.55],
+    }
+)
 
 
 def _write_stub(tmp_path, body: str) -> str:
@@ -50,7 +61,8 @@ def _write_stub(tmp_path, body: str) -> str:
     with open(path, "w") as f:
         f.write(
             "import json, os, sys, time\n"
-            "GOOD = %r\nPARTIAL = %r\n" % (_GOOD_LINE, _PARTIAL_LINE)
+            "GOOD = %r\nPARTIAL = %r\nPROVISIONAL = %r\n"
+            % (_GOOD_LINE, _PARTIAL_LINE, _PROVISIONAL_LINE)
             + textwrap.dedent(body)
         )
     return path
@@ -193,5 +205,87 @@ def test_child_mode_env_skips_supervise_branch(tmp_path):
         stub, tmp_path, budget="30", extra_env={"RTCA_BENCH_CHILD": "1"},
     )
     lines = _headline_lines(proc.stdout)
+    # the watchdog starts before any heavy import, so at least one (possibly
+    # partial) headline line is guaranteed within the budget — without this,
+    # a crash before any output would pass the stub-line check vacuously
+    assert len(lines) >= 1, proc.stderr
     # whatever main() managed within 30 s, the line must NOT be the stub's
     assert all(ln.get("value") != 0.42 for ln in lines)
+
+
+def test_provisional_is_banked_and_replaced_by_final(tmp_path):
+    # the child prints a ladder: provisional first (banked insurance), then
+    # the full headline — the supervisor must forward ONLY the final line
+    stub = _write_stub(
+        tmp_path,
+        """
+        print(PROVISIONAL, flush=True)
+        print(GOOD, flush=True)
+        """,
+    )
+    proc = _run_supervised(stub, tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    lines = _headline_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.42
+    assert "provisional" not in lines[0]
+    assert "attempt 2" not in proc.stderr  # rank-3 line: no retry
+
+
+def test_provisional_survives_a_later_wedge(tmp_path):
+    # the whole point of banking: child prints the provisional then wedges
+    # (stage-B compile hangs) — the supervisor must kill it and settle for
+    # the provisional instead of retrying into the same wedge or nulling out
+    stub = _write_stub(
+        tmp_path,
+        """
+        print(PROVISIONAL, flush=True)
+        time.sleep(120)  # silent wedge
+        print(GOOD, flush=True)
+        """,
+    )
+    proc = _run_supervised(stub, tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    lines = _headline_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.55
+    assert lines[0]["provisional"] is True
+    assert "settling for the banked candidate" in proc.stderr
+    assert "attempt 2" not in proc.stderr
+
+
+def test_provisional_only_exit_retries_then_keeps_best(tmp_path):
+    # a child that exits after only a provisional (watchdog beat stage B)
+    # leaves room for a retry to land the full number; if the retry also
+    # only manages a provisional, the best provisional is still forwarded
+    stub = _write_stub(
+        tmp_path,
+        """
+        print(PROVISIONAL, flush=True)
+        """,
+    )
+    proc = _run_supervised(stub, tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    assert "attempt 2/2" in proc.stderr  # it retried for a full number
+    lines = _headline_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.55
+    assert lines[0]["provisional"] is True
+
+
+def test_partial_never_outranks_provisional(tmp_path):
+    # watchdog partials print AFTER the banked provisional when the budget
+    # expires mid-stage-B; the provisional (a clean short rep) must win
+    stub = _write_stub(
+        tmp_path,
+        """
+        print(PROVISIONAL, flush=True)
+        print(PARTIAL, flush=True)
+        """,
+    )
+    proc = _run_supervised(stub, tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    lines = _headline_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.55
+    assert lines[0]["provisional"] is True
