@@ -29,6 +29,17 @@ Usage:
         [--audio test.wav] [--magicodec_src /path/to/MagiCodec] \
         [--norm_type layer] [--rope_interleaved] [--tokens_out tokens.npy]
 
+**Dry mode** (no checkpoint, CI-able wherever the MagiCodec package imports):
+
+    python verify_codec_parity.py --dry --magicodec_src /path/to/MagiCodec
+
+builds the GENUINE MagiCodec torch module (randomly initialized), takes its
+real ``state_dict`` module tree, and runs the key-map coverage + geometry
+inference against it — so the layout risk (true module tree, naming, shapes)
+is retired without weights, leaving only numerics for the real-checkpoint run
+(VERDICT r3 item 6). If the random-init module can also run a forward on this
+host (flash-attn kernels permitting), the token cross-check runs too.
+
 Exit code 0 = every runnable stage passed.
 """
 from __future__ import annotations
@@ -51,9 +62,31 @@ def fail(msg: str) -> None:
     sys.exit(1)
 
 
+def _load_magicodec_class(src: str | None):
+    """Import the genuine MagiCodec Generator class (public layout:
+    ``codec/generator.py`` in github.com/Ereboas/MagiCodec, the module the
+    reference builds in magicodec_build.sh:4-16). Returns the class or None
+    with the import error message."""
+    if src:
+        sys.path.insert(0, src)
+    try:
+        from codec.generator import Generator  # MagiCodec public layout
+
+        return Generator, None
+    except Exception as ex:  # flash-attn CUDA deps commonly missing off-GPU
+        return None, str(ex)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", required=True, help=".ckpt/.pt/.bin torch state_dict")
+    p.add_argument("--checkpoint", default=None, help=".ckpt/.pt/.bin torch state_dict")
+    p.add_argument(
+        "--dry", action="store_true",
+        help="no checkpoint: build the genuine MagiCodec module (random "
+             "init) from --magicodec_src and verify the key map + geometry "
+             "inference against its REAL module tree; runs the token "
+             "cross-check too if the module can forward on this host",
+    )
     p.add_argument("--audio", default=None, help="test WAV (default: synthetic)")
     p.add_argument("--magicodec_src", default=None, help="path to the MagiCodec repo for torch cross-check")
     p.add_argument("--tokens_out", default=None, help="write our encode tokens here (.npy)")
@@ -71,7 +104,21 @@ def main():
     p.add_argument("--rope_interleaved", action="store_true")
     p.add_argument("--frontend", default="patchify", choices=("patchify", "conv"))
     p.add_argument("--allow_unused", action="store_true")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force CPU jax (the environment force-prepends the axon TPU "
+             "platform even over JAX_PLATFORMS; CI dry runs must not touch "
+             "the tunnel)",
+    )
     args = p.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import torch
 
@@ -79,12 +126,27 @@ def main():
     from realtime_codec_agent_tpu.models import convert
     from realtime_codec_agent_tpu.models.codec import CodecConfig, JaxCodecModel
 
-    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
-    for wrapper in ("state_dict", "model", "generator"):
-        if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
-            sd = sd[wrapper]
-    sd = {k: v for k, v in sd.items() if hasattr(v, "shape")}
-    print(f"checkpoint: {len(sd)} tensors")
+    dry_model = None
+    if args.dry:
+        gen_cls, err = _load_magicodec_class(args.magicodec_src)
+        if gen_cls is None:
+            fail(f"--dry needs the MagiCodec package importable ({err})")
+        dry_model = gen_cls(sample_rate=16000, token_hz=int(args.expect_framerate))
+        dry_model.eval()
+        sd = {
+            k: v for k, v in dry_model.state_dict().items()
+            if hasattr(v, "shape")
+        }
+        print(f"dry mode: genuine MagiCodec module tree, {len(sd)} tensors (random init)")
+    else:
+        if not args.checkpoint:
+            p.error("--checkpoint is required unless --dry")
+        sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+        for wrapper in ("state_dict", "model", "generator"):
+            if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+                sd = sd[wrapper]
+        sd = {k: v for k, v in sd.items() if hasattr(v, "shape")}
+        print(f"checkpoint: {len(sd)} tensors")
 
     # infer geometry from the quantizer tensors when present (they are the
     # best-pinned part of the module tree: reference audio_tokenizer.py:196-201)
@@ -239,27 +301,39 @@ def main():
         print(f"wrote our tokens to {args.tokens_out}")
 
     # ---- stage 5: torch cross-check ----
-    if args.magicodec_src:
-        sys.path.insert(0, args.magicodec_src)
-    torch_model = None
-    try:
-        from codec.generator import Generator  # MagiCodec public layout
-
-        torch_model = Generator(sample_rate=cfg.sample_rate, token_hz=int(cfg.framerate))
-        torch_model.load_state_dict(torch.load(args.checkpoint, map_location="cpu"), strict=True)
-        torch_model.eval()
-    except Exception as ex:
-        print(
-            f"stage 5 SKIPPED: torch MagiCodec not importable here ({ex}).\n"
-            "  Run on a host with the MagiCodec repo (--magicodec_src) to close the "
-            "loop, or diff --tokens_out against the original encoder offline."
-        )
+    torch_model = dry_model
+    if torch_model is None:
+        gen_cls, err = _load_magicodec_class(args.magicodec_src)
+        if gen_cls is None:
+            print(
+                f"stage 5 SKIPPED: torch MagiCodec not importable here ({err}).\n"
+                "  Run on a host with the MagiCodec repo (--magicodec_src) to close the "
+                "loop, or diff --tokens_out against the original encoder offline."
+            )
+        else:
+            torch_model = gen_cls(
+                sample_rate=cfg.sample_rate, token_hz=int(cfg.framerate)
+            )
+            torch_model.load_state_dict(
+                torch.load(args.checkpoint, map_location="cpu"), strict=True
+            )
+            torch_model.eval()
     if torch_model is not None:
-        with torch.no_grad():
-            x = torch.from_numpy(model.pad_audio(audio))[None]
-            x = torch_model.pad_audio(x)
-            z_t = torch_model.encoder(x)
-            _, idx = torch_model.quantizer.inference(z_t)
+        try:
+            with torch.no_grad():
+                x = torch.from_numpy(model.pad_audio(audio))[None]
+                x = torch_model.pad_audio(x)
+                z_t = torch_model.encoder(x)
+                _, idx = torch_model.quantizer.inference(z_t)
+        except Exception as ex:
+            # the genuine module's forward needs its flash-attn CUDA kernels;
+            # a CPU-only dry host retires the LAYOUT risk above and skips the
+            # numeric compare honestly rather than faking it
+            if not args.dry:
+                raise
+            print(f"stage 5 SKIPPED: dry-mode forward failed on this host ({ex})")
+            torch_model = None
+    if torch_model is not None:
         ref_codes = idx.reshape(-1).numpy()
         ours = model.encode(audio[None])[0]
         n = min(len(ref_codes), len(ours))
@@ -267,9 +341,14 @@ def main():
         print(f"stage 5: token compare over {n} frames -> {mismatches} mismatches")
         if mismatches:
             fail("token-exact parity FAILED against torch MagiCodec")
-        print("stage 5 OK: token-exact parity with torch MagiCodec")
+        print("stage 5 OK: token-exact parity with torch MagiCodec"
+              + (" (random-init weights, dry mode)" if args.dry else ""))
 
-    print(json.dumps({"parity_harness": "passed", "frames": int(len(our_codes))}))
+    print(json.dumps({
+        "parity_harness": "passed",
+        "dry": bool(args.dry),
+        "frames": int(len(our_codes)),
+    }))
 
 
 if __name__ == "__main__":
