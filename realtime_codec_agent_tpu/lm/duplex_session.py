@@ -585,7 +585,13 @@ class DuplexSession:
         }
         out = None
         warmed = []
+        det_warmed = []
         complete = True
+        # VIEW-MAJOR: fused + detour programs of one view bucket compile
+        # together before the next bucket starts, so a deadline cut leaves
+        # coverage that is USABLE (a session bounded to the warmed buckets
+        # runs compile-free) instead of fused-everywhere/detours-nowhere
+        # (which is what nulled the round-4 first gate attempt)
         for view in views:
             if deadline is not None and _time.monotonic() > deadline:
                 complete = False
@@ -617,6 +623,13 @@ class DuplexSession:
             )
             jax.device_get(out[-1][-1])
             warmed.append(view)
+            det = eng.prewarm_detours(
+                deadline=deadline, progress=progress, views=[view],
+            )  # agent frames bucket is 8
+            det_warmed.extend(det["views"])
+            if not det["complete"]:
+                complete = False
+                break
         # the separate donated commit program compiles against throwaway
         # buffers of the live shapes (engine buffers stay untouched — live
         # dispatches donate them later, prewarm must not)
@@ -629,15 +642,10 @@ class DuplexSession:
             )
             jax.device_get(target_idx[-1])
             del tk, tv
-        # detours (event replays, inline text gen, the fallback probe) run
-        # the engine's own view-bucketed programs — warm their variants too
-        det = eng.prewarm_detours(
-            deadline=deadline, progress=progress, max_need=max_need,
-        )  # agent frames bucket is 8
         return {
             "views": warmed,
-            "complete": complete and det["complete"],
-            "detours": det,
+            "complete": complete,
+            "detours": {"views": det_warmed, "complete": complete},
         }
 
     def _device_settings(self):

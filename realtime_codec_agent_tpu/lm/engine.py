@@ -866,6 +866,7 @@ class DuplexLMEngine:
         deadline: Optional[float] = None,
         progress: Optional[Callable[[str], None]] = None,
         max_need: Optional[int] = None,
+        views: Optional[Sequence[int]] = None,
     ) -> Dict[str, object]:
         """Compile every (program x cache-view bucket) variant of the detour
         programs — gen_until, the frames continuation, the event probe — plus
@@ -895,11 +896,16 @@ class DuplexLMEngine:
         and the sync makes each progress tick mean "the previous compile
         finished", which is what a stall watchdog needs.
 
+        ``views`` (explicit list) overrides the reachable-view derivation —
+        DuplexSession.prewarm uses it to interleave fused and detour
+        compiles VIEW-MAJOR, so warm coverage grows in usable units.
+
         Returns ``{"views": [fully-warmed view buckets], "complete": bool}``."""
         import time as _time
 
         cache_len = self._k.shape[2]
-        views = reachable_views(cache_len, max_need)
+        if views is None:
+            views = reachable_views(cache_len, max_need)
         scalars, (bias_ids, bias_vals) = self._device_settings()
         window = jnp.zeros((PENALTY_WINDOW,), jnp.int32)
         zero = jnp.int32(0)

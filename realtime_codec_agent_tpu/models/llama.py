@@ -416,8 +416,9 @@ def transformer_layer(
     q, k = nn.apply_rope(q, k, cos, sin)
     if t > 512:
         # long causal self-attention (teacher-forced scoring, training):
-        # flash-style key-block scan, no (T,T) score materialization
-        attn = nn.flash_causal_attention(
+        # Pallas flash kernel on TPU, XLA key-block scan elsewhere — neither
+        # materializes the (T,T) scores (ops/nn.train_attention)
+        attn = nn.train_attention(
             q,
             nn.repeat_kv(k, cfg.n_rep),
             nn.repeat_kv(v, cfg.n_rep),

@@ -62,8 +62,8 @@ def _kernel(x_ref, q4_ref, d_ref, m_ref, o_ref, *, group: int):
     lo = (qi & 15).reshape(kg, gh, bn)
     hi = (qi >> 4).reshape(kg, gh, bn)
     q = jnp.concatenate([lo, hi], axis=1)  # (kg, group, bn) int32
-    d = d_ref[:][:, None, :]
-    m = m_ref[:][:, None, :]
+    d = d_ref[:].astype(jnp.float32)[:, None, :]
+    m = m_ref[:].astype(jnp.float32)[:, None, :]
     w = (q.astype(jnp.float32) * d - m).astype(jnp.bfloat16)
     o_ref[:] = jnp.dot(
         x_ref[:], w.reshape(kg * group, bn), preferred_element_type=jnp.float32
@@ -82,8 +82,8 @@ def _kernel_split(xlo_ref, xhi_ref, q4_ref, d_ref, m_ref, o_ref, *, group: int):
     gh = group // 2
     bn = q4_ref.shape[-1]
     qi = q4_ref[:].astype(jnp.int32).reshape(kg, gh, bn)
-    d = d_ref[:][:, None, :]
-    m = m_ref[:][:, None, :]
+    d = d_ref[:].astype(jnp.float32)[:, None, :]
+    m = m_ref[:].astype(jnp.float32)[:, None, :]
     w_lo = ((qi & 15).astype(jnp.float32) * d - m).astype(jnp.bfloat16)
     w_hi = ((qi >> 4).astype(jnp.float32) * d - m).astype(jnp.bfloat16)
     o_ref[:] = jnp.dot(
@@ -140,6 +140,14 @@ def int4_matmul(
             pl.BlockSpec((block_t, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         ]
     body = _kernel_split if split else _kernel
+    # RTCA_INT4_DM_BF16=1: ship the per-group scale/min to VMEM in bf16
+    # (halves their HBM read — d+m are 0.25 B/weight at group=32, a quarter
+    # of the int4 byte stream) and widen to f32 in-register. A/B knob for
+    # the decode-bandwidth study; numerics shift at bf16-epsilon scale.
+    dm_dtype = (
+        jnp.bfloat16 if os.environ.get("RTCA_INT4_DM_BF16", "0") == "1"
+        else jnp.float32
+    )
     out = pl.pallas_call(
         functools.partial(body, group=group),
         grid=grid,
@@ -153,7 +161,7 @@ def int4_matmul(
         ),
         out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
         interpret=interpret,
-    )(*x_halves, q4, d.astype(jnp.float32), m.astype(jnp.float32))
+    )(*x_halves, q4, d.astype(dm_dtype), m.astype(dm_dtype))
     return out.reshape(*lead, n)
 
 

@@ -281,6 +281,86 @@ def flash_causal_attention(
     return _flash(q, kp, vp, key_live, block, scale, t)
 
 
+def flash_attention_pallas(
+    q: jnp.ndarray,  # (B, T, H, Dh), KV already head-repeated
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,  # (B, T) token validity
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """Causal self-attention through jax's stock Pallas TPU FlashAttention
+    kernels (fwd + dq/dkv backwards, fused in VMEM).
+
+    Why this exists next to ``flash_causal_attention``: the XLA key-block
+    scan materializes its (B, H, T, block) f32 score/prob tensors in HBM on
+    every block step — at the 80 s-window training recipe (B=4, T=2048,
+    H=32, block=1024) that is ~1 GB written+read per block per direction,
+    and the step is HBM-bound well before the MXU saturates (27.5% MFU vs
+    38.9% at T=1024, VERDICT r3 item 5). The Pallas kernel keeps
+    scores/probs in VMEM, and its ``causal`` grid skips fully-masked key
+    blocks (the XLA scan computes every block for every query). Blocks
+    default LARGE per the measured per-grid-step overhead on the tunnel
+    backend (CLAUDE.md).
+
+    Padding enters as segment ids (pad tokens form their own segment; their
+    outputs are garbage but the loss masks them — same contract as the XLA
+    path's multiplicative key mask). Token-identical is NOT guaranteed vs
+    the XLA path at bf16 epsilon; training metrics are equivalent.
+    """
+    b, t, h, dh = q.shape
+    if scale is None:
+        scale = float(dh ** -0.5)
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention,
+    )
+
+    bq = min(block_q, t)
+    bk = min(block_k, t)
+    sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    seg = None
+    if valid is not None:
+        s = valid.astype(jnp.int32)
+        seg = SegmentIds(q=s, kv=s)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=seg,
+        causal=True,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def train_attention(
+    q: jnp.ndarray,  # (B, T, H, Dh), KV already head-repeated
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Long-block training/scoring attention: the Pallas flash kernel on TPU
+    (RTCA_FLASH_IMPL=xla restores the XLA key-block scan for A/B), the XLA
+    scan elsewhere (CPU tests, platforms without Mosaic)."""
+    t = q.shape[1]
+    impl = os.environ.get("RTCA_FLASH_IMPL", "pallas")
+    if (
+        impl == "pallas"
+        and jax.default_backend() == "tpu"
+        and t % 512 == 0
+    ):
+        return flash_attention_pallas(q, k, v, valid=valid, scale=scale)
+    return flash_causal_attention(q, k, v, valid=valid, scale=scale)
+
+
 def _flash_fwd_impl(q, kp, vp, key_live, block: int, scale: float, t: int):
     """Online-softmax forward over key blocks.
 
