@@ -203,23 +203,45 @@ def _supervise(argv, budget: float) -> None:
             th.start()
         stalled = False
         settled = False  # stall/deadline while holding a usable candidate
+        warned_final = False
         while proc.poll() is None:
             time.sleep(2.0)
             now = time.monotonic()
             if now - state["t"] > stall_s:
-                stalled = True
-                settled = best["rank"] >= 2
-                print(
-                    f"[supervisor] no child output for {stall_s:.0f}s — "
-                    "killing (wedged device call)"
-                    + (
-                        "; settling for the banked candidate"
-                        if settled else ""
-                    ),
-                    file=sys.stderr, flush=True,
+                # a retry must be genuinely possible to justify the kill: on
+                # the FINAL attempt the child's own budget watchdog (a
+                # daemon thread immune to a main thread wedged in a device
+                # call) will still print the best partial it has — a
+                # SIGKILL guarantees silence instead. Measured round-4: a
+                # degraded window charged 553 s for the FIRST trivial
+                # fetch; killing at 240 s twice produced null where waiting
+                # would have landed a provisional.
+                retry_possible = (
+                    attempt + 1 < attempts
+                    and deadline - now >= 150.0
                 )
-                proc.kill()
-                break
+                if best["rank"] >= 2 or retry_possible:
+                    stalled = True
+                    settled = best["rank"] >= 2
+                    print(
+                        f"[supervisor] no child output for {stall_s:.0f}s — "
+                        "killing (wedged device call)"
+                        + (
+                            "; settling for the banked candidate"
+                            if settled else ""
+                        ),
+                        file=sys.stderr, flush=True,
+                    )
+                    proc.kill()
+                    break
+                if not warned_final:
+                    warned_final = True
+                    print(
+                        f"[supervisor] no child output for {stall_s:.0f}s on "
+                        "the final attempt — waiting for the child's own "
+                        "watchdog (a kill can only lose information)",
+                        file=sys.stderr, flush=True,
+                    )
             if now > deadline + 15.0:
                 settled = True
                 proc.kill()
@@ -412,6 +434,41 @@ def main():
     _PROGRESS["phase"] = "setup"
     t_setup = time.time()
     print("setup[start]", file=sys.stderr, flush=True)
+
+    class _SyncPatience:
+        """Bounded liveness ticks while the main thread sits in a KNOWN
+        first device sync. The tunnel's first execution-output fetch in a
+        degraded window takes 130-240 s (measured three times in one
+        round-4 window; the trivial-matmul probe paid 134 s) — silently,
+        which the supervisor correctly treats as a wedge at 240 s and
+        kills a child that was ~30 s from finishing setup. The ticks are
+        BOUNDED (max_ticks) so a genuine indefinite wedge still goes
+        silent and gets killed, just ~2 min later; they wrap ONLY the
+        labeled setup syncs, never the measured phases."""
+
+        def __init__(self, label, period=60.0, max_ticks=2):
+            import threading as _th
+
+            self._stop = _th.Event()
+
+            def tick():
+                for i in range(max_ticks):
+                    if self._stop.wait(period):
+                        return
+                    print(
+                        f"setup[{label} sync-wait {int((i+1)*period)}s: known "
+                        "finite first-fetch fee, not a wedge]",
+                        file=sys.stderr, flush=True,
+                    )
+
+            self._th = _th.Thread(target=tick, daemon=True)
+
+        def __enter__(self):
+            self._th.start()
+            return self
+
+        def __exit__(self, *exc):
+            self._stop.set()
     whisper = None
     if args.whisper:
         import jax as _jax
@@ -449,9 +506,10 @@ def main():
         # in-flight work has wedged the tunnel (see init_whisper_params)
         print(f"setup[whisper sync]: {time.time()-t_setup:.1f}s",
               file=sys.stderr, flush=True)
-        _jax.device_get(
-            _jax.tree_util.tree_leaves(whisper._model.params)[-1].ravel()[0]
-        )
+        with _SyncPatience("whisper", max_ticks=5):
+            _jax.device_get(
+                _jax.tree_util.tree_leaves(whisper._model.params)[-1].ravel()[0]
+            )
         print(f"setup[whisper init]: {time.time()-t_setup:.1f}s", file=sys.stderr)
     print(f"setup[resources dispatch]: {time.time()-t_setup:.1f}s",
           file=sys.stderr, flush=True)
@@ -461,9 +519,10 @@ def main():
     )
     import jax as _jax
 
-    _jax.device_get(
-        _jax.tree_util.tree_leaves(resources.lm_params)[-1].ravel()[0]
-    )
+    with _SyncPatience("resources", max_ticks=3):
+        _jax.device_get(
+            _jax.tree_util.tree_leaves(resources.lm_params)[-1].ravel()[0]
+        )
     print(f"setup[resources]: {time.time()-t_setup:.1f}s", file=sys.stderr)
     config = RealtimeAgentConfig(
         seed=args.seed,

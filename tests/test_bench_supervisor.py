@@ -273,6 +273,29 @@ def test_provisional_only_exit_retries_then_keeps_best(tmp_path):
     assert lines[0]["provisional"] is True
 
 
+def test_final_attempt_stall_waits_for_child_watchdog(tmp_path):
+    # On the FINAL attempt a stall-kill can only lose information: the
+    # child's own budget watchdog (a daemon thread) still prints a partial
+    # from a process wedged in a device call, while SIGKILL guarantees
+    # silence. Round-4 measured a 553 s first-fetch fee in a degraded
+    # window — killing at the stall bound twice produced null where waiting
+    # landed a number. The supervisor must wait out silence past the stall
+    # bound when no retry is possible.
+    stub = _write_stub(
+        tmp_path,
+        """
+        time.sleep(45)  # silent past the 30 s stall bound
+        print(PARTIAL, flush=True)
+        """,
+    )
+    proc = _run_supervised(stub, tmp_path, attempts="1")
+    assert proc.returncode == 0, proc.stderr
+    assert "final attempt" in proc.stderr  # it chose to wait, not kill
+    lines = _headline_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.9  # the late partial landed
+
+
 def test_partial_never_outranks_provisional(tmp_path):
     # watchdog partials print AFTER the banked provisional when the budget
     # expires mid-stage-B; the provisional (a clean short rep) must win
