@@ -24,3 +24,36 @@ def enable_compilation_cache(cache_dir: str = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _log_backend_version(cache_dir)
+
+
+def _log_backend_version(cache_dir: str) -> None:
+    """Append the backend's platform_version to backend_versions.log.
+
+    Every cache key hashes backend.platform_version verbatim; the tunnel
+    backend's version string carries a build timestamp + CL number, so a
+    tunnel reconnect onto a differently-built server silently invalidates
+    the WHOLE cache (round-4 observation: same-code gate runs hours apart
+    recompiled every program; back-to-back runs hit). This log is the
+    evidence trail — if entries differ only in build metadata while
+    "SerializedExecutable/compile-cache/compat" tokens match, the fix is a
+    scrubbed _hash_platform. Best-effort and deferred: the backend may not
+    be initialized yet, so the write happens lazily on first use via an
+    atexit hook (initializing it here would force backend startup)."""
+    import atexit
+
+    def write():
+        try:
+            import jax
+            from jax._src import xla_bridge
+
+            if not xla_bridge._backends:
+                return  # backend never initialized; nothing to record
+            b = jax.devices()[0].client
+            line = f"{__import__('time').time():.0f} {b.platform} {b.platform_version!r}\n"
+            with open(os.path.join(cache_dir, "backend_versions.log"), "a") as f:
+                f.write(line)
+        except Exception:
+            pass
+
+    atexit.register(write)
