@@ -922,7 +922,13 @@ def main():
         ))
         ev_ok = pwA_ok("events") and drive_events(pwA_ok)
         wh_ok = warm_whisper((1.0, 6.0), pwA_ok)  # trans events hit 10 s bucket
-        resources.llm.init_sampler_for_generate(seed=args.seed)
+        # top_k is a STATIC program arg: every warm below MUST run under the
+        # sampler the live session uses (config.top_k), or it compiles
+        # variants the rep never calls. A plain init_sampler_for_generate
+        # here once reset top_k to its default 40 and stage A2/B burned
+        # ~200 s compiling unused k=40 fused/detour variants while the live
+        # k=100 ones stayed cold past view 4096 (run-2 rep-1 RTF 1.47).
+        agent.set_sampler()
         sc_ok = prewarm_engine_shapes(
             prefills=(256, 64, 16, 8),
             score_ctxs=(1500, 700, 100),  # buckets 2048 / 1024 / 256
@@ -1011,7 +1017,7 @@ def main():
             max_need=plan_need(secs_eff),
         ))
         wh_ok = warm_whisper((1.0, 6.0), pwB_ok)  # no-op re-execs if A ran
-        resources.llm.init_sampler_for_generate(seed=args.seed)
+        agent.set_sampler()  # live top_k statics — see the stage-A note
         sc_ok = prewarm_engine_shapes(
             prefills=(2048, 1024, 512, 256, 128, 64, 32, 16, 8),
             score_ctxs=(2500, 1500, 700, 100),  # buckets 4096/2048/1024/256
