@@ -507,7 +507,19 @@ def main():
         def __exit__(self, *exc):
             self._stop.set()
     whisper = None
-    if args.whisper:
+
+    def attach_whisper():
+        """Build + sync the on-TPU Whisper LATE, after the provisional rep
+        is banked: its init's first execution-output fetch has measured
+        300-550 s in degraded tunnel windows, and paying that cost FIRST
+        (the old order) meant a wedged window zeroed the whole gate before
+        any number existed. The agent reads resources.whisper_model at
+        call time, so attaching after construction is safe; the config
+        flag flips here too (it was built False so the agent's
+        no-ASR-model guard didn't disable it permanently)."""
+        nonlocal whisper
+        if not args.whisper or whisper is not None:
+            return
         import jax as _jax
 
         from realtime_codec_agent_tpu.agent.asr import JaxWhisperASR
@@ -518,8 +530,9 @@ def main():
 
         class _CannedWhisperTokenizer:
             """Random weights produce junk ids; a canned decode keeps the
-            post-ASR agent machinery (splice, constrained close, transcript)
-            on a realistic path while the DEVICE cost stays real."""
+            post-ASR agent machinery (splice, constrained close,
+            transcript) on a realistic path while the DEVICE cost stays
+            real."""
 
             def decode(self, ids, skip_special_tokens=True):
                 return "okay that sounds good"
@@ -534,13 +547,10 @@ def main():
             ),
             _CannedWhisperTokenizer(),
         )
-    if args.whisper:
-        import jax as _jax
-
         # REAL sync (device_get; block_until_ready doesn't sync the tunnel):
-        # the init must be fully executed, not just dispatched, before the
-        # codec programs queue behind it — a big program queued behind
-        # in-flight work has wedged the tunnel (see init_whisper_params)
+        # the init must be fully executed, not just dispatched, before more
+        # programs queue behind it — a big program queued behind in-flight
+        # work has wedged the tunnel (see init_whisper_params)
         print(f"setup[whisper sync]: {time.time()-t_setup:.1f}s",
               file=sys.stderr, flush=True)
         with _SyncPatience("whisper", max_ticks=5):
@@ -548,10 +558,13 @@ def main():
                 _jax.tree_util.tree_leaves(whisper._model.params)[-1].ravel()[0]
             )
         print(f"setup[whisper init]: {time.time()-t_setup:.1f}s", file=sys.stderr)
+        resources.whisper_model = whisper
+        config.use_whisper = True
+
     print(f"setup[resources dispatch]: {time.time()-t_setup:.1f}s",
           file=sys.stderr, flush=True)
     resources = RealtimeAgentResources(
-        tiny=args.tiny, whisper_model=whisper,
+        tiny=args.tiny, whisper_model=None,
         quantize_int8=not args.bf16 and not args.int4, quantize_int4=args.int4,
     )
     import jax as _jax
@@ -563,7 +576,10 @@ def main():
     print(f"setup[resources]: {time.time()-t_setup:.1f}s", file=sys.stderr)
     config = RealtimeAgentConfig(
         seed=args.seed,
-        use_whisper=args.whisper,
+        # flipped on by attach_whisper() after the provisional is banked —
+        # constructing with True while no ASR model is attached would trip
+        # the agent's guard and disable it permanently
+        use_whisper=False,
         force_trans_after_inactivity_secs=0.0,
         force_response_after_inactivity_secs=0.0,
         agent_opening_text=None,
@@ -917,53 +933,21 @@ def main():
         # buckets. Run-1 post-mortem: fused-everywhere/detours-nowhere
         # coverage left the provisional rep cold-compiling decode/probe
         # inside its events and the watchdog beat it.
+        # A0: the FIRST view bucket's fused + detour programs — everything
+        # a hot-loop rep touches — then the provisional banks IMMEDIATELY,
+        # BEFORE the Whisper init: that init's first fetch has measured
+        # 300-550 s in degraded windows, and paying it before any number
+        # existed is how a wedged window zeroed the gate.
         note_warm(agent._session.prewarm(
             deadline=pwA_deadline, progress=_tick, max_need=1,
         ))
-        ev_ok = pwA_ok("events") and drive_events(pwA_ok)
-        wh_ok = warm_whisper((1.0, 6.0), pwA_ok)  # trans events hit 10 s bucket
-        # top_k is a STATIC program arg: every warm below MUST run under the
-        # sampler the live session uses (config.top_k), or it compiles
-        # variants the rep never calls. A plain init_sampler_for_generate
-        # here once reset top_k to its default 40 and stage A2/B burned
-        # ~200 s compiling unused k=40 fused/detour variants while the live
-        # k=100 ones stayed cold past view 4096 (run-2 rep-1 RTF 1.47).
-        agent.set_sampler()
-        sc_ok = prewarm_engine_shapes(
-            prefills=(256, 64, 16, 8),
-            score_ctxs=(1500, 700, 100),  # buckets 2048 / 1024 / 256
-            gen_ns=(32,),
-            pw_ok=pwA_ok,
-        )
-        event_warm = ev_ok and wh_ok and sc_ok
-        # A2: remaining view buckets the provisional can reach
-        note_warm(agent._session.prewarm(
-            deadline=pwA_deadline, progress=_tick,
-            max_need=plan_need(prov_secs),
-        ))
-        prewarm_engine_shapes(
-            prefills=(512, 128, 32), score_ctxs=(), gen_ns=(), pw_ok=pwA_ok,
-        )
-        print(f"prewarm[A]: done at {time.time()-t_setup:.1f}s "
-              f"({'full' if pwA_ok() else 'TIME-BOXED'}; "
-              f"fused={sorted(warm_fused)} detours={sorted(warm_detours)})",
-              file=sys.stderr)
 
-        # ---- provisional rep: bank a usable number NOW ----
-        # If the event machinery is NOT fully warm, the provisional runs
-        # HOT-LOOP ONLY (no scripted events): a clean audio-path RTF is a
-        # usable insurance number; a rep that pays 3 cold event compiles
-        # mid-run is not (measured: 7.1 vs 0.36 in one session)
+        # ---- provisional rep: bank a usable number NOW (hot loop only:
+        # scripted events stay off — the event machinery is deliberately
+        # still cold here, and a rep that pays cold event compiles mid-run
+        # measures the compiler, not the agent: 7.1 vs 0.36 measured) ----
         prov_secs = secs_for_warm_coverage(prov_secs)
-        if event_warm:
-            set_sched(prov_secs)
-        else:
-            sched.clear()
-            print(
-                "[provisional] event machinery unwarmed at deadline: "
-                "running hot-loop-only",
-                file=sys.stderr,
-            )
+        sched.clear()
         _PROGRESS["phase"] = "provisional rep"
         res_p = run_session(
             make_audio(prov_secs), paced=False, label="provisional"
@@ -983,25 +967,48 @@ def main():
                     "metric": "full_duplex_rtf",
                     "value": round(rtf_prov, 4),
                     "unit": "x_realtime (PROVISIONAL: single short rep "
-                            "after partial prewarm"
-                            + ("" if event_warm else "; hot loop only")
-                            + "; lower is better)",
+                            "after partial prewarm; hot loop only; "
+                            "lower is better)",
                     "vs_baseline": round(1.0 / rtf_prov, 3),
                     "provisional": True,
-                    "scope": "full" if event_warm else "hot_loop",
+                    "scope": "hot_loop",
                     "rtf_all": [round(rtf_prov, 4)],
                     "reps": 1,
                     "audio_secs": round(prov_audio, 1),
-                    "whisper": bool(args.whisper),
+                    "whisper": False,
                 }
             ),
             flush=True,
         )
 
+        # ---- A1: whisper + event machinery + engine shapes ----
+        attach_whisper()
+        ev_ok = pwA_ok("events") and drive_events(pwA_ok)
+        wh_ok = warm_whisper((1.0, 6.0), pwA_ok)  # trans events hit 10 s bucket
+        # top_k is a STATIC program arg: every warm below MUST run under the
+        # sampler the live session uses (config.top_k), or it compiles
+        # variants the rep never calls. A plain init_sampler_for_generate
+        # here once reset top_k to its default 40 and stage A2/B burned
+        # ~200 s compiling unused k=40 fused/detour variants while the live
+        # k=100 ones stayed cold past view 4096 (run-2 rep-1 RTF 1.47).
+        agent.set_sampler()
+        sc_ok = prewarm_engine_shapes(
+            prefills=(256, 64, 16, 8),
+            score_ctxs=(1500, 700, 100),  # buckets 2048 / 1024 / 256
+            gen_ns=(32,),
+            pw_ok=pwA_ok,
+        )
+        event_warm = ev_ok and wh_ok and sc_ok
+        print(f"prewarm[A]: done at {time.time()-t_setup:.1f}s "
+              f"({'full' if pwA_ok() else 'TIME-BOXED'}; "
+              f"fused={sorted(warm_fused)} detours={sorted(warm_detours)})",
+              file=sys.stderr)
+
     # ---- stage B: full prewarm for the headline reps ----
     # shrink the rep length if the budget can no longer fit --secs (a shorter
     # honest rep beats a blown budget; floor 40 s still crosses event chunks,
     # dropping to a desperate 20 s hot-loop-only rep when even that won't fit)
+    attach_whisper()  # no-op if stage A attached it (tiny / --no-prewarm paths)
     secs_eff = args.secs
     if do_prewarm:
         _PROGRESS["phase"] = "prewarm B"
