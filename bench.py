@@ -117,13 +117,19 @@ def _emergency_json(reason: str) -> None:
 
 def _headline_rank(parsed: dict) -> int:
     """Preference order for candidate headline lines a child prints.
-    The child emits a LADDER of lines, each strictly more complete than the
-    last: provisional (short rep after partial prewarm) -> headline (full
-    reps) -> final (full reps + paced-latency extras); the watchdog may also
-    emit partial lines. The supervisor forwards exactly ONE line — the best
-    it ever saw — at the end."""
+    The child emits a LADDER of lines, each more complete than the last:
+    provisional (short hot-loop rep after partial prewarm) -> headline
+    (full reps) -> final (full reps + paced-latency extras); the watchdog
+    may also emit partial lines. The supervisor forwards exactly ONE line —
+    the best it ever saw — at the end. A PARTIAL line carrying a value ties
+    with a provisional (and, arriving later, replaces it): the watchdog's
+    median spans every rep measured so far — provisional included, poisoned
+    reps cleaned — so it is a superset of the provisional's information
+    (live round-4 case: provisional 1.23 from a degraded-window rep, then
+    the window healed and the budget expired mid-rep at 0.25; the stale
+    1.23 was forwarded)."""
     if parsed.get("partial"):
-        return 1 if parsed.get("value") is not None else 0
+        return 2 if parsed.get("value") is not None else 0
     if parsed.get("provisional"):
         return 2
     return 3

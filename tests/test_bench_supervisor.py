@@ -296,14 +296,37 @@ def test_final_attempt_stall_waits_for_child_watchdog(tmp_path):
     assert lines[0]["value"] == 0.9  # the late partial landed
 
 
-def test_partial_never_outranks_provisional(tmp_path):
-    # watchdog partials print AFTER the banked provisional when the budget
-    # expires mid-stage-B; the provisional (a clean short rep) must win
+def test_later_partial_with_value_replaces_provisional(tmp_path):
+    # a watchdog partial that CARRIES a value prints after the banked
+    # provisional when the budget expires mid-rep; its median spans every
+    # rep measured so far (provisional included, poisoned reps cleaned), so
+    # it is the more-informed line and must replace the provisional (live
+    # round-4 case: provisional 1.23 from a degraded window, budget expired
+    # mid-rep at 0.25 after the window healed — 1.23 was forwarded)
     stub = _write_stub(
         tmp_path,
         """
         print(PROVISIONAL, flush=True)
         print(PARTIAL, flush=True)
+        """,
+    )
+    proc = _run_supervised(stub, tmp_path)
+    assert proc.returncode == 0, proc.stderr
+    lines = _headline_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.9
+    assert lines[0]["partial"] is True
+
+
+def test_valueless_partial_never_outranks_provisional(tmp_path):
+    # a null partial (no measured rep) must NOT displace a banked number
+    stub = _write_stub(
+        tmp_path,
+        """
+        null_partial = json.loads(PARTIAL)
+        null_partial.update(value=None, vs_baseline=None, rtf_all=[])
+        print(PROVISIONAL, flush=True)
+        print(json.dumps(null_partial), flush=True)
         """,
     )
     proc = _run_supervised(stub, tmp_path)
