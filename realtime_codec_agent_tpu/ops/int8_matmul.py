@@ -28,8 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 # per-block VMEM budgets. Pallas double-buffers every gridded operand, so the
 # worst case (K=8192: x 2x2MB + w 2x2MB + out) must stay well under the 16MB
-# scoped-VMEM limit.
-_W_BLOCK_BYTES = 2 * 1024 * 1024
+# scoped-VMEM limit. RTCA_INT8_WBLOCK_MB widens the weight block for A/B
+# (fewer grid steps, longer DMA bursts — bounded by the VMEM budget).
+import os as _os
+
+_W_BLOCK_BYTES = int(
+    float(_os.environ.get("RTCA_INT8_WBLOCK_MB", "2")) * 1024 * 1024
+)
 _X_BLOCK_BYTES = 2 * 1024 * 1024
 _LANE = 128
 
