@@ -19,6 +19,15 @@ bytes / time). The analytic VPU-op roofline for the dequant rides along so
 
 Usage (TPU):  python scripts/int4_kernel_ab.py [--iters 64] [--rows 1,2,4,8]
 CPU smoke:    python scripts/int4_kernel_ab.py --tiny --iters 2
+
+METHODOLOGY CAVEAT (round-4 measured): each timed call here is its own
+program execution, and this backend charges a ~450 us per-execution launch
+floor — a single decode matmul finishes in far less, so per-shape numbers
+from this script are launch-floor-dominated and only the RATIOS between
+formats at the same shape are meaningful. For absolute streaming rates,
+chain the op inside ONE program (lax.fori_loop on a carry, as in
+docs/PERFORMANCE.md "Wider int8 weight blocks": the same matmuls that
+measure ~450 us standalone average 59 us in-program).
 """
 import argparse
 import json
