@@ -40,8 +40,11 @@ The measured run executes in a SUPERVISED CHILD PROCESS (_supervise): the
 device tunnel can wedge one execution/fetch indefinitely while other
 processes keep working (measured >12 min; killed two round-3 gate runs
 during setup), so output-silence past RTCA_BENCH_STALL_S (240 s) kills the
-child and retries once on a fresh tunnel stream. --no-supervise runs
-in-process (tests, debugging).
+child and retries (RTCA_BENCH_ATTEMPTS, default 3) on a fresh tunnel
+stream. The child's first device op is a trivial STREAM PROBE; until it
+returns, the silence clock is RTCA_BENCH_PROBE_STALL_S (120 s) — wedged
+streams die on their first interaction, so a cheap early kill buys more
+retries. --no-supervise runs in-process (tests, debugging).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 - value = full-duplex RTF = MEDIAN over completed throughput reps of
@@ -160,7 +163,14 @@ def _supervise(argv, budget: float) -> None:
     import threading
 
     stall_s = float(os.environ.get("RTCA_BENCH_STALL_S", "240"))
-    attempts = int(os.environ.get("RTCA_BENCH_ATTEMPTS", "2"))
+    # until the child's trivial FIRST device fetch ("stream probe") returns,
+    # silence is judged on a SHORTER clock: a wedged tunnel stream wedges
+    # the very first interaction (three live round-4 runs), a fresh process
+    # gets a fresh stream, and a cheap early kill buys more retry dice —
+    # while a probe that completes slowly proves the window is merely
+    # degraded and the normal 240 s clock takes over
+    probe_stall_s = float(os.environ.get("RTCA_BENCH_PROBE_STALL_S", "120"))
+    attempts = int(os.environ.get("RTCA_BENCH_ATTEMPTS", "3"))
     t0 = time.monotonic()
     deadline = t0 + budget
     best = {"rank": -1, "line": None}
@@ -210,11 +220,16 @@ def _supervise(argv, budget: float) -> None:
             text=True, bufsize=1,
         )
         live["proc"] = proc
-        state = {"t": time.monotonic()}
+        state = {"t": time.monotonic(), "probed": False}
+
+        def note_probe(line):
+            if "setup[stream probe]" in line:
+                state["probed"] = True
 
         def pump_out(stream=proc.stdout):
             for line in stream:
                 state["t"] = time.monotonic()
+                note_probe(line)
                 parsed = None
                 if line.lstrip().startswith("{"):
                     try:
@@ -235,6 +250,7 @@ def _supervise(argv, budget: float) -> None:
         def pump_err(stream=proc.stderr):
             for line in stream:
                 state["t"] = time.monotonic()
+                note_probe(line)
                 sys.stderr.write(line)
                 sys.stderr.flush()
 
@@ -250,7 +266,8 @@ def _supervise(argv, budget: float) -> None:
         while proc.poll() is None:
             time.sleep(2.0)
             now = time.monotonic()
-            if now - state["t"] > stall_s:
+            cur_stall = stall_s if state["probed"] else probe_stall_s
+            if now - state["t"] > cur_stall:
                 # a retry must be genuinely possible to justify the kill: on
                 # the FINAL attempt the child's own budget watchdog (a
                 # daemon thread immune to a main thread wedged in a device
@@ -267,8 +284,9 @@ def _supervise(argv, budget: float) -> None:
                     stalled = True
                     settled = best["rank"] >= 2
                     print(
-                        f"[supervisor] no child output for {stall_s:.0f}s — "
-                        "killing (wedged device call)"
+                        f"[supervisor] no child output for {cur_stall:.0f}s"
+                        + ("" if state["probed"] else " (stream probe never returned)")
+                        + " — killing (wedged device call)"
                         + (
                             "; settling for the banked candidate"
                             if settled else ""
@@ -280,7 +298,7 @@ def _supervise(argv, budget: float) -> None:
                 if not warned_final:
                     warned_final = True
                     print(
-                        f"[supervisor] no child output for {stall_s:.0f}s on "
+                        f"[supervisor] no child output for {cur_stall:.0f}s on "
                         "the final attempt — waiting for the child's own "
                         "watchdog (a kill can only lose information)",
                         file=sys.stderr, flush=True,
@@ -477,6 +495,24 @@ def main():
     _PROGRESS["phase"] = "setup"
     t_setup = time.time()
     print("setup[start]", file=sys.stderr, flush=True)
+    # STREAM PROBE: the first device interaction of this process, kept
+    # trivial and fetched immediately. A wedged tunnel stream wedges exactly
+    # this first interaction (three live round-4 runs wedged inside the
+    # resources init, silently); completing the probe tells the supervisor
+    # the stream works, and until it completes the supervisor judges silence
+    # on a shorter clock (RTCA_BENCH_PROBE_STALL_S) so a dead stream costs
+    # ~120 s, not 240. Deliberately NO liveness ticks here — silence during
+    # a stuck probe is the signal.
+    import jax as _jax_probe
+    import jax.numpy as _jnp_probe
+
+    print(f"setup[stream probe dispatch]: {time.time()-t_setup:.1f}s",
+          file=sys.stderr, flush=True)
+    _jax_probe.device_get(
+        _jax_probe.jit(lambda x: x + 1)(_jnp_probe.zeros((8,), _jnp_probe.float32))
+    )
+    print(f"setup[stream probe]: {time.time()-t_setup:.1f}s",
+          file=sys.stderr, flush=True)
 
     class _SyncPatience:
         """Bounded liveness ticks while the main thread sits in a KNOWN

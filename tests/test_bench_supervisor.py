@@ -78,6 +78,10 @@ def _run_supervised(stub_path, tmp_path, budget="400", stall="30",
         os.environ,
         RTCA_BENCH_SCRIPT=stub_path,
         RTCA_BENCH_STALL_S=stall,
+        # stubs never print the stream-probe mark, so the pre-probe clock
+        # must match the stall these tests are written against (the probe
+        # clock gets its own test)
+        RTCA_BENCH_PROBE_STALL_S=stall,
         RTCA_BENCH_ATTEMPTS=attempts,
         RTCA_TEST_STATE=os.path.join(str(tmp_path), "attempt_count"),
         # the supervisor process itself must not touch any device
@@ -139,6 +143,37 @@ def test_stalled_child_is_killed_and_retry_lands_number(tmp_path):
     assert lines[0]["value"] == 0.42
     assert "killing" in proc.stderr
     assert "attempt 2/2" in proc.stderr
+
+
+def test_probe_clock_kills_unprobed_child_faster(tmp_path):
+    # until the child prints the stream-probe completion mark, silence is
+    # judged on RTCA_BENCH_PROBE_STALL_S; once the mark is seen, the longer
+    # normal stall applies. Attempt 1 never probes and goes silent -> killed
+    # on the short clock; attempt 2 probes, then stays silent LONGER than
+    # the probe clock but under the normal stall, then lands the number.
+    stub = _write_stub(
+        tmp_path,
+        """
+        state = os.environ["RTCA_TEST_STATE"]
+        n = int(open(state).read()) if os.path.exists(state) else 0
+        open(state, "w").write(str(n + 1))
+        if n == 0:
+            time.sleep(120)  # never probes: short clock must kill us
+        print("setup[stream probe]: 0.1s", file=sys.stderr, flush=True)
+        time.sleep(20)  # > probe clock, < normal stall: must survive
+        print(GOOD, flush=True)
+        """,
+    )
+    proc = _run_supervised(
+        stub, tmp_path, stall="30",
+        extra_env={"RTCA_BENCH_PROBE_STALL_S": "12"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = _headline_lines(proc.stdout)
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.42
+    assert "stream probe never returned" in proc.stderr
+    assert "attempt 2" in proc.stderr
 
 
 def test_partial_json_is_stashed_not_forwarded_until_attempts_exhaust(tmp_path):
