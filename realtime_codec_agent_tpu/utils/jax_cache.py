@@ -24,7 +24,52 @@ def enable_compilation_cache(cache_dir: str = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _strip_mosaic_locations()
     _log_backend_version(cache_dir)
+
+
+def _strip_mosaic_locations() -> None:
+    """Make Pallas programs' cache keys invariant to source-line shifts.
+
+    Mosaic serializes the kernel module INCLUDING debug locations (kernel
+    body lines AND the pallas_call site's index-map lambdas) into the
+    tpu_custom_call backend_config — an opaque payload jax's cache-key
+    canonicalizer (strip-debuginfo on the stablehlo) cannot reach. Measured
+    round 4: inserting one comment line above a kernel changed the
+    canonical-IR hash of every program embedding it, so ANY edit that
+    shifts lines in a kernel-bearing file silently invalidated the whole
+    persistent cache for those programs (a full bench prewarm re-compile,
+    ~300-650 s over the tunnel). Running strip-debuginfo on the Mosaic
+    module before serialization removes exactly that nondeterminism; the
+    cost is line info in Mosaic compile errors. Idempotent; silently a
+    no-op on jax versions whose internals moved (worst case: the old
+    per-line-shift invalidation behavior)."""
+    try:
+        from jax._src import tpu_custom_call as _tcc
+        from jaxlib.mlir.passmanager import PassManager as _PM
+    except Exception:
+        return
+    if getattr(_tcc, "_rtca_loc_strip", False):
+        return
+    orig = _tcc._lower_mosaic_module_to_asm
+
+    def stripped(module, **kw):
+        try:
+            with module.context as ctx:
+                prev = ctx.allow_unregistered_dialects
+                ctx.allow_unregistered_dialects = True
+                try:
+                    _PM.parse("builtin.module(strip-debuginfo)").run(
+                        module.operation
+                    )
+                finally:
+                    ctx.allow_unregistered_dialects = prev
+        except Exception:
+            pass
+        return orig(module, **kw)
+
+    _tcc._lower_mosaic_module_to_asm = stripped
+    _tcc._rtca_loc_strip = True
 
 
 def _log_backend_version(cache_dir: str) -> None:
