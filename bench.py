@@ -28,7 +28,7 @@ Two measured phases over the same scripted session:
   (fast/event/trim) together with detour resolution times and the audible
   filler gaps that cover them.
 
-The whole run fits a WALL-CLOCK BUDGET (--budget, default 780 s, env
+The whole run fits a WALL-CLOCK BUDGET (--budget, default 720 s, env
 RTCA_BENCH_BUDGET_S): the prewarm is time-boxed, the headline JSON prints as
 soon as the first throughput rep completes, and extra reps plus the paced
 latency phase run only with budget headroom (VERDICT r2: round 2's bench
@@ -452,7 +452,7 @@ def main():
         "--no-supervise", action="store_true",
         help="run the measured bench directly in THIS process (no child "
              "process, no wedge-retry). Default: a supervisor child-process "
-             "layer retries once if the device tunnel wedges a call",
+             "layer retries on a fresh tunnel stream if the device wedges a call",
     )
     args = parser.parse_args()
     args.warmup_chunks = max(1, args.warmup_chunks)
