@@ -70,22 +70,64 @@ import numpy as np
 _PROGRESS = {
     "phase": "startup",
     "rtfs": [],            # completed throughput reps
+    "rep_compile_secs": [],  # in-rep backend-compile seconds, parallel to rtfs
     "cur": None,           # (timed_chunks_done, elapsed_secs) of the running rep
     "chunk_secs": 0.1,
     "emitted": False,      # final JSON already printed normally
 }
 
+# cumulative backend-compile seconds in this process, fed by a
+# jax.monitoring duration listener (_install_compile_meter). Snapshotting it
+# around a rep gives DIRECT evidence of in-rep compiles — the gate's rep
+# exclusion keys on this, not on a pure wall-clock ratio (ADVICE r4: the 3x
+# ratio alone also catches genuine 2.6x tunnel-window degradation).
+_COMPILE_METER = {"secs": 0.0, "installed": False}
 
-def _clean_reps(rtfs):
-    """Drop compile-poisoned reps (>3x the best rep) before the median: a
-    rep that paid 30-180 s of in-run cold XLA compiles measures the
-    compiler, not the agent (round-4 live run: a provisional rep with cold
-    event machinery recorded RTF 7.1 while the warm rep alongside measured
-    0.36). With one rep there is nothing to compare against — it passes."""
+
+def _install_compile_meter() -> None:
+    if _COMPILE_METER["installed"]:
+        return
+    try:
+        from jax._src import monitoring as _jmon
+
+        def _on_duration(name, secs, **_kw):
+            if name == "/jax/core/compile/backend_compile_duration":
+                _COMPILE_METER["secs"] += float(secs)
+
+        _jmon.register_event_duration_secs_listener(_on_duration)
+        _COMPILE_METER["installed"] = True
+    except Exception as e:  # private API: degrade to ratio-only cleaning
+        print(f"[bench] compile meter unavailable ({e}); rep exclusion "
+              "falls back to the wall-clock ratio heuristic", file=sys.stderr)
+
+
+def _clean_reps(rtfs, compile_secs=None):
+    """Drop compile-poisoned reps before the median: a rep that paid
+    30-180 s of in-run cold XLA compiles measures the compiler, not the
+    agent (round-4 live run: a provisional rep with cold event machinery
+    recorded RTF 7.1 while the warm rep alongside measured 0.36).
+
+    A rep is excluded only on BOTH signals: >3x the best rep AND >=5 s of
+    measured in-rep backend-compile time (the jax.monitoring meter). The
+    ratio alone would also throw away genuine runtime degradation — the
+    tunnel's own docs record 2.6x window drift — and a real slow rep must
+    count against the median (ADVICE r4 medium). When compile evidence is
+    unavailable for a rep (meter not installed, or the emergency path's
+    partial rep), the ratio-only rule applies to that rep as before."""
     if len(rtfs) <= 1:
         return list(rtfs)
     lo = min(rtfs)
-    return [r for r in rtfs if r <= 3.0 * lo]
+    kept = []
+    for i, r in enumerate(rtfs):
+        if r <= 3.0 * lo:
+            kept.append(r)
+            continue
+        cs = None
+        if compile_secs is not None and i < len(compile_secs):
+            cs = compile_secs[i]
+        if cs is not None and cs < 5.0:
+            kept.append(r)  # slow but genuinely runtime: window degradation
+    return kept
 
 
 def _emergency_json(reason: str) -> None:
@@ -94,10 +136,12 @@ def _emergency_json(reason: str) -> None:
     so the number is never mistaken for a finished run. Ends the process."""
     if not _PROGRESS["emitted"]:
         rtfs = list(_PROGRESS["rtfs"])
+        compile_secs = list(_PROGRESS["rep_compile_secs"])
         cur = _PROGRESS["cur"]
         if cur and cur[0] * _PROGRESS["chunk_secs"] >= 5.0:
             rtfs.append(cur[1] / (cur[0] * _PROGRESS["chunk_secs"]))
-        rtfs = _clean_reps(rtfs)
+            # no compile snapshot closes a partial rep: ratio-only rule
+        rtfs = _clean_reps(rtfs, compile_secs)
         value = round(float(np.median(rtfs)), 4) if rtfs else None
         print(
             json.dumps(
@@ -125,12 +169,15 @@ def _headline_rank(parsed: dict) -> int:
     (full reps) -> final (full reps + paced-latency extras); the watchdog
     may also emit partial lines. The supervisor forwards exactly ONE line —
     the best it ever saw — at the end. A PARTIAL line carrying a value ties
-    with a provisional (and, arriving later, replaces it): the watchdog's
-    median spans every rep measured so far — provisional included, poisoned
-    reps cleaned — so it is a superset of the provisional's information
-    (live round-4 case: provisional 1.23 from a degraded-window rep, then
-    the window healed and the budget expired mid-rep at 0.25; the stale
-    1.23 was forwarded)."""
+    with a provisional and, arriving later IN THE SAME ATTEMPT, replaces
+    it: within one child process the watchdog's median spans every rep
+    measured so far — provisional included, poisoned reps cleaned — so it
+    is a superset of the provisional's information (live round-4 case:
+    provisional 1.23 from a degraded-window rep, then the window healed
+    and the budget expired mid-rep at 0.25; the stale 1.23 was forwarded).
+    ACROSS attempts that superset argument fails — a fresh child knows
+    nothing of the old one's reps — so equal-rank lines from a LATER
+    attempt do not displace an earlier attempt's (ADVICE r4)."""
     if parsed.get("partial"):
         return 2 if parsed.get("value") is not None else 0
     if parsed.get("provisional"):
@@ -173,14 +220,17 @@ def _supervise(argv, budget: float) -> None:
     attempts = int(os.environ.get("RTCA_BENCH_ATTEMPTS", "3"))
     t0 = time.monotonic()
     deadline = t0 + budget
-    best = {"rank": -1, "line": None}
+    best = {"rank": -1, "line": None, "attempt": -1}
 
     live = {"proc": None}
 
     def flush_best_and_exit(signum=None, frame=None):
         # an external kill (e.g. the driver's `timeout`) hits THIS process,
         # not the child: without a handler the buffered best line dies with
-        # us and the gate prints nothing (the r02 rc=124 failure mode)
+        # us and the gate prints nothing (the r02 rc=124 failure mode). The
+        # exit code records the kill (128+signum, shell convention) so an
+        # interrupted run is distinguishable from a clean one even when a
+        # banked line made the JSON look complete (ADVICE r4).
         if live["proc"] is not None and live["proc"].poll() is None:
             live["proc"].kill()
         if best["line"] is not None:
@@ -193,7 +243,7 @@ def _supervise(argv, budget: float) -> None:
                 "vs_baseline": None, "partial": True, "rtf_all": [],
             }) + "\n")
         sys.stdout.flush()
-        os._exit(0)
+        os._exit(128 + signum if signum else 1)
 
     signal.signal(signal.SIGTERM, flush_best_and_exit)
     signal.signal(signal.SIGINT, flush_best_and_exit)
@@ -226,7 +276,7 @@ def _supervise(argv, budget: float) -> None:
             if "setup[stream probe]" in line:
                 state["probed"] = True
 
-        def pump_out(stream=proc.stdout):
+        def pump_out(stream=proc.stdout, attempt=attempt):
             for line in stream:
                 state["t"] = time.monotonic()
                 note_probe(line)
@@ -238,8 +288,14 @@ def _supervise(argv, budget: float) -> None:
                         parsed = None
                 if parsed is not None and "metric" in parsed:
                     rank = _headline_rank(parsed)
-                    if rank >= best["rank"]:
+                    # equal-rank replacement only WITHIN one attempt (the
+                    # child's ladder); across attempts the later line knows
+                    # nothing of the earlier reps (ADVICE r4)
+                    if rank > best["rank"] or (
+                        rank == best["rank"] and attempt == best["attempt"]
+                    ):
                         best["rank"], best["line"] = rank, line
+                        best["attempt"] = attempt
                     # echo to stderr so the gate log shows the ladder
                     sys.stderr.write(f"[child json rank={rank}] {line}")
                     sys.stderr.flush()
@@ -488,6 +544,7 @@ def main():
     from realtime_codec_agent_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _install_compile_meter()
 
     from realtime_codec_agent_tpu import RealtimeAgentConfig, RealtimeAgentResources
     from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
@@ -743,6 +800,7 @@ def main():
         agent.reset()
         n_chunks = len(audio) // chunk
         latencies, kinds, fillers = [], [], []
+        over_budget = []  # (idx, dt, kind, breakdown) for calls past budget
         t_warm = time.time()
         detours_seen = 0
         durs_at_warmup = 0
@@ -757,9 +815,11 @@ def main():
             trim_before = agent.trim_to_secs
             rebuild_before = agent._trim_rebuild is not None
             detour_before = agent._detour_future is not None
+            cs0 = _COMPILE_METER["secs"]
             t0 = time.perf_counter()
             agent.process_audio(audio[i * chunk : (i + 1) * chunk])
             dt = time.perf_counter() - t0
+            call_compile = _COMPILE_METER["secs"] - cs0
             if i == args.warmup_chunks - 1:
                 print(
                     f"[{label}] warmup ({args.warmup_chunks} chunks): "
@@ -793,6 +853,23 @@ def main():
                     kinds.append("event")
                 else:
                     kinds.append("fast")
+                if paced and dt > chunk_secs:
+                    # tail attribution (VERDICT r4 weak-item 1): what was
+                    # this over-budget call actually blocked on?
+                    bd = {
+                        k: round(v * 1000, 1)
+                        for k, v in agent.last_call_acct.items()
+                        if not k.endswith("_n")
+                    }
+                    if call_compile > 0.0:
+                        bd["compile"] = round(call_compile * 1000, 1)
+                    bd["other"] = round(
+                        max(0.0, dt * 1000 - sum(bd.values())), 1
+                    )
+                    pumped = agent.last_call_acct.get("pumped_chunks_n", 0)
+                    if pumped > 1:
+                        bd["pumped_chunks"] = int(pumped)
+                    over_budget.append((i - args.warmup_chunks, dt, kinds[-1], bd))
             detours_seen = len(agent.detour_durations)
         # flush tail work; its wall time counts
         while agent.drain_pipeline() is not None:
@@ -810,6 +887,7 @@ def main():
             "detour_durs": np.array(agent.detour_durations[durs_at_warmup:]),
             "transcript_entries": len(agent.transcript),
             "finalize": (agent.finalize_absorbs, agent.finalize_blocking),
+            "over_budget": over_budget,
         }
 
     # ---- prewarm, STAGED and per-program time-boxed -----------------------
@@ -1116,6 +1194,7 @@ def main():
     # along as JSON extras).
     audio = make_audio(secs_eff)
     rtfs = []
+    rep_compile_secs = []
     audio_secs = 0.0
     for rep in range(max(1, args.throughput_repeats)):
         if rep > 0:
@@ -1128,16 +1207,24 @@ def main():
                 )
                 break
         _PROGRESS["phase"] = f"throughput rep {rep+1}"
+        compile_secs_before = _COMPILE_METER["secs"]
         res_t = run_session(audio, paced=False, label=f"throughput {rep+1}")
+        rep_cs = (
+            _COMPILE_METER["secs"] - compile_secs_before
+            if _COMPILE_METER["installed"] else None
+        )
         audio_secs = len(res_t["latencies"]) * chunk_secs
         rep_rtf = float(res_t["wall"]) / audio_secs
         rtfs.append(rep_rtf)
+        rep_compile_secs.append(rep_cs)
         _PROGRESS["rtfs"].append(rep_rtf)
+        _PROGRESS["rep_compile_secs"].append(rep_cs)
         _PROGRESS["cur"] = None
         print(
             f"[throughput {rep+1}] {audio_secs:.0f}s audio processed in "
             f"{res_t['wall']:.1f}s wall -> rtf={rep_rtf:.4f} "
-            f"(transcript entries: {res_t['transcript_entries']}; finalize "
+            + (f"(in-rep compiles: {rep_cs:.1f}s) " if rep_cs else "")
+            + f"(transcript entries: {res_t['transcript_entries']}; finalize "
             f"absorbed/blocking: {res_t['finalize'][0]}/{res_t['finalize'][1]}"
             + (
                 f", last fallback: {agent._absorb_reject}"
@@ -1146,7 +1233,7 @@ def main():
             + ")",
             file=sys.stderr,
         )
-    kept = _clean_reps(rtfs)
+    kept = _clean_reps(rtfs, rep_compile_secs)
     rtf = float(np.median(kept))
     print(
         f"[throughput] median rtf={rtf:.4f} over {len(kept)}/{len(rtfs)} "
@@ -1171,6 +1258,11 @@ def main():
         "rtf_best": round(float(min(rtfs)), 4),
         "rtf_all": [round(r, 4) for r in rtfs],
         "reps": len(kept),
+        "reps_total": len(rtfs),
+        "reps_excluded": len(rtfs) - len(kept),
+        "rep_compile_secs": [
+            None if c is None else round(c, 1) for c in rep_compile_secs
+        ],
         "audio_secs": round(audio_secs, 1),
         "whisper": bool(args.whisper),
         # honest floor note (VERDICT r3 weak-item 5): the scripted trans
@@ -1222,6 +1314,30 @@ def main():
                 f"max={durs.max():.1f}ms (background; audio filler covers them)",
                 file=sys.stderr,
             )
+        # tail attribution: every paced call past the chunk budget, with the
+        # wall-time breakdown of what it was blocked on (fetch RTT, chain
+        # resync, dispatch, detour join, in-call compiles, other host work)
+        # and the dominant cause histogram (VERDICT r4 weak-item 1)
+        ob = res_l["over_budget"]
+        ob_sorted = sorted(ob, key=lambda e: -e[1])
+        dom_hist = {}
+        for _idx, _dt, _kind, bd in ob:
+            causes = {k: v for k, v in bd.items() if k != "pumped_chunks"}
+            dom = max(causes, key=causes.get) if causes else "other"
+            dom_hist[dom] = dom_hist.get(dom, 0) + 1
+        if ob:
+            print(
+                f"  over-budget calls: {len(ob)} "
+                f"(dominant causes: {dom_hist}); worst:",
+                file=sys.stderr,
+            )
+            for idx, dt, kind, bd in ob_sorted[:8]:
+                print(
+                    f"    chunk {idx} [{kind}] {dt*1000:7.1f}ms <- {bd}",
+                    file=sys.stderr,
+                )
+        else:
+            print("  over-budget calls: 0", file=sys.stderr)
         n_filler = int(np.sum(res_l["fillers"]))
         max_run = run = 0
         for f in res_l["fillers"]:
@@ -1247,6 +1363,13 @@ def main():
                 "latency_audio_secs": round(len(lat) * chunk_secs, 1),
                 "filler_chunks": n_filler,
                 "filler_max_gap_ms": round(max_run * chunk_secs * 1000, 1),
+                "over_budget_calls": len(ob),
+                "over_budget_dominant": dom_hist,
+                "over_budget_top": [
+                    {"chunk": idx, "kind": kind, "ms": round(dt * 1000, 1),
+                     "blocked_on": bd}
+                    for idx, dt, kind, bd in ob_sorted[:5]
+                ],
             }
         )
         print(json.dumps(final), flush=True)

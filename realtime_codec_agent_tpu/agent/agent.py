@@ -216,6 +216,15 @@ class RealtimeAgent:
         # adds this to the foreground per-call latencies) + per-detour durations
         self.detour_busy_secs = 0.0
         self.detour_durations: List[float] = []
+        # per-call blocking attribution: while a process_audio call runs on
+        # the calling thread, named blocking sections (fetch wait, dispatch,
+        # chain resync, detour join) accumulate wall seconds here; the bench
+        # reads last_call_acct after each call to attribute over-budget tail
+        # latencies (VERDICT r4 weak-item 1). Detour-thread work never lands
+        # here (_acct_add is tid-guarded) — it is covered by detour_durations.
+        self._call_acct: Optional[Dict[str, float]] = None
+        self._acct_tid = 0
+        self.last_call_acct: Dict[str, float] = {}
         # finalize-splice accounting: absorbed incrementally vs blocking
         # recompute (observability for the bench + regression tests)
         self.finalize_absorbs = 0
@@ -1325,6 +1334,11 @@ class RealtimeAgent:
         next chunk's compute). Token streams are identical either way.
         """
         with self.profilers.total_profiler:
+            # fresh per-call blocking-attribution dict (read by the bench's
+            # paced phase after the call via last_call_acct)
+            self._call_acct = {}
+            self._acct_tid = threading.get_ident()
+            self.last_call_acct = self._call_acct
             assert audio_chunk.shape[-1] == self.chunk_size_samples, (
                 f"audio_chunk must have length {self.chunk_size_samples}, "
                 f"got {audio_chunk.shape[-1]}"
@@ -1593,18 +1607,31 @@ class RealtimeAgent:
             return self._emit(None)
         return self._emit(self._resolve_one(prev_pending))
 
+    def _acct_add(self, name: str, secs: float) -> None:
+        """Accumulate a named blocking section into the live per-call
+        attribution dict — only when called on the thread that owns the
+        current process_audio call (detour-pool work is accounted separately
+        via detour_durations)."""
+        acct = self._call_acct
+        if acct is not None and threading.get_ident() == self._acct_tid:
+            acct[name] = acct.get(name, 0.0) + secs
+
     def _dispatch_speculative(self, audio_chunk, audio_chunk_input_ids):
         """Enqueue this chunk's fused program against the device chain and
         register it as in-flight; returns the previously in-flight chunk."""
         session = self._session
         if self._chain_dirty or session.chain is None:
+            t0 = time.perf_counter()
             session.bind_sequence(self.input_ids)
             session.sync_chain()
             self._chain_dirty = False
+            self._acct_add("sync_chain", time.perf_counter() - t0)
         with self.profilers.lm_profiler:
+            t0 = time.perf_counter()
             handles = session.dispatch_chunk(
                 audio_chunk, user_tokens=audio_chunk_input_ids
             )
+            self._acct_add("dispatch", time.perf_counter() - t0)
         prev_pending = self._pending
         self._pending = {
             "audio": audio_chunk,
@@ -1629,7 +1656,10 @@ class RealtimeAgent:
         """Fetch + commit one dispatched fused chunk. Returns its
         (audio, out token ids), replaying the chunk stepwise if an event
         fired in it."""
-        res, _ = self._session.resolve(pending["future"].result())
+        t0 = time.perf_counter()
+        fetched = pending["future"].result()
+        self._acct_add("fetch", time.perf_counter() - t0)
+        res, _ = self._session.resolve(fetched)
         self._fused_user_tokens = res.user_tokens
         if res.event_frame >= self.chunk_size_frames_per_channel and not res.halted_input:
             return self._commit_fused(res, pending["audio"]), list(res.out_tokens)
@@ -1738,7 +1768,9 @@ class RealtimeAgent:
             return
         self._detour_future = None
         try:
+            t0 = time.perf_counter()
             prev_emit, this_emit = fut.result()
+            self._acct_add("detour_join", time.perf_counter() - t0)
         except Exception as ex:
             warn(f"background detour failed ({type(ex).__name__}: {ex}); "
                  "resyncing the device chain and emitting silence for the lost chunk")
@@ -1780,6 +1812,7 @@ class RealtimeAgent:
             if self._ready and time.perf_counter() - t0 > budget:
                 return
             chunk, cids = self._backlog.pop(0)
+            self._acct_add("pumped_chunks_n", 1.0)
             self._step_one_async(chunk, cids)
 
     def _step_one_async(self, audio_chunk, audio_chunk_input_ids):
@@ -1830,7 +1863,10 @@ class RealtimeAgent:
         prev = self._dispatch_speculative(audio_chunk, audio_chunk_input_ids)
         if prev is None:
             return
-        res, _ = self._session.resolve(prev["future"].result())
+        t0 = time.perf_counter()
+        fetched = prev["future"].result()
+        self._acct_add("fetch", time.perf_counter() - t0)
+        res, _ = self._session.resolve(fetched)
         self._fused_user_tokens = res.user_tokens
         if res.event_frame >= self.chunk_size_frames_per_channel and not res.halted_input:
             self._ready.append(

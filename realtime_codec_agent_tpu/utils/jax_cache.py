@@ -7,6 +7,8 @@ Safe on TPU too — the first bench run warms the cache for later rounds.
 """
 import os
 
+_version_logger_registered = False
+
 
 def enable_compilation_cache(cache_dir: str = None) -> None:
     import jax
@@ -41,19 +43,33 @@ def _strip_mosaic_locations() -> None:
     persistent cache for those programs (a full bench prewarm re-compile,
     ~300-650 s over the tunnel). Running strip-debuginfo on the Mosaic
     module before serialization removes exactly that nondeterminism; the
-    cost is line info in Mosaic compile errors. Idempotent; silently a
-    no-op on jax versions whose internals moved (worst case: the old
-    per-line-shift invalidation behavior)."""
+    cost is line info in Mosaic compile errors. Idempotent. On jax versions
+    whose internals moved, or if the pass ever raises, it degrades to the
+    old per-line-shift invalidation behavior — and SAYS so on stderr once,
+    so a silent regression to line-sensitive cache keys is diagnosable
+    (ADVICE r4). Validated against jax 0.9.0 (the pinned image version)."""
+    import sys
+
     try:
         from jax._src import tpu_custom_call as _tcc
         from jaxlib.mlir.passmanager import PassManager as _PM
-    except Exception:
+
+        orig = _tcc._lower_mosaic_module_to_asm
+    except Exception as e:
+        print(
+            "[jax_cache] WARNING: Mosaic loc-strip patch cannot apply "
+            f"({e!r}); Pallas cache keys are line-number-sensitive again",
+            file=sys.stderr,
+        )
         return
     if getattr(_tcc, "_rtca_loc_strip", False):
         return
-    orig = _tcc._lower_mosaic_module_to_asm
 
     def stripped(module, **kw):
+        # Not thread-safe in general (mutates a shared MLIR context flag),
+        # but every lowering in this codebase funnels through jit tracing
+        # which jax serializes per-context; the try/finally restores the
+        # flag even on a raising pass.
         try:
             with module.context as ctx:
                 prev = ctx.allow_unregistered_dialects
@@ -64,8 +80,14 @@ def _strip_mosaic_locations() -> None:
                     )
                 finally:
                     ctx.allow_unregistered_dialects = prev
-        except Exception:
-            pass
+        except Exception as e:
+            if not getattr(stripped, "_warned", False):
+                stripped._warned = True
+                print(
+                    "[jax_cache] WARNING: Mosaic loc-strip pass failed "
+                    f"({e!r}); this program's cache key is line-sensitive",
+                    file=sys.stderr,
+                )
         return orig(module, **kw)
 
     _tcc._lower_mosaic_module_to_asm = stripped
@@ -84,8 +106,16 @@ def _log_backend_version(cache_dir: str) -> None:
     "SerializedExecutable/compile-cache/compat" tokens match, the fix is a
     scrubbed _hash_platform. Best-effort and deferred: the backend may not
     be initialized yet, so the write happens lazily on first use via an
-    atexit hook (initializing it here would force backend startup)."""
+    atexit hook (initializing it here would force backend startup).
+    Registered at most once per process: entry points compose (e.g.
+    __graft_entry__ plus a script), and a duplicate hook would write
+    duplicate evidence lines (ADVICE r4)."""
     import atexit
+
+    global _version_logger_registered
+    if _version_logger_registered:
+        return
+    _version_logger_registered = True
 
     def write():
         try:

@@ -276,3 +276,33 @@ def test_detour_failure_does_not_wedge_session(resources):
     assert out.shape == (1600,)
     asyn.drain_pipeline()
     assert asyn.total_secs > 0.2
+
+
+def test_per_call_blocking_attribution(resources):
+    """Every process_audio call exposes last_call_acct: named wall-time
+    sections (fetch wait, dispatch, chain resync, detour join) for the
+    bench's over-budget tail attribution (VERDICT r4 weak-item 1). The
+    accounting is tid-guarded, so detour-thread work must never land in a
+    foreground call's dict."""
+    import time as _time
+
+    asyn = make_agent(resources, "async")
+    audio = chunks(24, seed=21)
+    seen = set()
+    for c in audio:
+        asyn.process_audio(c)
+        acct = asyn.last_call_acct
+        assert isinstance(acct, dict)
+        assert all(v >= 0.0 for v in acct.values())
+        seen.update(acct)
+        # pace so background detours resolve and the pump reaches the
+        # fused dispatch/fetch path
+        fut = asyn._detour_future
+        if fut is not None:
+            for _ in range(400):
+                if fut.done():
+                    break
+                _time.sleep(0.02)
+    while asyn.drain_pipeline() is not None:
+        pass
+    assert "dispatch" in seen and "fetch" in seen, seen
