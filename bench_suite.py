@@ -122,7 +122,7 @@ def main():
     parser.add_argument("--train_loss_block", type=int, default=512)
     parser.add_argument(
         "--train_remat_policy",
-        choices=["full", "dots", "attn", "none"], default="full",
+        choices=["full", "dots", "attn", "flash", "none"], default="full",
     )
     parser.add_argument(
         "--train_optimizer", choices=["adamw", "adafactor"], default="adamw"
@@ -143,6 +143,18 @@ def main():
              "partner's fetch); independent streams (duplexserve) still group.",
     )
     parser.add_argument(
+        "--agent_int8", action="store_true",
+        help="int8 decode weights for the ar/selfplay/tts agent sections "
+             "(the deployment-parity config the headline bench defaults to)",
+    )
+    parser.add_argument(
+        "--selfplay_coord", action="store_true",
+        help="ride self-play on the batch-2 pair program with the SPLIT "
+             "dispatch/resolve drive (both rows dispatch before either "
+             "resolves, hiding the fetch RTT under queued compute) — the "
+             "serving-coordinator layout applied to self-play",
+    )
+    parser.add_argument(
         "--no_duplex_group", action="store_true",
         help="A/B: serve the duplexserve section with per-session programs "
              "instead of the shared batch-R program + combined fetch",
@@ -155,6 +167,11 @@ def main():
     parser.add_argument(
         "--duplex_int4", action="store_true",
         help="int4 decode weights for the duplexserve section",
+    )
+    parser.add_argument(
+        "--no_duplex_split", action="store_true",
+        help="A/B: interleave each row's dispatch+resolve in the "
+             "duplexserve section (the pre-split drive)",
     )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
@@ -174,9 +191,12 @@ def main():
             "--train_remat_policy", args.train_remat_policy,
             "--train_optimizer", args.train_optimizer,
             *(["--selfplay_pair"] if args.selfplay_pair else []),
+            *(["--selfplay_coord"] if args.selfplay_coord else []),
+            *(["--agent_int8"] if args.agent_int8 else []),
             *(["--no_duplex_group"] if args.no_duplex_group else []),
             *(["--duplex_int8"] if args.duplex_int8 else []),
             *(["--duplex_int4"] if args.duplex_int4 else []),
+            *(["--no_duplex_split"] if args.no_duplex_split else []),
             "--duplex_sessions", str(args.duplex_sessions),
             "--seed", str(args.seed),
         ]
@@ -542,21 +562,35 @@ def main():
         # the decoder start sequence occupies a few target positions; keep
         # max_new inside max_target_positions (the tiny config has only 24)
         max_new = min(32, wcfg.max_target_positions - 8)
+        # REAL-path cost envelope (VERDICT r4 item 5): the gate's scripted
+        # events bound Whisper at max_new_tokens=16 on 5/10 s windows (a
+        # floor). The real path runs unconstrained greedy to EOT — with
+        # random weights EOT never argmaxes, so the early-exit while_loop
+        # runs to the cap, making max_new an exact proxy for generated
+        # length. Realistic utterance lengths: ~4 tok/s of speech -> a 10 s
+        # utterance decodes ~40 tokens, so n16/n64 bracket the real range;
+        # the "full" label is the canonical 30 s window the gate never
+        # exercises. Real mel from actual audio is computed in all cases
+        # (transcribe_ids owns the on-TPU log-mel front end).
+        n_greedy = [max_new] if args.tiny else [16, 64]
         for label, windows in [("full", None)] + [(f"{int(w)}s", [w]) for w in buckets]:
-            model = JaxWhisperModel(
-                wparams, wcfg, max_new_tokens=max_new, window_secs=windows
-            )
-            model.transcribe_ids(utt)  # compile + warmup
-            n = 5
-            t0 = time.perf_counter()
-            for _ in range(n):
-                model.transcribe_ids(utt)
-            dt = (time.perf_counter() - t0) / n
-            emit(
-                f"whisper_transcribe_ms_{label}", dt * 1000,
-                "ms per 2s-utterance transcription (greedy, small.en geometry)"
-                + ("" if windows else " — canonical 30s window"),
-            )
+            for mn in n_greedy:
+                mn = min(mn, wcfg.max_target_positions - 8)
+                model = JaxWhisperModel(
+                    wparams, wcfg, max_new_tokens=mn, window_secs=windows
+                )
+                model.transcribe_ids(utt)  # compile + warmup
+                n = 5
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    model.transcribe_ids(utt)
+                dt = (time.perf_counter() - t0) / n
+                emit(
+                    f"whisper_transcribe_ms_{label}_n{mn}", dt * 1000,
+                    f"ms per 2s-utterance transcription (greedy to cap {mn}, "
+                    "small.en geometry"
+                    + (")" if windows else ") — canonical 30s window"),
+                )
         del wparams
         release_device_memory()
 
@@ -567,7 +601,8 @@ def main():
         from realtime_codec_agent_tpu.agent.agent import RealtimeAgent
 
         resources = RealtimeAgentResources(
-            tiny=args.tiny, codec_model=codec, whisper_model=None
+            tiny=args.tiny, codec_model=codec, whisper_model=None,
+            quantize_int8=args.agent_int8,
         )
         config = RealtimeAgentConfig(
             seed=args.seed, use_whisper=False, agent_opening_text=None,
@@ -615,7 +650,7 @@ def main():
         agent.drain_pipeline()  # flush the in-flight chunk before switching modes
         agent.self_play_mode = True
         pair = None
-        if args.selfplay_pair:
+        if args.selfplay_pair or args.selfplay_coord:
             from realtime_codec_agent_tpu.lm.pair_session import pair_self_play_agents
 
             pair = pair_self_play_agents(agent, agent_b)
@@ -623,18 +658,34 @@ def main():
         zero = np.zeros(chunk_n, np.float32)
         out_a, ids_a = zero, None
         out_b, ids_b = zero, None
+        if args.selfplay_coord:
+            # group-pipelined drive (VERDICT r4 item 4): both rows dispatch —
+            # the batch-2 program launches and queues behind the in-flight
+            # one — BEFORE either row's fetch, so the fetch RTT hides under
+            # device compute instead of serializing the next launch (the
+            # 87 ms/tick interleaved-paired failure mode). Token streams are
+            # bit-identical to the plain drive (tests/test_pair_session.py).
+            def tick():
+                nonlocal out_a, ids_a, out_b, ids_b
+                agent.process_audio_dispatch(out_b, ids_b)
+                agent_b.process_audio_dispatch(out_a, ids_a)
+                out_a, ids_a = agent.process_audio_resolve()
+                out_b, ids_b = agent_b.process_audio_resolve()
+        else:
+            def tick():
+                nonlocal out_a, ids_a, out_b, ids_b
+                out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
+                out_b, ids_b = agent_b.process_audio(out_a, ids_a)
+                out_a, ids_a = out_a_, ids_a_
         for _ in range(5):  # warmup
-            out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
-            out_b, ids_b = agent_b.process_audio(out_a, ids_a)
-            out_a, ids_a = out_a_, ids_a_
+            tick()
         n = 50
         t0 = time.perf_counter()
         for _ in range(n):
-            out_a_, ids_a_ = agent.process_audio(out_b, ids_b)
-            out_b, ids_b = agent_b.process_audio(out_a, ids_a)
-            out_a, ids_a = out_a_, ids_a_
+            tick()
         dt = time.perf_counter() - t0
-        emit("self_play_rtf", dt / (n * 0.1), "x_realtime, both agents (lower is better)")
+        emit("self_play_rtf", dt / (n * 0.1), "x_realtime, both agents (lower is better)",
+             coord=bool(args.selfplay_coord), paired=bool(args.selfplay_pair))
         if pair is not None:
             total = pair.paired_dispatches * 2 + pair.single_dispatches
             emit(
@@ -789,20 +840,32 @@ def main():
                 size=50 * chunk_n)).astype(np.float32)
             for i in range(R)
         ]
+        use_split = not args.no_duplex_split
+        def serve_tick(t):
+            if use_split:
+                # the serving drive (duplex_server._Pool): all rows dispatch
+                # (batch-R launch queues behind the in-flight one), then all
+                # resolve — the fetch RTT hides under device compute
+                for a, s in zip(agents, streams):
+                    a.process_audio_dispatch(s[t * chunk_n : (t + 1) * chunk_n])
+                for a in agents:
+                    a.process_audio_resolve()
+            else:
+                for a, s in zip(agents, streams):
+                    a.process_audio(s[t * chunk_n : (t + 1) * chunk_n])
         for t in range(10):  # warmup
-            for a, s in zip(agents, streams):
-                a.process_audio(s[t * chunk_n : (t + 1) * chunk_n])
+            serve_tick(t)
         n = 40
         t0 = time.perf_counter()
         for t in range(10, 10 + n):
-            for a, s in zip(agents, streams):
-                a.process_audio(s[t * chunk_n : (t + 1) * chunk_n])
+            serve_tick(t)
         dt = time.perf_counter() - t0
         emit(
             "duplex_serving_rtf", dt / (n * 0.1),
             f"x_realtime serving {R} concurrent full-duplex calls "
             "(lower is better; <1 = every call realtime)",
             sessions=R, int8=args.duplex_int8, int4=args.duplex_int4,
+            split=use_split,
         )
         if coord is not None:
             total = coord.paired_dispatches * R + coord.single_dispatches

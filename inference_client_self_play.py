@@ -98,7 +98,7 @@ def build_agents(args):
             config=config_b,
             self_play_mode=True,
         )
-        if args.pair:
+        if args.pair or args.coord:
             pair_self_play_agents(agent_a, agent_b)
         return InprocSelfPlayAgent(agent_a), InprocSelfPlayAgent(agent_b)
     agent_a = RealtimeAgentMultiprocessing(
@@ -132,6 +132,28 @@ def self_play_loop(agent_a, agent_b, n_chunks: int, chunk_samples: int):
         yield a_out, b_out, np.concatenate(mixed)
 
 
+def self_play_loop_coord(agent_a, agent_b, n_chunks: int, chunk_samples: int):
+    """Group-coordinated cross-feed (``--coord``): both agents dispatch into
+    the shared batch-2 program — which launches and queues behind the
+    in-flight one — before either resolves, so the fetch RTT hides under
+    device compute (the duplex-serving drive applied to self-play). Both
+    sides consume the partner's PREVIOUS tick output (the sequential loop
+    feeds A the partner's same-tick chunk), the same one-chunk-stale
+    semantics as the reference's queue-based cross-feed."""
+    A, B = agent_a.agent, agent_b.agent
+    silence = np.zeros(chunk_samples, dtype=np.float32)
+    a_out, a_ids = silence, None
+    b_out, b_ids = silence, None
+    mixed = []
+    for _ in range(n_chunks):
+        A.process_audio_dispatch(b_out, b_ids)
+        B.process_audio_dispatch(a_out, a_ids)
+        a_out, a_ids = A.process_audio_resolve()
+        b_out, b_ids = B.process_audio_resolve()
+        mixed.append((a_out + b_out) / 2.0)
+        yield a_out, b_out, np.concatenate(mixed)
+
+
 def _next_output(agent):
     while True:
         out = agent.next_output(block=True)
@@ -157,6 +179,12 @@ def main():
              "group launch serializes behind the fetch and the device bubbles. "
              "Grouping wins only for independent streams (duplex serving).",
     )
+    parser.add_argument(
+        "--coord", action="store_true",
+        help="with --inproc: batch-2 pair program driven SPLIT (both agents "
+             "dispatch before either resolves) — the serving-coordinator "
+             "layout; hides the fetch RTT that makes --pair slower",
+    )
     parser.add_argument("--opening_text", default="hello?")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--headless", action="store_true")
@@ -169,11 +197,14 @@ def main():
     chunk_samples = info.chunk_size_samples
     chunk_secs = info.config.chunk_size_secs
 
+    loop = self_play_loop_coord if getattr(args, "coord", False) else self_play_loop
+    if args.coord and not args.inproc:
+        raise SystemExit("--coord requires --inproc")
     if args.headless:
         n_chunks = int(args.secs / chunk_secs)
         t0 = time.time()
         for i, (a, b, _) in enumerate(
-            self_play_loop(agent_a, agent_b, n_chunks, chunk_samples)
+            loop(agent_a, agent_b, n_chunks, chunk_samples)
         ):
             if (i + 1) % 50 == 0:
                 rtf = (time.time() - t0) / ((i + 1) * chunk_secs)
@@ -208,7 +239,7 @@ def main():
         def run(n_secs):
             n_chunks = int(float(n_secs) / chunk_secs)
             mixed = None
-            for _, _, mixed in self_play_loop(agent_a, agent_b, n_chunks, chunk_samples):
+            for _, _, mixed in loop(agent_a, agent_b, n_chunks, chunk_samples):
                 pass
             return (
                 (info.sampling_rate, mixed),

@@ -225,6 +225,11 @@ class RealtimeAgent:
         self._call_acct: Optional[Dict[str, float]] = None
         self._acct_tid = 0
         self.last_call_acct: Dict[str, float] = {}
+        # split (group) drive: pending half-tick between
+        # process_audio_dispatch and process_audio_resolve; in async mode
+        # the deferred previous-chunk resolve lives in _deferred_prev
+        self._split_stash = None
+        self._deferred_prev = None
         # finalize-splice accounting: absorbed incrementally vs blocking
         # recompute (observability for the bench + regression tests)
         self.finalize_absorbs = 0
@@ -300,6 +305,8 @@ class RealtimeAgent:
         self.join_detours()
         self._pending = None
         self._out_buffer = None
+        self._split_stash = None
+        self._deferred_prev = None
         self._chain_dirty = True
         self._trim_rebuild = None
         self._stale_splice = None
@@ -1607,6 +1614,104 @@ class RealtimeAgent:
             return self._emit(None)
         return self._emit(self._resolve_one(prev_pending))
 
+    # ------------------------------------------------- split (group) drive
+    def process_audio_dispatch(
+        self, audio_chunk: np.ndarray, audio_chunk_input_ids: Optional[List[int]] = None
+    ) -> None:
+        """First half of a SPLIT pipelined tick (group-coordinated drives).
+
+        The standard pipelined ``process_audio`` dispatches chunk t and then
+        BLOCKS on chunk t-1's fetch in the same call — under a group
+        coordinator the next row's dispatch (and therefore the group launch)
+        serializes behind that fetch, leaving the device idle for a full
+        fetch RTT per tick (the measured 87 ms paired self-play floor,
+        docs/PERFORMANCE.md "The self-play floor, decomposed"). The split
+        drive lets the loop dispatch EVERY row first — the batch-R program
+        launches immediately and queues behind the in-flight one — and only
+        then resolve, so the fetch RTT hides under queued device compute.
+
+        Must be paired with :meth:`process_audio_resolve`; token streams are
+        bit-identical to ``process_audio`` (same decision logic, same PRNG
+        schedule — pinned by tests/test_pair_session.py). Chunks that cannot
+        ride the fused path (events, trims, non-audio modes) fall back to the
+        full blocking path here and resolve returns their output directly.
+        With async_detours the split rides the pump's defer mode (heavy
+        chunks still detour to the background pool and resolve emits filler,
+        exactly like process_audio). External TTS is unsupported."""
+        assert self._split_stash is None, "unresolved process_audio_dispatch"
+        assert (
+            self.config.pipeline_chunks
+            and self._session is not None
+            and not self.config.use_external_tts
+        ), "split drive requires a pipelined fused session"
+        if self.config.async_detours and self._detour_pool is not None:
+            with self.profilers.total_profiler:
+                self._call_acct = {}
+                self._acct_tid = threading.get_ident()
+                self.last_call_acct = self._call_acct
+                assert audio_chunk.shape[-1] == self.chunk_size_samples
+                t0 = time.perf_counter()
+                self._backlog.append((audio_chunk, audio_chunk_input_ids))
+                self._async_pump(t0, defer=True)
+                self._split_stash = ("async", None)
+            return
+        with self.profilers.total_profiler:
+            self._call_acct = {}
+            self._acct_tid = threading.get_ident()
+            self.last_call_acct = self._call_acct
+            assert audio_chunk.shape[-1] == self.chunk_size_samples
+            force_trans = self.should_force_transcription()
+            force_response = self.should_force_response()
+            trim_op = self._trim_op()
+            can_fuse = (
+                not (force_trans or force_response)
+                and self._fused_ready()
+                and all(t > self.end_header_token_id for t in self.input_ids[-2:])
+            )
+            trim_due = False
+            if not self._incremental_trim_active():
+                effective_secs = self.total_secs + (
+                    self.config.chunk_size_secs if self._pending is not None else 0.0
+                )
+                trim_due = (
+                    effective_secs - self.trim_to_secs >= self.config.max_context_secs
+                    or self._occupancy_trim_due()
+                )
+            if not can_fuse or trim_due or trim_op is not None:
+                # rare slow tick: the full blocking path (resolves prev
+                # inside; under a coordinator its flush rules apply as in
+                # the interleaved drive)
+                out = self._process_audio_pipelined(
+                    audio_chunk, audio_chunk_input_ids, force_trans,
+                    force_response, trim_op,
+                )
+                self._split_stash = ("done", out)
+                return
+            self._trim_pump()
+            prev = self._dispatch_speculative(audio_chunk, audio_chunk_input_ids)
+            self._split_stash = ("prev", prev)
+
+    def process_audio_resolve(self):
+        """Second half of a split tick: consume the previous chunk's fused
+        results (event replay + successor re-dispatch if one fired) and emit
+        its audio — (audio, ids) in self-play mode."""
+        assert self._split_stash is not None, "process_audio_dispatch not called"
+        kind, val = self._split_stash
+        self._split_stash = None
+        if kind == "done":
+            return val
+        if kind == "async":
+            with self.profilers.total_profiler:
+                self._finish_deferred()
+                return self._emit_async()
+        with self.profilers.total_profiler:
+            if val is None:
+                if self._out_buffer is not None:
+                    emit, self._out_buffer = self._out_buffer, None
+                    return self._emit(emit)
+                return self._emit(None)
+            return self._emit(self._resolve_one(val))
+
     def _acct_add(self, name: str, secs: float) -> None:
         """Accumulate a named blocking section into the live per-call
         attribution dict — only when called on the thread that owns the
@@ -1729,6 +1834,12 @@ class RealtimeAgent:
         audio ((audio, ids) in self-play mode) per call, or None when fully
         drained. Call repeatedly before inspecting transcripts/state at end
         of session; async-detour mode may hold several queued outputs."""
+        if self._split_stash is not None:
+            # a split tick whose resolve half never ran (drive loop stopped
+            # mid-tick): its output is this drain's chunk
+            out = self.process_audio_resolve()
+            if out is not None:
+                return out
         if self.config.async_detours and self._detour_pool is not None:
             while not self._ready and (
                 self._detour_future is not None
@@ -1796,13 +1907,22 @@ class RealtimeAgent:
         self._async_pump(t0)
         return self._emit_async()
 
-    def _async_pump(self, t0, budget: Optional[float] = None, cap: Optional[int] = None):
-        """Drain the backlog: collect a finished (or, past the fall-behind
-        cap, block on an unfinished) detour, then process chunks in arrival
-        order until the backlog empties or the time budget is spent."""
+    def _async_pump(self, t0, budget: Optional[float] = None, cap: Optional[int] = None,
+                    defer: bool = False):
+        """Drain the backlog: resolve any deferred split-drive chunk, collect
+        a finished (or, past the fall-behind cap, block on an unfinished)
+        detour, then process chunks in arrival order until the backlog
+        empties or the time budget is spent. With ``defer``, the LAST
+        processed chunk's previous-result resolve is left for
+        process_audio_finish (earlier ones resolve at the loop top — order
+        is preserved)."""
         budget = self.config.async_catchup_budget_secs if budget is None else budget
         cap = self.config.async_max_backlog_chunks if cap is None else cap
         while True:
+            if self._backlog or self._detour_future is not None or not defer:
+                # more work follows (or this is a plain pump): the deferred
+                # resolve cannot wait any longer without reordering
+                self._finish_deferred()
             if self._detour_future is not None:
                 if not self._detour_future.done() and len(self._backlog) < cap:
                     return
@@ -1813,9 +1933,9 @@ class RealtimeAgent:
                 return
             chunk, cids = self._backlog.pop(0)
             self._acct_add("pumped_chunks_n", 1.0)
-            self._step_one_async(chunk, cids)
+            self._step_one_async(chunk, cids, defer=defer)
 
-    def _step_one_async(self, audio_chunk, audio_chunk_input_ids):
+    def _step_one_async(self, audio_chunk, audio_chunk_input_ids, defer: bool = False):
         """Process ONE backlogged chunk: fused speculative dispatch when
         possible, otherwise submit the synchronous detour to the background
         pool. Mirrors _process_audio_pipelined's decision logic exactly so
@@ -1863,6 +1983,23 @@ class RealtimeAgent:
         prev = self._dispatch_speculative(audio_chunk, audio_chunk_input_ids)
         if prev is None:
             return
+        if defer:
+            # split (group) drive: the group program launches on another
+            # row's dispatch; resolving prev now would serialize that launch
+            # behind this row's fetch. process_audio_finish (or the next
+            # pump pass) resolves it.
+            self._deferred_prev = prev
+            return
+        self._finish_prev(prev)
+
+    def _finish_deferred(self) -> None:
+        prev, self._deferred_prev = self._deferred_prev, None
+        if prev is not None:
+            self._finish_prev(prev)
+
+    def _finish_prev(self, prev) -> None:
+        """Consume a dispatched fused chunk's results: bank its output, or
+        hand an event replay to the background pool."""
         t0 = time.perf_counter()
         fetched = prev["future"].result()
         self._acct_add("fetch", time.perf_counter() - t0)

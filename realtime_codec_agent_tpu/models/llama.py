@@ -526,6 +526,16 @@ def forward(
             # flash attention scan — the quadratic-in-T piece full remat pays
             # twice at T>=2048
             policy = jax.checkpoint_policies.save_only_these_names("attn_ctx")
+        elif cfg.remat_policy == "flash":
+            # save the Pallas flash kernel's OWN residuals (out + softmax
+            # l/m stats, named inside ops/nn._flash_pallas_named_fn): the
+            # backward's recompute rebuilds q/k/v (norm + matmuls + rope)
+            # but never re-runs the flash forward kernel — the remaining
+            # recompute tax the "attn" policy still paid. ~1.1 GB residency
+            # at B=4 T=2048 (vs "dots" which saves every matmul and OOMs)
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse", "flash_max"
+            )
         else:
             policy = None  # "full": recompute everything
         layer_body = jax.checkpoint(layer_body, policy=policy)

@@ -312,32 +312,88 @@ def flash_attention_pallas(
     b, t, h, dh = q.shape
     if scale is None:
         scale = float(dh ** -0.5)
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention,
-    )
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
 
-    bq = min(block_q, t)
-    bk = min(block_k, t)
-    sizes = BlockSizes(
+    seg = None
+    if valid is not None:
+        s = valid.astype(jnp.int32)
+        seg = SegmentIds(q=s, kv=s)
+    fn = _flash_pallas_named_fn(float(scale), min(block_q, t), min(block_k, t))
+    out = fn(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        seg,
+    )
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_pallas_named_fn(sm_scale: float, bq: int, bk: int):
+    """The stock Pallas flash kernels behind a custom VJP whose residuals
+    (out, softmax l/m stats) carry checkpoint_name tags.
+
+    Why: under layer-level ``jax.checkpoint``, the stock kernel's residuals
+    are anonymous intermediates, so even the "attn" selective policy (which
+    saves the attention CONTEXT) must re-run the flash FORWARD kernel inside
+    the backward to regenerate l/m before the dq/dkv kernels can run. Naming
+    them lets the "flash" remat policy (models/llama.py) save exactly these
+    cheap residuals — per layer: out (B,T,Hq bf16) + l,m ((B,H,T) f32) —
+    and jaxpr DCE then drops the flash forward from the recompute entirely,
+    while q/k/v are still rematerialized (norm + matmuls + rope, cheap).
+    The bwd replicates jax's stock ``_flash_attention_bwd`` exactly (same
+    kernels, same di/ds handling, ab=None); parity vs the stock path is
+    checked by scripts/flash_pallas_parity.py."""
+    import jax.experimental.pallas.ops.tpu.flash_attention as _fa
+    from jax.ad_checkpoint import checkpoint_name as _name
+
+    sizes = _fa.BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk,
         block_k_dkv=bk, block_q_dkv=bq,
         block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
-    seg = None
-    if valid is not None:
-        s = valid.astype(jnp.int32)
-        seg = SegmentIds(q=s, kv=s)
-    out = flash_attention(
-        q.transpose(0, 2, 1, 3),
-        k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
-        segment_ids=seg,
-        causal=True,
-        sm_scale=scale,
-        block_sizes=sizes,
-    )
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+    def _run(q, k, v, seg, save_residuals):
+        return _fa._flash_attention(
+            q, k, v, None, seg, save_residuals, True, sm_scale, sizes, False
+        )
+
+    @jax.custom_vjp
+    def fn(q, k, v, seg):
+        return _run(q, k, v, seg, False)
+
+    def fwd(q, k, v, seg):
+        o, l, m = _run(q, k, v, seg, True)
+        o = _name(o, "flash_out")
+        l = _name(l, "flash_lse")
+        m = _name(m, "flash_max")
+        return o, (q, k, v, seg, o, l, m)
+
+    def bwd(res, do):
+        q, k, v, seg, o, l, m = res
+        di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+        dk, dv = _fa._flash_attention_bwd_dkv(
+            q, k, v, None, seg, l, m, do, di,
+            block_q_major=sizes.block_q_major_dkv,
+            block_k_major=sizes.block_k_major_dkv,
+            block_k=sizes.block_k_dkv,
+            block_q=sizes.block_q_dkv,
+            sm_scale=sm_scale, causal=True,
+            mask_value=_fa.DEFAULT_MASK_VALUE, debug=False,
+        )
+        dq, _ds = _fa._flash_attention_bwd_dq(
+            q, k, v, None, seg, l, m, do, di,
+            block_q_major=sizes.block_q_dq,
+            block_k_major=sizes.block_k_major_dq,
+            block_k=sizes.block_k_dq,
+            sm_scale=sm_scale, causal=True,
+            mask_value=_fa.DEFAULT_MASK_VALUE, debug=False,
+        )
+        return dq, dk, dv, None
+
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 def train_attention(

@@ -398,36 +398,65 @@ class _Pool:
                 inputs[slot.idx] = got
                 self._gathered_this_tick.add(slot.idx)
             # tick EVERY slot (idle rows dispatch silence so active rows keep
-            # riding the full batch-R program); deliver only active outputs
-            for slot in self.slots:
-                chunk = inputs.get(slot.idx, srv._silence)
-                try:
-                    out = slot.agent.process_audio(chunk)
-                except Exception as ex:  # one call's failure must not kill the pool
-                    import traceback
+            # riding the full batch-R program); deliver only active outputs.
+            # SPLIT drive (default): all rows dispatch first — the batch-R
+            # program launches and queues behind the in-flight one — then
+            # all rows resolve, so the previous tick's fetch RTT hides under
+            # device compute instead of serializing this tick's launch
+            # (interleaved dispatch+resolve measured ~+30 ms/tick at R=4).
+            def fail(slot, ex):
+                import traceback
 
-                    print(f"duplex slot {slot.idx} tick failed: {ex!r}", flush=True)
-                    traceback.print_exc()
-                    if slot.active:
-                        slot.active = False
-                        slot.out_q = None
-                    try:
-                        slot.agent.reset()
-                    except Exception:
-                        pass
-                    continue
+                print(f"duplex slot {slot.idx} tick failed: {ex!r}", flush=True)
+                traceback.print_exc()
+                if slot.active:
+                    slot.active = False
+                    slot.out_q = None
+                try:
+                    slot.agent.reset()
+                except Exception:
+                    pass
+
+            def deliver(slot, out):
                 if slot.active and slot.out_q is not None and out is not None:
                     slot.out_q.put(np.asarray(out, np.float32))
                 if not slot.active:
-                    # bound idle context growth: a periodic staggered reset is
-                    # far cheaper than letting the 80 s trim machinery fire on
-                    # rows nobody is listening to
+                    # bound idle context growth: a periodic staggered reset
+                    # is far cheaper than letting the 80 s trim machinery
+                    # fire on rows nobody is listening to
                     slot.idle_ticks += 1
                     if slot.idle_ticks >= 600 + 37 * slot.idx:
                         slot.agent.reset()
                         slot.idle_ticks = 0
                 else:
                     slot.idle_ticks = 0
+
+            if srv.split_drive:
+                resolvable = []
+                for slot in self.slots:
+                    try:
+                        slot.agent.process_audio_dispatch(
+                            inputs.get(slot.idx, srv._silence)
+                        )
+                        resolvable.append(slot)
+                    except Exception as ex:
+                        fail(slot, ex)
+                for slot in resolvable:
+                    try:
+                        out = slot.agent.process_audio_resolve()
+                    except Exception as ex:
+                        fail(slot, ex)
+                        continue
+                    deliver(slot, out)
+            else:
+                for slot in self.slots:
+                    chunk = inputs.get(slot.idx, srv._silence)
+                    try:
+                        out = slot.agent.process_audio(chunk)
+                    except Exception as ex:  # one failure must not kill the pool
+                        fail(slot, ex)
+                        continue
+                    deliver(slot, out)
             self._tick_count += 1
 
 
@@ -442,6 +471,7 @@ class DuplexServingServer:
         config=None,
         tiny: bool = False,
         group: bool = True,
+        split_drive: bool = True,
         underrun_timeout_secs: Optional[float] = None,
         codec_model=None,
         llm_model_path: Optional[str] = None,
@@ -464,6 +494,8 @@ class DuplexServingServer:
         )
         if not self.base_config.pipeline_chunks:
             raise ValueError("duplex serving requires pipeline_chunks=True")
+        # external-TTS agents can't ride the split (fused) drive
+        self.split_drive = split_drive and not self.base_config.use_external_tts
         base_res = resources or RealtimeAgentResources(
             tiny=tiny, whisper_model=None, codec_model=codec_model,
             llm_model_path=llm_model_path, quantize_int8=quantize_int8,
@@ -784,6 +816,10 @@ def main(argv=None) -> None:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--no_group", action="store_true",
                     help="serve each call with per-session programs (debug)")
+    ap.add_argument("--no_split_drive", action="store_true",
+                    help="interleave each slot's dispatch+resolve (the "
+                    "pre-split drive; A/B — the split drive hides the fetch "
+                    "RTT under queued device compute)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 decode weights (q8_0-parity): the capacity lever "
                     "past 4 concurrent calls on one chip")
@@ -801,6 +837,7 @@ def main(argv=None) -> None:
         devices = [int(x) for x in args.devices.split(",")]
     duplex = DuplexServingServer(
         max_calls=args.max_calls, tiny=args.tiny, group=not args.no_group,
+        split_drive=not args.no_split_drive,
         llm_model_path=args.llm_model_path, quantize_int8=args.int8,
         quantize_int4=args.int4, devices=devices,
     )

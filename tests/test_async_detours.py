@@ -306,3 +306,29 @@ def test_per_call_blocking_attribution(resources):
     while asyn.drain_pipeline() is not None:
         pass
     assert "dispatch" in seen and "fetch" in seen, seen
+
+
+def test_split_drive_async_matches_plain(resources):
+    """The split dispatch/resolve drive in async-detour mode (the serving
+    drive) must produce the same token stream and transcript as plain
+    process_audio calls; emissions may differ only in filler placement."""
+    plain = make_agent(resources, "async")
+    split = make_agent(resources, "async")
+    audio = chunks(20, seed=31)
+    force_trans_once(plain, at_secs=0.5)
+    force_trans_once(split, at_secs=0.5)
+    for c in audio:
+        plain.process_audio(c)
+    while plain.drain_pipeline() is not None:
+        pass
+    for c in audio:
+        split.process_audio_dispatch(c)
+        out = split.process_audio_resolve()
+        assert out is None or out.shape == (1600,)
+    while split.drain_pipeline() is not None:
+        pass
+    assert split.input_ids == plain.input_ids
+    assert split.get_sequence_str() == plain.get_sequence_str()
+    assert [t["text"] for t in split.transcript] == [
+        t["text"] for t in plain.transcript
+    ]

@@ -328,3 +328,59 @@ def test_pair_rejects_mismatched_sessions(resources):
         pair_self_play_agents(a, b)
     while a.drain_pipeline() is not None:
         pass
+
+
+def cross_feed_split(agent_a, agent_b, n_chunks):
+    """The group-pipelined drive (VERDICT r4 item 4): BOTH rows dispatch —
+    launching the batch-2 program — before either resolves, so the fetch
+    RTT hides under queued device compute instead of serializing the next
+    launch behind it."""
+    zero = np.zeros(1600, np.float32)
+    out_a, ids_a = zero, None
+    out_b, ids_b = zero, None
+    for _ in range(n_chunks):
+        agent_a.process_audio_dispatch(out_b, ids_b)
+        agent_b.process_audio_dispatch(out_a, ids_a)
+        out_a, ids_a = agent_a.process_audio_resolve()
+        out_b, ids_b = agent_b.process_audio_resolve()
+    while agent_a.drain_pipeline() is not None:
+        pass
+    while agent_b.drain_pipeline() is not None:
+        pass
+
+
+def test_split_drive_tokens_match_interleaved(resources):
+    """The split dispatch/resolve drive must produce bit-identical token
+    streams to the standard interleaved drive, paired AND unpaired."""
+    a1, b1, _ = run_conversation(resources, paired=False)
+
+    for paired in (False, True):
+        a2 = make_agent(resources, seed=11)
+        b2 = make_agent(resources, seed=12)
+        pair = pair_self_play_agents(a2, b2) if paired else None
+        cross_feed_split(a2, b2, 8)
+        assert a2.input_ids == a1.input_ids, f"paired={paired}"
+        assert b2.input_ids == b1.input_ids, f"paired={paired}"
+        assert a2.resources.llm._step == a1.resources.llm._step
+        assert b2.resources.llm._step == b1.resources.llm._step
+        if paired:
+            assert pair.paired_dispatches >= 4
+
+
+def test_split_drive_with_events_matches_interleaved(resources):
+    """Natural events under the split drive: the resolve-side replay and
+    halted-successor redispatch (which re-buffers into the group) must
+    preserve exact parity with the plain drive."""
+    a1, b1, _ = run_conversation(
+        resources, paired=False, n_chunks=6, temperature=1.0, pin_audio=False
+    )
+    a2 = make_agent(resources, seed=11, temperature=1.0, pin_audio=False)
+    b2 = make_agent(resources, seed=12, temperature=1.0, pin_audio=False)
+    pair_self_play_agents(a2, b2)
+    cross_feed_split(a2, b2, 6)
+    assert a2.input_ids == a1.input_ids
+    assert b2.input_ids == b1.input_ids
+    assert a2.get_sequence_str() == a1.get_sequence_str()
+    assert b2.get_sequence_str() == b1.get_sequence_str()
+    assert [t["text"] for t in a2.transcript] == [t["text"] for t in a1.transcript]
+    assert [t["text"] for t in b2.transcript] == [t["text"] for t in b1.transcript]

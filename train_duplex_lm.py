@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=["adamw", "adafactor"], default="adamw",
                    help="adafactor frees the ~5 GB of AdamW moments at 1B "
                         "scale -> bigger per-chip batch / longer sequences")
+    p.add_argument("--remat_policy",
+                   choices=["full", "dots", "attn", "flash", "none"],
+                   default="full",
+                   help="selective rematerialization: 'flash' saves the "
+                        "Pallas flash kernel's own residuals (out + l/m) so "
+                        "the backward never re-runs the flash forward; "
+                        "'none' disables remat entirely (OOMs at 1B scale)")
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
@@ -216,6 +223,8 @@ def main(argv=None):
         log_every=args.log_every,
         seed=args.seed,
         pp_microbatches=args.pp_microbatches,
+        remat=args.remat_policy != "none",
+        remat_policy=args.remat_policy,
     )
     trainer = Trainer(params, cfg, tc, mesh=mesh)
 
