@@ -1810,6 +1810,16 @@ class RealtimeAgent:
             "ids": succ.get("ids"),
             "future": self._fetcher.submit(_device_get, handles),
         }
+        # grouped drives: realize the redispatch through the SINGLE program
+        # NOW instead of leaving it buffered for the partner's next-tick
+        # dispatch. A buffered successor permanently flips the group phase —
+        # this row then completes every future group at its own dispatch and
+        # resolves SAME-tick results (zero pipelining: compute + fetch RTT
+        # land serially on every later tick; measured ~2x tick cost after one
+        # event) — and under the split drive it can also sit the full 2 s
+        # LazyHandles timeout. One unbatched chunk per (rare) event is far
+        # cheaper than a degraded steady state.
+        self._flush_pair_row()
 
     def _flush_pair_row(self) -> None:
         """Paired self-play only: realize this session's buffered pair chunk
