@@ -1271,7 +1271,11 @@ def main():
         # canned host-side text) — the metric includes Whisper's device
         # work but as a LOWER bound on transcription cost
         "whisper_cost_floor": (
-            "max_new_tokens=16, windows 5/10s, canned decode text"
+            "max_new_tokens=16, windows 5/10s, canned decode text; measured "
+            "real-path bound (bench_suite whisper, r5): greedy to 64 tokens "
+            "costs +23/+45 ms per event on the 5/10 s windows and the 30 s "
+            "canonical window runs 123-182 ms/utterance — per-EVENT detour "
+            "costs absorbed by filler, not per-chunk costs"
             if args.whisper else None
         ),
     }

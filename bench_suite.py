@@ -173,6 +173,11 @@ def main():
         help="A/B: interleave each row's dispatch+resolve in the "
              "duplexserve section (the pre-split drive)",
     )
+    parser.add_argument(
+        "--duplex_ab", action="store_true",
+        help="measure the duplexserve drive A/B (split, interleaved, split) "
+             "back-to-back IN ONE PROCESS — the only window-valid comparison",
+    )
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
 
@@ -197,6 +202,7 @@ def main():
             *(["--duplex_int8"] if args.duplex_int8 else []),
             *(["--duplex_int4"] if args.duplex_int4 else []),
             *(["--no_duplex_split"] if args.no_duplex_split else []),
+            *(["--duplex_ab"] if args.duplex_ab else []),
             "--duplex_sessions", str(args.duplex_sessions),
             "--seed", str(args.seed),
         ]
@@ -840,9 +846,8 @@ def main():
                 size=50 * chunk_n)).astype(np.float32)
             for i in range(R)
         ]
-        use_split = not args.no_duplex_split
-        def serve_tick(t):
-            if use_split:
+        def serve_tick(t, split):
+            if split:
                 # the serving drive (duplex_server._Pool): all rows dispatch
                 # (batch-R launch queues behind the in-flight one), then all
                 # resolve — the fetch RTT hides under device compute
@@ -853,20 +858,44 @@ def main():
             else:
                 for a, s in zip(agents, streams):
                     a.process_audio(s[t * chunk_n : (t + 1) * chunk_n])
-        for t in range(10):  # warmup
-            serve_tick(t)
-        n = 40
-        t0 = time.perf_counter()
-        for t in range(10, 10 + n):
-            serve_tick(t)
-        dt = time.perf_counter() - t0
-        emit(
-            "duplex_serving_rtf", dt / (n * 0.1),
-            f"x_realtime serving {R} concurrent full-duplex calls "
-            "(lower is better; <1 = every call realtime)",
-            sessions=R, int8=args.duplex_int8, int4=args.duplex_int4,
-            split=use_split,
-        )
+
+        def measure(split):
+            for a in agents:
+                while a.drain_pipeline() is not None:
+                    pass
+                a.reset()
+            for t in range(10):  # warmup
+                serve_tick(t, split)
+            n = 40
+            t0 = time.perf_counter()
+            for t in range(10, 10 + n):
+                serve_tick(t, split)
+            return (time.perf_counter() - t0) / (n * 0.1)
+
+        # in-process drive A/B when requested: the tunnel's health drifts
+        # 2-3x BETWEEN invocations on bad days, so split-vs-interleaved is
+        # only meaningful measured back-to-back in one process/window
+        modes = [not args.no_duplex_split]
+        if args.duplex_ab:
+            modes = [True, False, True]
+        vals = {}
+        for split in modes:
+            rtf = measure(split)
+            vals.setdefault(split, []).append(rtf)
+            emit(
+                "duplex_serving_rtf", rtf,
+                f"x_realtime serving {R} concurrent full-duplex calls "
+                "(lower is better; <1 = every call realtime)",
+                sessions=R, int8=args.duplex_int8, int4=args.duplex_int4,
+                split=split,
+            )
+        if args.duplex_ab and False in vals:
+            emit(
+                "duplex_split_speedup",
+                vals[False][0] / min(vals[True]),
+                "interleaved-drive rtf / best split-drive rtf (same window)",
+                sessions=R,
+            )
         if coord is not None:
             total = coord.paired_dispatches * R + coord.single_dispatches
             emit(
