@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "scale -> bigger per-chip batch / longer sequences")
     p.add_argument("--remat_policy",
                    choices=["full", "dots", "attn", "flash", "none"],
-                   default="full",
+                   default="flash",
                    help="selective rematerialization: 'flash' saves the "
                         "Pallas flash kernel's own residuals (out + l/m) so "
                         "the backward never re-runs the flash forward; "
