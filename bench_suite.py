@@ -843,7 +843,7 @@ def main():
         chunk_n = agents[0].chunk_size_samples
         streams = [
             (0.1 * np.random.default_rng(args.seed + 100 + i).normal(
-                size=50 * chunk_n)).astype(np.float32)
+                size=80 * chunk_n)).astype(np.float32)
             for i in range(R)
         ]
         def serve_tick(t, split):
@@ -864,12 +864,27 @@ def main():
                 while a.drain_pipeline() is not None:
                     pass
                 a.reset()
-            for t in range(10):  # warmup
+            # adaptive warm-in: the opening chunks detour (header tokens)
+            # and the rows desynchronize until every backlog drains — a
+            # fixed 10-tick warmup measured the catch-up, not the steady
+            # state (instrumented run: warm-in lasted ~14 ticks with cold
+            # compiles inside). Tick until the group runs clean for 4
+            # consecutive ticks (or 30 ticks).
+            grouped_before = coord.paired_dispatches if coord else 0
+            clean, t = 0, 0
+            while t < 30 and clean < 4:
                 serve_tick(t, split)
+                t += 1
+                if coord is None:
+                    clean = 4 if t >= 10 else 0
+                    continue
+                grouped_now = coord.paired_dispatches
+                clean = clean + 1 if grouped_now > grouped_before else 0
+                grouped_before = grouped_now
             n = 40
             t0 = time.perf_counter()
-            for t in range(10, 10 + n):
-                serve_tick(t, split)
+            for tt in range(t, t + n):
+                serve_tick(tt, split)
             return (time.perf_counter() - t0) / (n * 0.1)
 
         # in-process drive A/B when requested: the tunnel's health drifts

@@ -1760,7 +1760,11 @@ class RealtimeAgent:
     def _resolve_one(self, pending):
         """Fetch + commit one dispatched fused chunk. Returns its
         (audio, out token ids), replaying the chunk stepwise if an event
-        fired in it."""
+        fired in it. Deliberately NO _flush_pair_row here: the interleaved
+        paired drive resolves t-1 while its OWN chunk t sits buffered
+        awaiting the partner — flushing would destroy grouping. Callers
+        that block on a possibly-still-buffered chunk flush first
+        (_resolve_pending, _finish_prev)."""
         t0 = time.perf_counter()
         fetched = pending["future"].result()
         self._acct_add("fetch", time.perf_counter() - t0)
@@ -2010,6 +2014,14 @@ class RealtimeAgent:
     def _finish_prev(self, prev) -> None:
         """Consume a dispatched fused chunk's results: bank its output, or
         hand an event replay to the background pool."""
+        # flush invariant (CLAUDE.md): about to block on this row's result —
+        # if the chunk is still BUFFERED in a group coordinator (the group
+        # never filled this tick: a partner row was mid-detour), realize it
+        # through the single program NOW. Without this, a split-drive resolve
+        # stalls the whole drive loop for the 2 s LazyHandles timeout on
+        # every desynchronized tick (measured: 11 timeouts in a 50-tick R=6
+        # warm-in, 193 ms/tick average).
+        self._flush_pair_row()
         t0 = time.perf_counter()
         fetched = prev["future"].result()
         self._acct_add("fetch", time.perf_counter() - t0)
