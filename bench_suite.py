@@ -137,10 +137,11 @@ def main():
     )
     parser.add_argument(
         "--selfplay_pair", action="store_true",
-        help="A/B: ride self-play on the shared batch-2 pair program. OFF by "
-             "default: cross-fed agents measured slower paired (87 vs 59 "
-             "ms/tick in-window — the group launch serializes behind the "
-             "partner's fetch); independent streams (duplexserve) still group.",
+        help="A/B: ride self-play on the shared batch-2 pair program with "
+             "the INTERLEAVED drive. OFF by default: the batch-2 program's "
+             "compute (~69 ms/tick) exceeds two unpaired pipelined programs "
+             "(~43 ms/tick, healthy-window in-process ABA); see "
+             "--selfplay_coord for the split-drive variant.",
     )
     parser.add_argument(
         "--agent_int8", action="store_true",
@@ -150,9 +151,9 @@ def main():
     parser.add_argument(
         "--selfplay_coord", action="store_true",
         help="ride self-play on the batch-2 pair program with the SPLIT "
-             "dispatch/resolve drive (both rows dispatch before either "
-             "resolves, hiding the fetch RTT under queued compute) — the "
-             "serving-coordinator layout applied to self-play",
+             "dispatch/resolve drive. Loses to unpaired in healthy windows "
+             "(69 vs 43 ms/tick) but wins degraded ones (~45 vs 80-85: "
+             "GroupFetch halves inflated fetch fees) — degradation insurance",
     )
     parser.add_argument(
         "--no_duplex_group", action="store_true",
@@ -162,7 +163,7 @@ def main():
     parser.add_argument(
         "--duplex_int8", action="store_true",
         help="int8 decode weights for the duplexserve section (the capacity "
-             "lever: R=6 at ~1.0x/call on one chip)",
+             "lever: R=6 at 67-68 ms/tick with the split drive)",
     )
     parser.add_argument(
         "--duplex_int4", action="store_true",

@@ -182,8 +182,10 @@ def main():
     parser.add_argument(
         "--coord", action="store_true",
         help="with --inproc: batch-2 pair program driven SPLIT (both agents "
-             "dispatch before either resolves) — the serving-coordinator "
-             "layout; hides the fetch RTT that makes --pair slower",
+             "dispatch before either resolves). Loses to the default "
+             "unpaired layout in healthy tunnel windows (69 vs 43 ms/tick) "
+             "but wins heavily degraded ones (~45 vs 80-85) — use as "
+             "degradation insurance",
     )
     parser.add_argument("--opening_text", default="hello?")
     parser.add_argument("--seed", type=int, default=42)
