@@ -306,3 +306,29 @@ def test_rejects_bad_config_and_bad_chunk(duplex_srv):
     call.send_chunk(np.zeros(duplex.chunk_samples + 1, np.float32))
     report = call.hangup()
     assert report.get("type") in ("error", "report")
+
+
+def test_no_split_drive_serves_identically():
+    """The --no_split_drive escape (interleaved per-row dispatch+resolve)
+    must produce the same served audio as the default split drive for the
+    same seed/input — the drives differ only in scheduling."""
+    codec = JaxCodecModel.random_init(tiny_codec_config(), seed=0)
+    outs = {}
+    for split in (True, False):
+        duplex = DuplexServingServer(
+            max_calls=2, tiny=True, codec_model=codec,
+            split_drive=split, underrun_timeout_secs=30.0,
+        )
+        srv = serve(duplex, "127.0.0.1", 0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = srv.server_address[1]
+            chunks = _user_chunks(500, N_CHUNKS, duplex.chunk_samples)
+            call, report = _stream(port, 33, chunks)
+            assert report["underruns"] == 0
+            outs[split] = call.collected_audio()
+        finally:
+            srv.shutdown()
+            duplex.shutdown()
+    np.testing.assert_array_equal(outs[True], outs[False])
