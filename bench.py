@@ -101,19 +101,21 @@ def _install_compile_meter() -> None:
               "falls back to the wall-clock ratio heuristic", file=sys.stderr)
 
 
-def _clean_reps(rtfs, compile_secs=None):
+def _clean_reps(rtfs, compile_secs=None, audio_secs=None):
     """Drop compile-poisoned reps before the median: a rep that paid
     30-180 s of in-run cold XLA compiles measures the compiler, not the
     agent (round-4 live run: a provisional rep with cold event machinery
     recorded RTF 7.1 while the warm rep alongside measured 0.36).
 
-    A rep is excluded only on BOTH signals: >3x the best rep AND >=5 s of
-    measured in-rep backend-compile time (the jax.monitoring meter). The
-    ratio alone would also throw away genuine runtime degradation — the
-    tunnel's own docs record 2.6x window drift — and a real slow rep must
-    count against the median (ADVICE r4 medium). When compile evidence is
-    unavailable for a rep (meter not installed, or the emergency path's
-    partial rep), the ratio-only rule applies to that rep as before."""
+    A rep is excluded only on BOTH signals: >3x the best rep AND measured
+    in-rep backend-compile time past an evidence bar (the jax.monitoring
+    meter) — 10% of the rep's wall time when ``audio_secs`` is known
+    (clamped to [1, 5] s), else a flat 5 s. The ratio alone would also
+    throw away genuine runtime degradation — the tunnel's own docs record
+    2.6x window drift — and a real slow rep must count against the median
+    (ADVICE r4 medium). When compile evidence is unavailable for a rep
+    (meter not installed, or the emergency path's partial rep), the
+    ratio-only rule applies to that rep as before."""
     if len(rtfs) <= 1:
         return list(rtfs)
     lo = min(rtfs)
@@ -125,7 +127,10 @@ def _clean_reps(rtfs, compile_secs=None):
         cs = None
         if compile_secs is not None and i < len(compile_secs):
             cs = compile_secs[i]
-        if cs is not None and cs < 5.0:
+        bar = 5.0
+        if audio_secs:
+            bar = min(5.0, max(1.0, 0.1 * r * audio_secs))
+        if cs is not None and cs < bar:
             kept.append(r)  # slow but genuinely runtime: window degradation
     return kept
 
@@ -141,7 +146,10 @@ def _emergency_json(reason: str) -> None:
         if cur and cur[0] * _PROGRESS["chunk_secs"] >= 5.0:
             rtfs.append(cur[1] / (cur[0] * _PROGRESS["chunk_secs"]))
             # no compile snapshot closes a partial rep: ratio-only rule
-        rtfs = _clean_reps(rtfs, compile_secs)
+        rtfs = _clean_reps(
+            rtfs, compile_secs,
+            audio_secs=(cur[0] * _PROGRESS["chunk_secs"] if cur else None),
+        )
         value = round(float(np.median(rtfs)), 4) if rtfs else None
         print(
             json.dumps(
@@ -855,17 +863,22 @@ def main():
                     kinds.append("fast")
                 if paced and dt > chunk_secs:
                     # tail attribution (VERDICT r4 weak-item 1): what was
-                    # this over-budget call actually blocked on?
+                    # this over-budget call actually blocked on? The named
+                    # sections partition the call's wall time; compile is
+                    # reported SEPARATELY (it overlaps the dispatch/resolve
+                    # windows it fires inside, and the meter also catches
+                    # concurrent detour-thread compiles) — summing it into
+                    # the breakdown would double-count.
                     bd = {
                         k: round(v * 1000, 1)
                         for k, v in agent.last_call_acct.items()
                         if not k.endswith("_n")
                     }
-                    if call_compile > 0.0:
-                        bd["compile"] = round(call_compile * 1000, 1)
                     bd["other"] = round(
                         max(0.0, dt * 1000 - sum(bd.values())), 1
                     )
+                    if call_compile > 0.0:
+                        bd["compile_overlap"] = round(call_compile * 1000, 1)
                     pumped = agent.last_call_acct.get("pumped_chunks_n", 0)
                     if pumped > 1:
                         bd["pumped_chunks"] = int(pumped)
@@ -1233,7 +1246,7 @@ def main():
             + ")",
             file=sys.stderr,
         )
-    kept = _clean_reps(rtfs, rep_compile_secs)
+    kept = _clean_reps(rtfs, rep_compile_secs, audio_secs=audio_secs)
     rtf = float(np.median(kept))
     print(
         f"[throughput] median rtf={rtf:.4f} over {len(kept)}/{len(rtfs)} "
@@ -1326,8 +1339,14 @@ def main():
         ob_sorted = sorted(ob, key=lambda e: -e[1])
         dom_hist = {}
         for _idx, _dt, _kind, bd in ob:
-            causes = {k: v for k, v in bd.items() if k != "pumped_chunks"}
-            dom = max(causes, key=causes.get) if causes else "other"
+            # a call more than half spent inside compiles IS a compile
+            # overrun regardless of which section the compile fired in
+            if bd.get("compile_overlap", 0.0) >= 0.5 * _dt * 1000:
+                dom = "compile"
+            else:
+                causes = {k: v for k, v in bd.items()
+                          if k not in ("pumped_chunks", "compile_overlap")}
+                dom = max(causes, key=causes.get) if causes else "other"
             dom_hist[dom] = dom_hist.get(dom, 0) + 1
         if ob:
             print(

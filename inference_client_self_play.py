@@ -193,15 +193,15 @@ def main():
     parser.add_argument("--secs", type=float, default=20.0)
     parser.add_argument("--output_dir", default="recordings")
     args = parser.parse_args()
+    if args.coord and not args.inproc:
+        raise SystemExit("--coord requires --inproc")
 
     agent_a, agent_b = build_agents(args)
     info = agent_a.get_info()
     chunk_samples = info.chunk_size_samples
     chunk_secs = info.config.chunk_size_secs
 
-    loop = self_play_loop_coord if getattr(args, "coord", False) else self_play_loop
-    if args.coord and not args.inproc:
-        raise SystemExit("--coord requires --inproc")
+    loop = self_play_loop_coord if args.coord else self_play_loop
     if args.headless:
         n_chunks = int(args.secs / chunk_secs)
         t0 = time.time()

@@ -1448,7 +1448,17 @@ class RealtimeAgent:
             if self.config.use_external_tts and self.tts_interrupted_chunk_input_ids is not None:
                 tts_chunk_input_ids = self.tts_interrupted_chunk_input_ids
             elif self.config.use_external_tts:
-                tts_chunk = self.tts_client.next_chunk()
+                try:
+                    tts_chunk = self.tts_client.next_chunk()
+                except Exception as ex:
+                    # transport failure / read timeout mid-stream: the TTS
+                    # outage posture is the same as end-of-stream — fall
+                    # back rather than killing the live call (the client's
+                    # 30 s read timeout makes a merely-slow server raise
+                    # where the reference blocked forever)
+                    warn(f"external TTS chunk fetch failed ({type(ex).__name__}: "
+                         f"{ex}); falling back")
+                    tts_chunk = None
                 if tts_chunk is None and not self.config.external_tts_allow_fallback:
                     tts_chunk = self.default_tts_fallback_chunk
                 if tts_chunk is not None:
@@ -1567,26 +1577,14 @@ class RealtimeAgent:
         host replays the event, fetches the no-op's user tokens, resyncs the
         chain, and re-dispatches this chunk."""
         session = self._session
-        can_fuse = (
-            not (force_trans or force_response)
-            and self._fused_ready()
-            and all(t > self.end_header_token_id for t in self.input_ids[-2:])
-        )
         # host-state mutations (trim begin/swap / forced events / non-audio
         # mode) cannot run under an in-flight speculative chunk: drain first,
         # then take the synchronous path for this chunk (rare). With blocking
-        # trims, total_secs lags by the in-flight chunk — count it, so the
-        # trim fires at the same chunk index as the synchronous agent (token
-        # parity). Incremental trims route through trim_op instead.
-        trim_due = False
-        if not self._incremental_trim_active():
-            effective_secs = self.total_secs + (
-                self.config.chunk_size_secs if self._pending is not None else 0.0
-            )
-            trim_due = (
-                effective_secs - self.trim_to_secs >= self.config.max_context_secs
-                or self._occupancy_trim_due()
-            )
+        # trims, total_secs lags by the in-flight chunk — _fuse_decision
+        # counts it, so the trim fires at the same chunk index as the
+        # synchronous agent (token parity). Incremental trims route through
+        # trim_op instead.
+        can_fuse, trim_due = self._fuse_decision(force_trans, force_response)
         if not can_fuse or trim_due or trim_op is not None:
             emit = self._resolve_pending()
             if emit is None and self._out_buffer is not None:
@@ -1663,20 +1661,7 @@ class RealtimeAgent:
             force_trans = self.should_force_transcription()
             force_response = self.should_force_response()
             trim_op = self._trim_op()
-            can_fuse = (
-                not (force_trans or force_response)
-                and self._fused_ready()
-                and all(t > self.end_header_token_id for t in self.input_ids[-2:])
-            )
-            trim_due = False
-            if not self._incremental_trim_active():
-                effective_secs = self.total_secs + (
-                    self.config.chunk_size_secs if self._pending is not None else 0.0
-                )
-                trim_due = (
-                    effective_secs - self.trim_to_secs >= self.config.max_context_secs
-                    or self._occupancy_trim_due()
-                )
+            can_fuse, trim_due = self._fuse_decision(force_trans, force_response)
             if not can_fuse or trim_due or trim_op is not None:
                 # rare slow tick: the full blocking path (resolves prev
                 # inside; under a coordinator its flush rules apply as in
@@ -1712,6 +1697,27 @@ class RealtimeAgent:
                 return self._emit(None)
             return self._emit(self._resolve_one(val))
 
+    def _fuse_decision(self, force_trans: bool, force_response: bool):
+        """(can_fuse, trim_due) for this tick — THE single copy of the
+        pipelined drives' routing decision. All three drives (interleaved,
+        async pump, split dispatch) must share it: any divergence silently
+        breaks their bit-identical token-parity contract."""
+        can_fuse = (
+            not (force_trans or force_response)
+            and self._fused_ready()
+            and all(t > self.end_header_token_id for t in self.input_ids[-2:])
+        )
+        trim_due = False
+        if not self._incremental_trim_active():
+            effective_secs = self.total_secs + (
+                self.config.chunk_size_secs if self._pending is not None else 0.0
+            )
+            trim_due = (
+                effective_secs - self.trim_to_secs >= self.config.max_context_secs
+                or self._occupancy_trim_due()
+            )
+        return can_fuse, trim_due
+
     def _acct_add(self, name: str, secs: float) -> None:
         """Accumulate a named blocking section into the live per-call
         attribution dict — only when called on the thread that owns the
@@ -1744,6 +1750,7 @@ class RealtimeAgent:
             # fetch on a background thread: the completion-wait fee ticks
             # concurrently with the device computing this chunk
             "future": self._fetcher.submit(_device_get, handles),
+            "handles": handles,
         }
         return prev_pending
 
@@ -1813,6 +1820,7 @@ class RealtimeAgent:
             "audio": succ["audio"],
             "ids": succ.get("ids"),
             "future": self._fetcher.submit(_device_get, handles),
+            "handles": handles,
         }
         # grouped drives: realize the redispatch through the SINGLE program
         # NOW instead of leaving it buffered for the partner's next-tick
@@ -1957,20 +1965,7 @@ class RealtimeAgent:
         force_trans = self.should_force_transcription()
         force_response = self.should_force_response()
         trim_op = self._trim_op()
-        can_fuse = (
-            not (force_trans or force_response)
-            and self._fused_ready()
-            and all(t > self.end_header_token_id for t in self.input_ids[-2:])
-        )
-        trim_due = False
-        if not self._incremental_trim_active():
-            effective_secs = self.total_secs + (
-                self.config.chunk_size_secs if self._pending is not None else 0.0
-            )
-            trim_due = (
-                effective_secs - self.trim_to_secs >= self.config.max_context_secs
-                or self._occupancy_trim_due()
-            )
+        can_fuse, trim_due = self._fuse_decision(force_trans, force_response)
 
         if not can_fuse or trim_due or trim_op is not None:
             def detour_job():
@@ -2014,14 +2009,25 @@ class RealtimeAgent:
     def _finish_prev(self, prev) -> None:
         """Consume a dispatched fused chunk's results: bank its output, or
         hand an event replay to the background pool."""
-        # flush invariant (CLAUDE.md): about to block on this row's result —
-        # if the chunk is still BUFFERED in a group coordinator (the group
-        # never filled this tick: a partner row was mid-detour), realize it
+        # flush invariant (CLAUDE.md): about to block on THIS chunk's result
+        # — if it is still BUFFERED in a group coordinator (the group never
+        # filled its tick: a partner row was mid-detour), realize exactly it
         # through the single program NOW. Without this, a split-drive resolve
         # stalls the whole drive loop for the 2 s LazyHandles timeout on
         # every desynchronized tick (measured: 11 timeouts in a 50-tick R=6
-        # warm-in, 193 ms/tick average).
-        self._flush_pair_row()
+        # warm-in, 193 ms/tick average). Targeted (flush_lazy, not the row's
+        # buffer): under the INTERLEAVED drive the row's buffer holds the
+        # chunk dispatched THIS call, which must stay buffered for the
+        # partner or grouping is destroyed.
+        handles = prev.get("handles")
+        session = self._session
+        if (
+            session is not None
+            and session._pair is not None
+            and hasattr(handles, "_event")
+            and not handles._event.is_set()
+        ):
+            session._pair.flush_lazy(handles)
         t0 = time.perf_counter()
         fetched = prev["future"].result()
         self._acct_add("fetch", time.perf_counter() - t0)

@@ -532,10 +532,16 @@ def forward(
             # backward's recompute rebuilds q/k/v (norm + matmuls + rope)
             # but never re-runs the flash forward kernel — the remaining
             # recompute tax the "attn" policy still paid. ~1.1 GB residency
-            # at B=4 T=2048 (vs "dots" which saves every matmul and OOMs)
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "flash_out", "flash_lse", "flash_max"
-            )
+            # at B=4 T=2048 (vs "dots" which saves every matmul and OOMs).
+            # The names only exist on the Pallas path: off it (CPU, odd T,
+            # RTCA_FLASH_IMPL=xla) fall back to the "attn" policy rather
+            # than silently saving nothing and rematting the whole layer.
+            if nn.flash_pallas_active(t):
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse", "flash_max"
+                )
+            else:
+                policy = jax.checkpoint_policies.save_only_these_names("attn_ctx")
         else:
             policy = None  # "full": recompute everything
         layer_body = jax.checkpoint(layer_body, policy=policy)

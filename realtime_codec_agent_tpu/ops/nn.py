@@ -396,6 +396,21 @@ def _flash_pallas_named_fn(sm_scale: float, bq: int, bk: int):
     return fn
 
 
+def flash_pallas_active(t: int) -> bool:
+    """True iff a training/scoring block of length ``t`` will take the
+    Pallas flash kernel path (transformer_layer routes t > 512 to
+    train_attention, which routes to Pallas on TPU at t % 512 == 0 unless
+    RTCA_FLASH_IMPL=xla). The 'flash' remat policy keys on this: its saved
+    names only exist inside the Pallas wrapper."""
+    impl = os.environ.get("RTCA_FLASH_IMPL", "pallas")
+    return (
+        t > 512
+        and t % 512 == 0
+        and impl == "pallas"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def train_attention(
     q: jnp.ndarray,  # (B, T, H, Dh), KV already head-repeated
     k: jnp.ndarray,
@@ -406,13 +421,7 @@ def train_attention(
     """Long-block training/scoring attention: the Pallas flash kernel on TPU
     (RTCA_FLASH_IMPL=xla restores the XLA key-block scan for A/B), the XLA
     scan elsewhere (CPU tests, platforms without Mosaic)."""
-    t = q.shape[1]
-    impl = os.environ.get("RTCA_FLASH_IMPL", "pallas")
-    if (
-        impl == "pallas"
-        and jax.default_backend() == "tpu"
-        and t % 512 == 0
-    ):
+    if flash_pallas_active(q.shape[1]):
         return flash_attention_pallas(q, k, v, valid=valid, scale=scale)
     return flash_causal_attention(q, k, v, valid=valid, scale=scale)
 

@@ -45,3 +45,13 @@ def test_partial_rep_without_snapshot_uses_ratio():
 
 def test_below_ratio_always_kept():
     assert bench._clean_reps([0.3, 0.6, 0.8], [50.0, 50.0, 50.0]) == [0.3, 0.6, 0.8]
+
+
+def test_evidence_bar_scales_with_rep_length():
+    # a 4 s tiny rep poisoned by 2.3 s of compiles: the flat 5 s bar keeps
+    # it, the rep-scaled bar (10% of wall, clamped [1, 5]) drops it
+    assert bench._clean_reps([0.27, 1.62], [0.0, 2.3]) == [0.27, 1.62]
+    assert bench._clean_reps([0.27, 1.62], [0.0, 2.3], audio_secs=4.0) == [0.27]
+    # at the gate's 100 s reps the clamp restores the flat 5 s bar
+    assert bench._clean_reps([0.35, 1.2], [0.0, 3.0], audio_secs=100.0) == [0.35, 1.2]
+    assert bench._clean_reps([0.35, 1.2], [0.0, 30.0], audio_secs=100.0) == [0.35]
