@@ -42,12 +42,14 @@ def resources():
 
 
 def make_agent(
-    resources, seed, temperature=0.0, pin_audio=True, pipeline=True, self_play=True
+    resources, seed, temperature=0.0, pin_audio=True, pipeline=True, self_play=True,
+    async_detours=False,
 ):
     config = RealtimeAgentConfig(
         temperature=temperature,
         use_whisper=False,
         agent_opening_text=None,
+        async_detours=async_detours,
         force_trans_after_inactivity_secs=0.0,
         force_response_after_inactivity_secs=0.0,
         use_fused_step=True,
@@ -384,3 +386,37 @@ def test_split_drive_with_events_matches_interleaved(resources):
     assert b2.get_sequence_str() == b1.get_sequence_str()
     assert [t["text"] for t in a2.transcript] == [t["text"] for t in a1.transcript]
     assert [t["text"] for t in b2.transcript] == [t["text"] for t in b1.transcript]
+
+
+def test_interleaved_async_drive_still_groups(resources):
+    """Regression guard for the targeted-lazy flush: ASYNC agents driven
+    with plain interleaved process_audio under a coordinator must still
+    ride the group program. An over-eager flush before the prev-resolve
+    wait silently realizes every just-buffered chunk as a single — token
+    parity masks it, so only a grouped-fraction assertion catches it."""
+    import time as _time
+
+    from realtime_codec_agent_tpu.lm.pair_session import group_duplex_agents
+
+    agents = [
+        make_agent(resources, seed=40 + i, self_play=False, async_detours=True)
+        for i in range(3)
+    ]
+    coord = group_duplex_agents(agents)
+    rngs = [np.random.default_rng(200 + i) for i in range(3)]
+    for t in range(10):
+        for a, r in zip(agents, rngs):
+            a.process_audio((r.normal(size=1600) * 0.1).astype(np.float32))
+        # let opening detours resolve so rows stay aligned (CPU detours are
+        # slow; the drive loop itself must not be what desynchronizes them)
+        for a in agents:
+            fut = a._detour_future
+            for _ in range(400):
+                if fut is None or fut.done():
+                    break
+                _time.sleep(0.02)
+    for a in agents:
+        while a.drain_pipeline() is not None:
+            pass
+    assert coord.paired_dispatches >= 4, (
+        coord.paired_dispatches, coord.single_dispatches)
