@@ -896,14 +896,19 @@ def main():
             modes = [True, False, True]
         vals = {}
         for split in modes:
+            c0 = (coord.paired_dispatches, coord.single_dispatches,
+                  coord.timeout_flushes) if coord else (0, 0, 0)
             rtf = measure(split)
+            c1 = (coord.paired_dispatches, coord.single_dispatches,
+                  coord.timeout_flushes) if coord else (0, 0, 0)
             vals.setdefault(split, []).append(rtf)
             emit(
                 "duplex_serving_rtf", rtf,
                 f"x_realtime serving {R} concurrent full-duplex calls "
                 "(lower is better; <1 = every call realtime)",
                 sessions=R, int8=args.duplex_int8, int4=args.duplex_int4,
-                split=split,
+                split=split, grouped_ticks=c1[0] - c0[0],
+                single_chunks=c1[1] - c0[1], lazy_timeouts=c1[2] - c0[2],
             )
         if args.duplex_ab and False in vals:
             emit(
